@@ -1,0 +1,123 @@
+"""Shape/smoke tests for backbones, PAFPN, head, decode, and SimOTA losses."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unicorn_tpu.models.csp_darknet import CSPDarknet
+from unicorn_tpu.models.pafpn import YOLOPAFPN
+from unicorn_tpu.models.heads import (
+    UnicornHead, decode_for_inference, flatten_raw_outputs, decode_boxes,
+)
+from unicorn_tpu.losses.det import yolox_losses, simota_assign, iou_pairwise_cxcywh
+
+H, W = 128, 128
+
+
+def test_csp_darknet_shapes():
+    model = CSPDarknet(dep_mul=0.33, wid_mul=0.5)
+    x = jnp.zeros((1, H, W, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    c3, c4, c5 = model.apply(params, x)
+    assert c3.shape == (1, H // 8, W // 8, 128)
+    assert c4.shape == (1, H // 16, W // 16, 256)
+    assert c5.shape == (1, H // 32, W // 32, 512)
+
+
+def test_pafpn_head_decode():
+    fpn = YOLOPAFPN(depth=0.33, width=0.5, in_channels=(256, 512, 1024),
+                    backbone_name="csp_darknet")
+    head = UnicornHead(num_classes=8, width=0.5, in_channels=(256, 512, 1024),
+                       sot_branch=True, n_layer_att=1)
+    x = jnp.zeros((2, H, W, 3))
+    fpn_params = fpn.init(jax.random.PRNGKey(0), x)
+    feats = fpn.apply(fpn_params, x)
+    assert feats[0].shape == (2, H // 8, W // 8, 128)
+
+    priors = tuple(
+        jnp.zeros((2, H // s, W // s, 1)) for s in (8, 16, 32)
+    )
+    head_params = head.init(jax.random.PRNGKey(1), feats, priors)
+    outs = head.apply(head_params, feats, priors)
+    assert len(outs) == 3
+    assert outs[0]["cls"].shape == (2, H // 8, W // 8, 8)
+    assert outs[0]["cls_sot"].shape == (2, H // 8, W // 8, 1)
+
+    dec = decode_for_inference(outs, (8, 16, 32), mode="mot")
+    A = (H // 8) * (W // 8) + (H // 16) * (W // 16) + (H // 32) * (W // 32)
+    assert dec.shape == (2, A, 5 + 8)
+    # obj/cls scores are sigmoided
+    assert float(dec[..., 4:].min()) >= 0.0 and float(dec[..., 4:].max()) <= 1.0
+
+
+def test_simota_basic():
+    """A gt box centered on the grid should get assigned at least 1 anchor."""
+    A_list = [(H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32)]
+    from unicorn_tpu.models.heads import level_grids
+    xs, ys, ss = level_grids(A_list, (8, 16, 32))
+    A = xs.shape[0]
+    M = 10
+    rng = np.random.RandomState(0)
+
+    gt_boxes = np.zeros((M, 4), np.float32)
+    gt_boxes[0] = [64, 64, 40, 40]
+    gt_boxes[1] = [30, 90, 20, 30]
+    gt_valid = np.zeros((M,), bool)
+    gt_valid[:2] = True
+    gt_classes = np.array([1, 3] + [0] * 8, np.int32)
+
+    pred_boxes = np.tile(np.array([[64, 64, 30, 30]], np.float32), (A, 1))
+    pred_boxes += rng.uniform(-2, 2, pred_boxes.shape).astype(np.float32)
+    obj_logits = rng.randn(A, 1).astype(np.float32)
+    cls_logits = rng.randn(A, 8).astype(np.float32)
+
+    res = simota_assign(
+        jnp.asarray(gt_boxes), jnp.asarray(gt_classes), jnp.asarray(gt_valid),
+        jnp.asarray(pred_boxes), jnp.asarray(obj_logits), jnp.asarray(cls_logits),
+        xs, ys, ss, (H, W),
+    )
+    assert float(res.num_fg) >= 2.0
+    assert float(res.num_gt) == 2.0
+    # every assigned anchor maps to a valid gt
+    matched = np.asarray(res.matched_gt)[np.asarray(res.fg_mask)]
+    assert set(matched.tolist()) <= {0, 1}
+    # gt 0 overlaps predictions, so at least one fg anchor has positive IoU;
+    # gt 1 has zero IoU with every pred and still gets its forced min-1
+    # assignment (reference clamps dynamic_k to >= 1) with pred_iou == 0.
+    assert float(jnp.max(res.pred_iou)) > 0.0
+    assert float(jnp.min(res.pred_iou[res.fg_mask])) >= 0.0
+
+
+def test_yolox_losses_grad():
+    A_list = [(H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32)]
+    from unicorn_tpu.models.heads import level_grids
+    xs, ys, ss = level_grids(A_list, (8, 16, 32))
+    A = xs.shape[0]
+    B, M, C = 2, 10, 8
+    rng = np.random.RandomState(0)
+
+    labels = np.zeros((B, M, 5), np.float32)
+    labels[0, 0] = [1, 64, 64, 40, 40]
+    labels[1, 0] = [2, 30, 90, 20, 30]
+    labels[1, 1] = [0, 100, 40, 24, 24]
+
+    reg_raw = jnp.asarray(rng.randn(B, A, 4).astype(np.float32) * 0.1)
+    obj_logits = jnp.asarray(rng.randn(B, A, 1).astype(np.float32))
+    cls_logits = jnp.asarray(rng.randn(B, A, C).astype(np.float32))
+    pred_boxes = decode_boxes(reg_raw, A_list, (8, 16, 32))
+
+    def loss_fn(reg_raw, obj_logits, cls_logits):
+        pred_boxes = decode_boxes(reg_raw, A_list, (8, 16, 32))
+        ld, _ = yolox_losses(
+            jnp.asarray(labels), pred_boxes, obj_logits, cls_logits, reg_raw,
+            xs, ys, ss, (H, W), use_l1=True,
+        )
+        return ld["total_loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+        reg_raw, obj_logits, cls_logits
+    )
+    assert np.isfinite(float(loss))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(grads[0]).sum()) > 0.0

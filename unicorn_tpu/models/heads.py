@@ -1,0 +1,211 @@
+"""Unified decoupled detection head (YOLOX-style), TPU-native flax/NHWC.
+
+Reference: unicorn/models/unicorn_head.py:19-482 (UnicornHead) and
+unicorn/models/yolo_head_det.py (YOLOXHeadDet). Differences by design:
+
+  * The head is a pure forward producing raw per-level logits; decoding and
+    losses are separate jitted functions (losses/det_loss.py, losses/simota.py).
+  * When `sot_branch=True` BOTH the MOT and SOT class branches are computed
+    every call; downstream losses mask per-sample by task id. Unused-branch
+    params then receive exact zero gradients — statically replacing the
+    reference's zero-grad trick (unicorn_head.py:363-389).
+  * Target-prior fusion (`x + m*beta` or `x*m + x`, unicorn_head.py:271-281)
+    takes a per-level propagated label map `mask_in` (B, H, W, 1).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import BaseConv, ConvNeXtBlock, DWConv
+
+
+def _bias_init_prior(prior_prob: float):
+    """Focal-style bias init for cls/obj preds (unicorn_head.py:233-248)."""
+    b = -math.log((1 - prior_prob) / prior_prob)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, b, dtype)
+
+    return init
+
+
+class PredConv(nn.Module):
+    """1x1 prediction conv with optional prior-prob bias init."""
+
+    out_channels: int
+    prior_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(1, 1),
+            bias_init=_bias_init_prior(1e-2) if self.prior_bias else nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class UnicornHead(nn.Module):
+    num_classes: int
+    width: float = 1.0
+    strides: Sequence[int] = (8, 16, 32)
+    in_channels: Sequence[int] = (256, 512, 1024)
+    act: str = "silu"
+    depthwise: bool = False
+    sot_branch: bool = True          # False => plain det head (YOLOXHeadDet)
+    use_attention: bool = True
+    n_layer_att: int = 3
+    unshared_obj: bool = True
+    unshared_reg: bool = True
+    fuse_method: str = "sum"         # "sum" | "mul"
+    learnable_fuse: bool = True
+    num_classes_sot: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xin, mask_in: Optional[Sequence] = None):
+        """xin: tuple of NHWC FPN features (strides 8/16/32).
+        mask_in: optional tuple of propagated target priors (B, H, W, 1).
+
+        Returns a list (one entry per level) of dicts with keys:
+          reg (B,H,W,4), obj (B,H,W,1), cls (B,H,W,num_classes)
+          [+ cls_sot (B,H,W,1), obj_sot, reg_sot when sot_branch]
+        All raw logits (reg is pre-decode).
+        """
+        conv = DWConv if self.depthwise else BaseConv
+        hidden = int(256 * self.width)
+        dt = self.dtype
+        outputs = []
+        for k, x in enumerate(xin):
+            x = BaseConv(hidden, 1, 1, act=self.act, dtype=dt, name=f"stem{k}")(x)
+            if mask_in is not None:
+                m = mask_in[k].astype(x.dtype)
+                if self.fuse_method == "sum":
+                    if self.learnable_fuse:
+                        beta = self.param(
+                            f"beta_{k}", nn.initializers.ones, (hidden,), jnp.float32
+                        )
+                        x = x + m * beta.astype(dt)
+                    else:
+                        x = x + m
+                elif self.fuse_method == "mul":
+                    x = x * m + x
+                else:
+                    raise ValueError(self.fuse_method)
+            if self.use_attention:
+                for n in range(self.n_layer_att):
+                    x = ConvNeXtBlock(
+                        hidden, layer_scale_init_value=1.0, dtype=dt,
+                        name=f"att{k}_{n}",
+                    )(x)
+
+            cls_feat = x
+            for i in range(4):
+                cls_feat = conv(hidden, 3, 1, act=self.act, dtype=dt,
+                                name=f"cls_conv{k}_{i}")(cls_feat)
+            reg_feat = x
+            for i in range(4):
+                reg_feat = conv(hidden, 3, 1, act=self.act, dtype=dt,
+                                name=f"reg_conv{k}_{i}")(reg_feat)
+
+            out = {
+                "cls": PredConv(self.num_classes, prior_bias=True, dtype=dt,
+                                name=f"cls_pred{k}")(cls_feat),
+                "reg": PredConv(4, dtype=dt, name=f"reg_pred{k}")(reg_feat),
+                "obj": PredConv(1, prior_bias=True, dtype=dt,
+                                name=f"obj_pred{k}")(reg_feat),
+            }
+            if self.sot_branch:
+                out["cls_sot"] = PredConv(
+                    self.num_classes_sot, prior_bias=True, dtype=dt,
+                    name=f"cls_pred_sot{k}",
+                )(cls_feat)
+                if self.unshared_reg:
+                    out["reg_sot"] = PredConv(4, dtype=dt, name=f"reg_pred_sot{k}")(reg_feat)
+                if self.unshared_obj:
+                    out["obj_sot"] = PredConv(1, prior_bias=True, dtype=dt,
+                                              name=f"obj_pred_sot{k}")(reg_feat)
+            outputs.append(out)
+        return outputs
+
+
+# ---------------------------------------------------------------------------
+# decoding (pure functions; reference unicorn_head.py:441-482)
+# ---------------------------------------------------------------------------
+
+def level_grids(hw_list, strides):
+    """Per-anchor grid coords and strides for concatenated levels.
+
+    Returns x_shifts (A,), y_shifts (A,), expanded_strides (A,) as float32,
+    where A = sum(H*W) over levels. Anchor order matches flatten order
+    (row-major per level, levels concatenated stride-8 first).
+    """
+    xs, ys, ss = [], [], []
+    for (h, w), s in zip(hw_list, strides):
+        yv, xv = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        xs.append(xv.reshape(-1))
+        ys.append(yv.reshape(-1))
+        ss.append(jnp.full((h * w,), s))
+    return (
+        jnp.concatenate(xs).astype(jnp.float32),
+        jnp.concatenate(ys).astype(jnp.float32),
+        jnp.concatenate(ss).astype(jnp.float32),
+    )
+
+
+def flatten_raw_outputs(outputs, mode: str, unshared_obj=True, unshared_reg=True):
+    """Flatten per-level raw head outputs into (B, A, ...) tensors.
+
+    mode: "mot" uses shared branches; "sot" uses the SOT branches.
+    Returns dict: reg_raw (B,A,4), obj_logits (B,A,1), cls_logits (B,A,C),
+    hw (list of (H, W)).
+    """
+    regs, objs, clss, hw = [], [], [], []
+    for out in outputs:
+        if mode == "sot":
+            reg = out["reg_sot"] if (unshared_reg and "reg_sot" in out) else out["reg"]
+            obj = out["obj_sot"] if (unshared_obj and "obj_sot" in out) else out["obj"]
+            cls = out["cls_sot"]
+        else:
+            reg, obj, cls = out["reg"], out["obj"], out["cls"]
+        b, h, w, _ = reg.shape
+        hw.append((h, w))
+        regs.append(reg.reshape(b, h * w, 4))
+        objs.append(obj.reshape(b, h * w, 1))
+        clss.append(cls.reshape(b, h * w, -1))
+    return {
+        "reg_raw": jnp.concatenate(regs, axis=1).astype(jnp.float32),
+        "obj_logits": jnp.concatenate(objs, axis=1).astype(jnp.float32),
+        "cls_logits": jnp.concatenate(clss, axis=1).astype(jnp.float32),
+        "hw": hw,
+    }
+
+
+def decode_boxes(reg_raw, hw_list, strides):
+    """Decode raw reg (B, A, 4) to cxcywh in input-image coords
+    (unicorn_head.py:447-458: xy=(pred+grid)*stride, wh=exp(pred)*stride)."""
+    x_shifts, y_shifts, s = level_grids(hw_list, strides)
+    cx = (reg_raw[..., 0] + x_shifts) * s
+    cy = (reg_raw[..., 1] + y_shifts) * s
+    w = jnp.exp(reg_raw[..., 2]) * s
+    h = jnp.exp(reg_raw[..., 3]) * s
+    return jnp.stack([cx, cy, w, h], axis=-1)
+
+
+def decode_for_inference(outputs, strides, mode: str = "mot",
+                         unshared_obj=True, unshared_reg=True):
+    """Full inference decode -> (B, A, 5+C): [cxcywh, obj_sig, cls_sig].
+
+    Mirrors reference eval-path forward (unicorn_head.py:430-439 + 460-482).
+    """
+    flat = flatten_raw_outputs(outputs, mode, unshared_obj, unshared_reg)
+    boxes = decode_boxes(flat["reg_raw"], flat["hw"], strides)
+    obj = jnp.asarray(nn.sigmoid(flat["obj_logits"]))
+    cls = jnp.asarray(nn.sigmoid(flat["cls_logits"]))
+    return jnp.concatenate([boxes, obj, cls], axis=-1)
