@@ -1,0 +1,80 @@
+"""Golden-value tests for the self-contained COCO mAP and RLE codec
+(mirrors the reference's golden-value metric tests, SURVEY.md §4.3)."""
+import numpy as np
+
+from unicorn_tpu.evaluators.coco_map import COCOMeanAP
+from unicorn_tpu.evaluators import rle
+
+
+def _gt_dataset():
+    return {
+        "images": [{"id": 1, "width": 200, "height": 200},
+                   {"id": 2, "width": 200, "height": 200}],
+        "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 50, 50], "area": 2500, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 2,
+             "bbox": [100, 100, 40, 40], "area": 1600, "iscrowd": 0},
+            {"id": 3, "image_id": 2, "category_id": 1,
+             "bbox": [20, 30, 60, 60], "area": 3600, "iscrowd": 0},
+        ],
+    }
+
+
+def test_coco_map_perfect():
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50], "score": 0.9},
+        {"image_id": 1, "category_id": 2, "bbox": [100, 100, 40, 40], "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [20, 30, 60, 60], "score": 0.95},
+    ]
+    m = COCOMeanAP(_gt_dataset()).evaluate(dets)
+    assert abs(m["AP"] - 1.0) < 1e-6
+    assert abs(m["AP50"] - 1.0) < 1e-6
+
+
+def test_coco_map_miss_and_fp():
+    dets = [
+        # good match for gt1
+        {"image_id": 1, "category_id": 1, "bbox": [11, 11, 50, 50], "score": 0.9},
+        # false positive
+        {"image_id": 2, "category_id": 2, "bbox": [0, 0, 30, 30], "score": 0.95},
+    ]
+    m = COCOMeanAP(_gt_dataset()).evaluate(dets)
+    assert 0.0 < m["AP50"] < 1.0
+    # cat 1: 1 of 2 gts found at iou .5 -> AP50 cat1 = 0.5; cat2: fp only -> 0
+    assert abs(m["AP50"] - 0.25) < 0.01
+
+
+def test_coco_map_localization_quality():
+    # det overlaps gt with IoU ~0.68 -> counts at 0.5..0.65 but not 0.75
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [15, 15, 50, 50], "score": 0.9}]
+    gt = {
+        "images": [{"id": 1, "width": 200, "height": 200}],
+        "categories": [{"id": 1, "name": "a"}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                         "bbox": [10, 10, 50, 50], "area": 2500, "iscrowd": 0}],
+    }
+    m = COCOMeanAP(gt).evaluate(dets)
+    assert abs(m["AP50"] - 1.0) < 1e-6
+    assert m["AP75"] == 0.0
+    assert 0.0 < m["AP"] < 1.0
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(37, 53) > 0.5).astype(np.uint8)
+    enc = rle.encode(mask)
+    assert isinstance(enc["counts"], str)
+    dec = rle.decode(enc)
+    np.testing.assert_array_equal(dec, mask)
+    assert rle.area(enc) == int(mask.sum())
+
+
+def test_rle_iou():
+    a = np.zeros((10, 10), np.uint8)
+    a[:5] = 1
+    b = np.zeros((10, 10), np.uint8)
+    b[2:7] = 1
+    i = rle.iou_rle([rle.encode(a)], [rle.encode(b)])
+    np.testing.assert_allclose(i[0, 0], 30.0 / 70.0, rtol=1e-6)

@@ -1,0 +1,70 @@
+"""On-device NMS vs host torchvision-parity postprocess."""
+import jax.numpy as jnp
+import numpy as np
+
+from unicorn_tpu.ops.nms import postprocess_device
+from unicorn_tpu.utils.boxes import postprocess
+
+
+def _rand_preds(B=2, A=300, C=8, seed=0):
+    rng = np.random.RandomState(seed)
+    cx = rng.uniform(20, 100, (B, A))
+    cy = rng.uniform(20, 100, (B, A))
+    w = rng.uniform(5, 40, (B, A))
+    h = rng.uniform(5, 40, (B, A))
+    obj = rng.rand(B, A)
+    cls = rng.rand(B, A, C)
+    return np.concatenate(
+        [np.stack([cx, cy, w, h], -1), obj[..., None], cls], -1
+    ).astype(np.float32)
+
+
+def test_device_postprocess_matches_host():
+    preds = _rand_preds()
+    host = postprocess(preds.copy(), num_classes=8, conf_thre=0.5, nms_thre=0.5)
+    dets, valid = postprocess_device(
+        jnp.asarray(preds), num_classes=8, conf_thre=0.5, nms_thre=0.5,
+        n_cand=300, max_out=128,
+    )
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    for i in range(preds.shape[0]):
+        d_dev = dets[i][valid[i]]
+        d_host = host[i]
+        if d_host is None:
+            assert len(d_dev) == 0
+            continue
+        # same number of surviving boxes, same boxes in same score order
+        assert len(d_dev) == len(d_host), (len(d_dev), len(d_host))
+        # host output is ordered per-class-nms; sort both by score for compare
+        o_dev = np.argsort(-(d_dev[:, 4] * d_dev[:, 5]), kind="stable")
+        o_host = np.argsort(-(d_host[:, 4] * d_host[:, 5]), kind="stable")
+        np.testing.assert_allclose(d_dev[o_dev], d_host[o_host],
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_device_postprocess_class_agnostic():
+    preds = _rand_preds(seed=1)
+    host = postprocess(preds.copy(), num_classes=8, conf_thre=0.5,
+                       nms_thre=0.5, class_agnostic=True)
+    dets, valid = postprocess_device(
+        jnp.asarray(preds), num_classes=8, conf_thre=0.5, nms_thre=0.5,
+        class_agnostic=True, n_cand=300, max_out=128,
+    )
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    for i in range(preds.shape[0]):
+        d_dev = dets[i][valid[i]]
+        d_host = host[i]
+        n_host = 0 if d_host is None else len(d_host)
+        assert len(d_dev) == n_host
+        if n_host:
+            np.testing.assert_allclose(d_dev, d_host, rtol=1e-4, atol=1e-3)
+
+
+def test_device_postprocess_empty():
+    preds = _rand_preds(seed=2)
+    preds[..., 4] = 0.0  # obj zero -> no det passes conf
+    dets, valid = postprocess_device(
+        jnp.asarray(preds), num_classes=8, conf_thre=0.5, nms_thre=0.5,
+        n_cand=300, max_out=128,
+    )
+    assert not np.asarray(valid).any()

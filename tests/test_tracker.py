@@ -1,0 +1,101 @@
+"""Tracker + metrics tests: synthetic video with moving boxes must be tracked
+with stable IDs and near-perfect MOTA."""
+import numpy as np
+
+from unicorn_tpu.tracker.byte_tracker import BaseTrack, ByteTracker
+from unicorn_tpu.tracker.qd_tracker import QuasiDenseEmbedTracker
+from unicorn_tpu.tracker.matching import linear_assignment
+from unicorn_tpu.evaluators.mot_metrics import MOTAccumulator
+
+
+def make_synthetic_video(n_frames=30, n_obj=4, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(100, 400, (n_obj, 2))
+    vel = rng.uniform(-4, 4, (n_obj, 2))
+    sizes = rng.uniform(40, 70, (n_obj, 2))
+    frames = []
+    for t in range(n_frames):
+        boxes = np.concatenate([pos + t * vel, pos + t * vel + sizes], 1)
+        frames.append(boxes.copy())
+    return frames
+
+
+def test_linear_assignment_cost_limit():
+    cost = np.array([[0.2, 0.9], [0.8, 0.1]])
+    m, ua, ub = linear_assignment(cost, thresh=0.5)
+    assert sorted(map(tuple, m.tolist())) == [(0, 0), (1, 1)]
+    # with a tight limit nothing matches
+    m2, ua2, ub2 = linear_assignment(cost, thresh=0.05)
+    assert len(m2) == 0 and len(ua2) == 2 and len(ub2) == 2
+
+
+def test_bytetrack_stable_ids():
+    BaseTrack.reset_id()
+    frames = make_synthetic_video()
+    tracker = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
+    ids_per_frame = []
+    for boxes in frames:
+        scores = np.full(len(boxes), 0.9)
+        online = tracker.update(boxes, scores)
+        ids_per_frame.append(sorted(t.track_id for t in online))
+    # after the first frame, ids should be stable
+    assert ids_per_frame[1] == ids_per_frame[-1]
+    assert len(ids_per_frame[-1]) == 4
+
+
+def test_bytetrack_low_score_rescue():
+    BaseTrack.reset_id()
+    frames = make_synthetic_video(n_frames=10, n_obj=2, seed=1)
+    tracker = ByteTracker(track_thresh=0.6)
+    ids = None
+    for t, boxes in enumerate(frames):
+        scores = np.full(len(boxes), 0.9)
+        if t == 5:
+            scores[0] = 0.3  # drops below track_thresh -> rescued by pass 2
+        online = tracker.update(boxes, scores)
+        cur = sorted(tr.track_id for tr in online)
+        if t == 1:
+            ids = cur
+        if t >= 1:
+            assert cur == ids, f"frame {t}: {cur} != {ids}"
+
+
+def test_qdtracker_embedding_matching():
+    tracker = QuasiDenseEmbedTracker(init_score_thr=0.7, obj_score_thr=0.3,
+                                     match_score_thr=0.5)
+    rng = np.random.RandomState(0)
+    emb = rng.randn(3, 64).astype(np.float32) * 5
+    boxes0 = np.array([[10, 10, 50, 50, 0.9], [100, 100, 150, 160, 0.95],
+                       [200, 50, 260, 120, 0.85]], np.float32)
+    labels = np.zeros(3, int)
+    _, _, ids0 = tracker.match(boxes0, labels, emb, 0)
+    assert (np.sort(ids0) == np.arange(3)).all()
+    # returned rows are sorted by score; map original det -> assigned id
+    order0 = np.argsort(-boxes0[:, 4], kind="stable")
+    orig_to_id = {int(order0[k]): int(ids0[k]) for k in range(3)}
+    # shuffled order, shifted boxes, same embeddings -> ids must follow
+    perm = [2, 0, 1]
+    boxes1 = boxes0[perm] + 5.0
+    _, _, ids1 = tracker.match(boxes1, labels[perm], emb[perm], 1)
+    order1 = np.argsort(-boxes1[:, 4], kind="stable")
+    expect = [orig_to_id[perm[int(i)]] for i in order1]
+    np.testing.assert_array_equal(ids1, expect)
+
+
+def test_mot_accumulator_perfect_and_idsw():
+    acc = MOTAccumulator()
+    frames = make_synthetic_video(n_frames=10, n_obj=3)
+    for boxes in frames:
+        ids = [1, 2, 3]
+        acc.update(ids, boxes, ids, boxes)
+    m = acc.metrics()
+    assert m["MOTA"] == 1.0 and m["IDF1"] == 1.0 and m["IDsw"] == 0
+
+    acc2 = MOTAccumulator()
+    for t, boxes in enumerate(frames):
+        gt_ids = [1, 2, 3]
+        hyp_ids = [1, 2, 3] if t < 5 else [1, 2, 9]  # one id switch at t=5
+        acc2.update(gt_ids, boxes, hyp_ids, boxes)
+    m2 = acc2.metrics()
+    assert m2["IDsw"] == 1
+    assert abs(m2["MOTA"] - (1.0 - 1 / 30)) < 1e-6

@@ -1,0 +1,68 @@
+"""Omni meta-datasets: weighted sampling over sub-datasets and alternating
+task scheduling.
+
+Reference: unicorn/data/datasets/omni_data.py:6-84 (OmniDataset,
+OmniDatasetPlus). All sub-datasets expose
+`pull_item_omni(seq_id, num_frames) -> list[(img, labels)]` returning
+`num_frames` frames of (HWC uint8 image, (N, 5|6) [xyxy, cls(, tid)]).
+"""
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+
+class OmniDataset:
+    """Weighted sampling over sub-datasets with a fixed samples_per_epoch
+    (omni_data.py:6-34)."""
+
+    def __init__(self, datasets: Sequence, p_datasets=None,
+                 samples_per_epoch: int = 200000, num_frames: int = 2):
+        self.datasets = list(datasets)
+        if p_datasets is None:
+            p_datasets = [len(d) for d in self.datasets]
+        total = sum(p_datasets)
+        self.p_datasets = [p / total for p in p_datasets]
+        self.samples_per_epoch = samples_per_epoch
+        self.num_frames = num_frames
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def pull_item(self, index):
+        ds = random.choices(self.datasets, self.p_datasets)[0]
+        seq_id = random.randint(0, len(ds) - 1)
+        return ds.pull_item_omni(seq_id, self.num_frames)
+
+
+class OmniDatasetPlus:
+    """Task-level meta dataset: joint or alternating SOT<->MOT sampling
+    (omni_data.py:37-84). task_id 1 = SOT/VOS, 2 = MOT/MOTS."""
+
+    def __init__(self, sot_dataset=None, mot_dataset=None,
+                 samples_per_epoch: int = 200000, mode: str = "alter",
+                 mot_weight: float = 0.5):
+        assert mode in ("joint", "alter")
+        self.sot_dataset = sot_dataset
+        self.mot_dataset = mot_dataset
+        self.samples_per_epoch = samples_per_epoch
+        self.mode = mode
+        self.mot_weight = mot_weight
+        self.cur_task = 1  # alternating state, driven by the trainer
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def alter_task(self):
+        """Flip the active task (called by the trainer every alter_step iters,
+        reference trainer.py:454-460)."""
+        self.cur_task = 2 if self.cur_task == 1 else 1
+
+    def pull_item(self, index):
+        if self.mode == "joint":
+            task = 2 if random.random() < self.mot_weight else 1
+        else:
+            task = self.cur_task
+        ds = self.sot_dataset if task == 1 else self.mot_dataset
+        frames = ds.pull_item(index)
+        return frames, task

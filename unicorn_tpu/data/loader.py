@@ -1,0 +1,143 @@
+"""Batching data loader with background prefetch (host side).
+
+Replaces the reference's torch DataLoader + CUDA prefetcher stack
+(unicorn/data/dataloading.py:26-121, data_prefetcher.py:15-173): a simple
+thread-prefetched numpy batcher. Device transfer happens in the train loop
+via jax.device_put with the mesh sharding (parallel/mesh.shard_batch), which
+double-buffers naturally because dispatch is async.
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 31))
+
+
+class UniLoader:
+    """Iterates (images (B,2,H,W,3), targets (B,2,M,6), task_ids (B,)) batches
+    from an OmniDatasetPlus via a 2-frame transform.
+
+    The alternating-task protocol matters: all samples in one batch share the
+    same task (reference trainer alternates tasks every alter_step iters,
+    trainer.py:454-460); `alter_every` flips the task internally.
+    """
+
+    def __init__(self, dataset, transform, batch_size: int, input_size,
+                 alter_every: int = 1, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.input_size = tuple(input_size)
+        self.alter_every = alter_every
+        self.prefetch = prefetch
+        self._count = 0
+        self._rng = random.Random(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = None
+        self._stop = threading.Event()
+
+    def _make_batch(self):
+        imgs, tgts, tids = [], [], []
+        for _ in range(self.batch_size):
+            (frames, task) = self.dataset.pull_item(0)
+            flip = self._rng.random() < 0.5
+            f_imgs, f_tgts = [], []
+            for (img, res) in frames:
+                im_t, lab_t = self.transform(
+                    img, res, self.input_size, joint=True, flip=flip
+                )
+                f_imgs.append(im_t)
+                f_tgts.append(lab_t)
+            imgs.append(np.stack(f_imgs))
+            tgts.append(np.stack(f_tgts))
+            tids.append(task)
+        self._count += 1
+        if self.alter_every > 0 and self._count % self.alter_every == 0:
+            self.dataset.alter_task()
+        return (np.stack(imgs), np.stack(tgts),
+                np.asarray(tids, np.int32))
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                self._q.put(self._make_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def __iter__(self):
+        self.start()
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+
+class DetLoader:
+    """Detection batches: (images (B,H,W,3), labels (B,M,5))."""
+
+    def __init__(self, dataset, batch_size: int, prefetch: int = 2, seed: int = 0,
+                 shuffle: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+        self._rng = random.Random(seed)
+        self._order = list(range(len(dataset)))
+        self._pos = 0
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = None
+        self._stop = threading.Event()
+
+    def _next_index(self):
+        if self._pos == 0 and self.shuffle:
+            self._rng.shuffle(self._order)
+        idx = self._order[self._pos]
+        self._pos = (self._pos + 1) % len(self._order)
+        return idx
+
+    def _make_batch(self):
+        imgs, labels = [], []
+        for _ in range(self.batch_size):
+            img, lab, _, _ = self.dataset[self._next_index()]
+            imgs.append(img)
+            labels.append(lab)
+        return np.stack(imgs), np.stack(labels)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                self._q.put(self._make_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def __iter__(self):
+        self.start()
+        return self
+
+    def __next__(self):
+        return self._q.get()

@@ -1,0 +1,174 @@
+"""MOT evaluator: streaming per-frame inference + online association.
+
+Reference: unicorn/evaluators/mot_evaluator.py — `evaluate` (ByteTrack path,
+:100-245, with per-MOT17-video threshold/buffer overrides :160-181 and
+per-video txt writing :185-235) and `evaluate_omni` (QDTrack embedding path,
+:924-1107: per-frame interaction with the previous frame's stride-16 feature,
+embedding sampling at box centers).
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from ..tracker.byte_tracker import ByteTracker
+from ..tracker.qd_tracker import QuasiDenseEmbedTracker
+
+# per-video tuning used on MOT17 (mot_evaluator.py:160-181)
+MOT17_VIDEO_THRESH = {
+    "MOT17-05-FRCNN": 0.7, "MOT17-06-FRCNN": 0.65,
+    "MOT17-12-FRCNN": 0.7, "MOT17-14-FRCNN": 0.67,
+    "MOT20-06": 0.3, "MOT20-08": 0.3,
+}
+MOT17_VIDEO_BUFFER = {"MOT17-05-FRCNN": 14, "MOT17-13-FRCNN": 25}
+
+
+def write_mot_results(path, results):
+    """results: list of (frame_id, track_ids, tlwhs, scores) -> MOT txt."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for frame_id, tids, tlwhs, scores in results:
+            for tid, tlwh, score in zip(tids, tlwhs, scores):
+                x, y, w, h = tlwh
+                f.write(f"{frame_id},{tid},{x:.1f},{y:.1f},{w:.1f},{h:.1f},"
+                        f"{score:.2f},-1,-1,-1\n")
+
+
+class MOTEvaluator:
+    def __init__(self, exp=None, dataset=None, track_thresh=0.6,
+                 track_buffer=30, match_thresh=0.9, min_box_area=100):
+        self.exp = exp
+        self.dataset = dataset
+        self.track_thresh = track_thresh
+        self.track_buffer = track_buffer
+        self.match_thresh = match_thresh
+        self.min_box_area = min_box_area
+
+    # ------------------------------------------------------------------
+    # ByteTrack path (MOT17): detection-only per frame
+    # ------------------------------------------------------------------
+    def evaluate(self, step_fn, params, dataset=None, result_dir=None,
+                 max_frames=None):
+        """step_fn(params, frame (1,H,W,3)) -> (dets (max_out, 7), valid)
+        already on-device-postprocessed (boxes in letterbox coords).
+
+        Returns {video_name: [(frame_id, tids, tlwhs, scores)]} and writes
+        MOT txt files if result_dir given.
+        """
+        import jax.numpy as jnp
+
+        dataset = dataset or self.dataset
+        img_size = dataset.img_size
+        all_results = defaultdict(list)
+        tracker = None
+        cur_video = None
+        n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+        for i in range(n):
+            img, _, info, _ = dataset[i]
+            h, w, frame_id, video_id, file_name = info
+            video_name = file_name.split("/")[0]
+            if video_name != cur_video:
+                cur_video = video_name
+                thresh = MOT17_VIDEO_THRESH.get(video_name, self.track_thresh)
+                buf = MOT17_VIDEO_BUFFER.get(video_name, self.track_buffer)
+                tracker = ByteTracker(thresh, buf, self.match_thresh)
+            dets, valid = step_fn(params, jnp.asarray(img[None]))
+            dets = np.asarray(dets)[np.asarray(valid)]
+            scale = min(img_size[0] / float(h), img_size[1] / float(w))
+            online = tracker.update(dets[:, :4] / scale,
+                                    dets[:, 4] * dets[:, 5], dets[:, 6]) \
+                if len(dets) else tracker.update(np.zeros((0, 4)), np.zeros((0,)))
+            tlwhs, tids, scores = [], [], []
+            for t in online:
+                tlwh = t.tlwh
+                if tlwh[2] * tlwh[3] > self.min_box_area and \
+                        tlwh[2] / max(tlwh[3], 1e-6) <= 1.6:
+                    tlwhs.append(tuple(tlwh))
+                    tids.append(t.track_id)
+                    scores.append(t.score)
+            all_results[video_name].append((frame_id, tids, tlwhs, scores))
+        if result_dir:
+            for vname, res in all_results.items():
+                write_mot_results(os.path.join(result_dir, f"{vname}.txt"), res)
+        return dict(all_results)
+
+    # ------------------------------------------------------------------
+    # QDTrack embedding path (BDD / MOT17-omni)
+    # ------------------------------------------------------------------
+    def evaluate_omni(self, whole_fn, embed_fn, params, dataset=None,
+                      qd_params=None, max_frames=None):
+        """Embedding association (mot_evaluator.py:924-1107).
+
+        whole_fn(params, frame) -> (dets (max_out, 7), valid, feat_s16)
+        embed_fn(params, feat_prev, feat_cur, centers (M, 2)) -> (M, C)
+          [interaction + upsample + grid-sample at box centers]
+        """
+        import jax.numpy as jnp
+
+        dataset = dataset or self.dataset
+        img_size = dataset.img_size
+        qd_params = qd_params or {}
+        all_results = defaultdict(list)
+        tracker = None
+        cur_video = None
+        feat_prev = None
+        n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+        for i in range(n):
+            img, _, info, _ = dataset[i]
+            h, w, frame_id, video_id, file_name = info
+            video_name = file_name.split("/")[0]
+            if video_name != cur_video:
+                cur_video = video_name
+                tracker = QuasiDenseEmbedTracker(**qd_params)
+                feat_prev = None
+            frame = jnp.asarray(img[None])
+            dets, valid, feat_cur = whole_fn(params, frame)
+            dets = np.asarray(dets)[np.asarray(valid)]
+            if feat_prev is None:
+                feat_prev = feat_cur
+            if len(dets):
+                centers = (dets[:, :2] + dets[:, 2:4]) / 2  # letterbox coords
+                embeds = np.asarray(embed_fn(params, feat_prev, feat_cur,
+                                             jnp.asarray(centers)))
+                scale = min(img_size[0] / float(h), img_size[1] / float(w))
+                bboxes5 = np.concatenate(
+                    [dets[:, :4] / scale, (dets[:, 4] * dets[:, 5])[:, None]], 1
+                )
+                bboxes, labels, ids = tracker.match(
+                    bboxes5, dets[:, 6].astype(int), embeds, frame_id
+                )
+                keep = ids > -1
+                tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1])
+                         for b in bboxes[keep]]
+                all_results[video_name].append(
+                    (frame_id, ids[keep].tolist(), tlwhs,
+                     bboxes[keep][:, 4].tolist())
+                )
+            else:
+                all_results[video_name].append((frame_id, [], [], []))
+            feat_prev = feat_cur
+        return dict(all_results)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def score(results, gts):
+        """CLEAR-MOT scoring: results/gts are {video: [(frame_id, ids,
+        tlwhs(, scores))]} with gt tlwhs in image coords."""
+        from .mot_metrics import MOTAccumulator, aggregate_metrics
+
+        accs = []
+        for video, frames in results.items():
+            if video not in gts:
+                continue
+            gt_by_frame = {f[0]: f for f in gts[video]}
+            acc = MOTAccumulator()
+            for frame in frames:
+                frame_id, tids, tlwhs = frame[0], frame[1], frame[2]
+                g = gt_by_frame.get(frame_id, (frame_id, [], []))
+                g_boxes = [(x, y, x + w, y + h) for x, y, w, h in g[2]]
+                h_boxes = [(x, y, x + w, y + h) for x, y, w, h in tlwhs]
+                acc.update(g[1], g_boxes, tids, h_boxes)
+            accs.append(acc)
+        return aggregate_metrics(accs) if accs else {}

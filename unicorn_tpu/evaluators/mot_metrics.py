@@ -1,0 +1,147 @@
+"""CLEAR-MOT + IDF1 metrics (pure numpy; the environment has no motmetrics).
+
+Replaces the reference's motmetrics accumulators
+(unicorn/evaluators/evaluation.py:8-200). Per-frame greedy-consistent
+matching: existing gt<->hyp correspondences persist while IoU >= 0.5, new
+correspondences via Hungarian on IoU. Metrics: MOTA, MOTP, IDF1, ID switches,
+FP, FN, MT/ML fractions.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from ..utils.boxes import pairwise_iou_np
+
+
+class MOTAccumulator:
+    """Accumulates one video's frames. Boxes are xyxy."""
+
+    def __init__(self, iou_thr: float = 0.5):
+        self.iou_thr = iou_thr
+        self.last_match: dict = {}     # gt_id -> hyp_id from previous step
+        self.num_gt = 0
+        self.num_fp = 0
+        self.num_fn = 0
+        self.num_idsw = 0
+        self.num_matches = 0
+        self.sum_iou = 0.0
+        self.gt_frames = defaultdict(int)      # gt_id -> #frames present
+        self.gt_tracked = defaultdict(int)     # gt_id -> #frames matched
+        # ID measures: co-occurrence counts for IDF1 (global bipartite)
+        self.id_counts = defaultdict(int)      # (gt_id, hyp_id) -> matches
+        self.gt_total = defaultdict(int)
+        self.hyp_total = defaultdict(int)
+
+    def update(self, gt_ids, gt_boxes, hyp_ids, hyp_boxes):
+        gt_ids = list(gt_ids)
+        hyp_ids = list(hyp_ids)
+        G, H = len(gt_ids), len(hyp_ids)
+        self.num_gt += G
+        for g in gt_ids:
+            self.gt_frames[g] += 1
+            self.gt_total[g] += 1
+        for h in hyp_ids:
+            self.hyp_total[h] += 1
+
+        iou = pairwise_iou_np(
+            np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+            np.asarray(hyp_boxes, np.float32).reshape(-1, 4),
+        ) if G and H else np.zeros((G, H), np.float32)
+
+        matched_g, matched_h = set(), set()
+        matches = {}
+        # 1) keep previous correspondences if still valid
+        for gi, g in enumerate(gt_ids):
+            h_prev = self.last_match.get(g)
+            if h_prev is not None and h_prev in hyp_ids:
+                hi = hyp_ids.index(h_prev)
+                if iou[gi, hi] >= self.iou_thr:
+                    matches[gi] = hi
+                    matched_g.add(gi)
+                    matched_h.add(hi)
+        # 2) Hungarian on the rest (maximize IoU)
+        rem_g = [gi for gi in range(G) if gi not in matched_g]
+        rem_h = [hi for hi in range(H) if hi not in matched_h]
+        if rem_g and rem_h:
+            sub = iou[np.ix_(rem_g, rem_h)]
+            cost = 1.0 - sub
+            rows, cols = linear_sum_assignment(cost)
+            for r, c in zip(rows, cols):
+                if sub[r, c] >= self.iou_thr:
+                    matches[rem_g[r]] = rem_h[c]
+                    matched_g.add(rem_g[r])
+                    matched_h.add(rem_h[c])
+
+        new_last = {}
+        for gi, hi in matches.items():
+            g, h = gt_ids[gi], hyp_ids[hi]
+            prev = self.last_match.get(g)
+            if prev is not None and prev != h:
+                self.num_idsw += 1
+            new_last[g] = h
+            self.num_matches += 1
+            self.sum_iou += float(iou[gi, hi])
+            self.gt_tracked[g] += 1
+            self.id_counts[(g, h)] += 1
+        # carry forward matches for gts absent this frame
+        for g, h in self.last_match.items():
+            if g not in new_last:
+                new_last[g] = h
+        self.last_match = new_last
+        self.num_fn += G - len(matches)
+        self.num_fp += H - len(matches)
+
+    def metrics(self) -> dict:
+        mota = 1.0 - (self.num_fn + self.num_fp + self.num_idsw) / max(self.num_gt, 1)
+        motp = self.sum_iou / max(self.num_matches, 1)
+        # IDF1 via optimal global gt<->hyp bipartite matching on id_counts
+        gt_ids = sorted(self.gt_total.keys())
+        hyp_ids = sorted(self.hyp_total.keys())
+        idtp = 0
+        if gt_ids and hyp_ids:
+            g_index = {g: i for i, g in enumerate(gt_ids)}
+            h_index = {h: i for i, h in enumerate(hyp_ids)}
+            cnt = np.zeros((len(gt_ids), len(hyp_ids)))
+            for (g, h), c in self.id_counts.items():
+                cnt[g_index[g], h_index[h]] = c
+            rows, cols = linear_sum_assignment(-cnt)
+            idtp = int(cnt[rows, cols].sum())
+        total_gt = sum(self.gt_total.values())
+        total_hyp = sum(self.hyp_total.values())
+        idf1 = 2.0 * idtp / max(total_gt + total_hyp, 1)
+        # mostly tracked / lost
+        mt = sum(1 for g, n in self.gt_frames.items()
+                 if self.gt_tracked[g] / n >= 0.8)
+        ml = sum(1 for g, n in self.gt_frames.items()
+                 if self.gt_tracked[g] / n <= 0.2)
+        n_traj = max(len(self.gt_frames), 1)
+        return {
+            "MOTA": mota, "MOTP": motp, "IDF1": idf1,
+            "IDsw": self.num_idsw, "FP": self.num_fp, "FN": self.num_fn,
+            "MT": mt / n_traj, "ML": ml / n_traj, "num_gt": self.num_gt,
+        }
+
+
+def aggregate_metrics(accumulators: list[MOTAccumulator]) -> dict:
+    """Combine per-video accumulators into overall CLEAR-MOT numbers."""
+    tot_gt = sum(a.num_gt for a in accumulators)
+    tot_fn = sum(a.num_fn for a in accumulators)
+    tot_fp = sum(a.num_fp for a in accumulators)
+    tot_idsw = sum(a.num_idsw for a in accumulators)
+    tot_iou = sum(a.sum_iou for a in accumulators)
+    tot_m = sum(a.num_matches for a in accumulators)
+    idf1s = [a.metrics() for a in accumulators]
+    total_gt_f = sum(sum(a.gt_total.values()) for a in accumulators)
+    total_hyp_f = sum(sum(a.hyp_total.values()) for a in accumulators)
+    # recompute global IDF1 as count-weighted combination of per-video idtp
+    idtp = sum(m["IDF1"] * (sum(a.gt_total.values()) + sum(a.hyp_total.values())) / 2
+               for m, a in zip(idf1s, accumulators))
+    return {
+        "MOTA": 1.0 - (tot_fn + tot_fp + tot_idsw) / max(tot_gt, 1),
+        "MOTP": tot_iou / max(tot_m, 1),
+        "IDF1": 2.0 * idtp / max(total_gt_f + total_hyp_f, 1),
+        "IDsw": tot_idsw, "FP": tot_fp, "FN": tot_fn, "num_gt": tot_gt,
+    }

@@ -1,0 +1,97 @@
+"""On-device fixed-shape NMS + detection postprocess.
+
+TPU-native replacement for the reference's host-side torchvision NMS
+(unicorn/utils/boxes.py:33-79): confidence filter, class-aware NMS (via the
+coordinate-offset trick), and top-K selection all run inside jit with static
+shapes, so only a tiny (max_out, 7) tensor crosses the host boundary — the
+device->host link is the bottleneck of the online tracking loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _iou_matrix_xyxy(boxes):
+    """(N, 4) xyxy -> (N, N) IoU."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    return inter / (areas[:, None] + areas[None, :] - inter + 1e-12)
+
+
+def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int):
+    """Greedy NMS over the top-n_cand scoring boxes, static shapes.
+
+    boxes (A, 4) xyxy, scores (A,). Returns (keep_mask (n_cand,), order
+    (n_cand,) indices into the input). Matches torchvision semantics
+    (suppress strictly-greater IoU, descending score order).
+    """
+    top_scores, order = jax.lax.top_k(scores, n_cand)
+    cand = boxes[order]
+    iou = _iou_matrix_xyxy(cand)
+    sup_mat = iou > iou_threshold  # (n, n)
+
+    def body(i, suppressed):
+        keep_i = jnp.logical_not(suppressed[i])
+        row = sup_mat[i] & (jnp.arange(n_cand) > i) & keep_i
+        return suppressed | row
+
+    suppressed = jax.lax.fori_loop(0, n_cand, body, jnp.zeros((n_cand,), bool))
+    keep = (~suppressed) & (top_scores > -jnp.inf)
+    return keep, order
+
+
+@partial(jax.jit, static_argnames=("num_classes", "class_agnostic", "n_cand",
+                                   "max_out"))
+def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
+                       nms_thre: float = 0.45, class_agnostic: bool = False,
+                       n_cand: int = 512, max_out: int = 128):
+    """Full decode-side postprocess on device (boxes.py:33-79 parity).
+
+    prediction: (B, A, 5+C) [cxcywh, obj_sig, cls_sig...].
+    Returns dets (B, max_out, 7) [x1,y1,x2,y2,obj,cls_conf,cls_id] sorted by
+    score, and valid (B, max_out) bool. Invalid rows are zero.
+    """
+
+    def one(img_pred):
+        boxes = img_pred[:, :4]
+        xy1 = boxes[:, :2] - boxes[:, 2:4] / 2
+        xy2 = boxes[:, :2] + boxes[:, 2:4] / 2
+        boxes_xyxy = jnp.concatenate([xy1, xy2], axis=1)
+        obj = img_pred[:, 4]
+        cls_scores = img_pred[:, 5: 5 + num_classes]
+        cls_conf = jnp.max(cls_scores, axis=1)
+        cls_id = jnp.argmax(cls_scores, axis=1).astype(jnp.float32)
+        score = obj * cls_conf
+        valid = score >= conf_thre
+        score_m = jnp.where(valid, score, -jnp.inf)
+
+        if class_agnostic:
+            nms_boxes = boxes_xyxy
+        else:
+            max_coord = jnp.max(jnp.where(valid[:, None], boxes_xyxy, 0.0))
+            nms_boxes = boxes_xyxy + cls_id[:, None] * (max_coord + 1.0)
+
+        keep, order = nms_fixed(nms_boxes, score_m, nms_thre, n_cand)
+        keep = keep & (score_m[order] > -jnp.inf)
+        # compact kept rows to the front, preserving score order
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        dst = jnp.where(keep, rank, n_cand)  # discarded -> scratch slot
+        rows = jnp.stack([
+            boxes_xyxy[order][:, 0], boxes_xyxy[order][:, 1],
+            boxes_xyxy[order][:, 2], boxes_xyxy[order][:, 3],
+            obj[order], cls_conf[order], cls_id[order],
+        ], axis=1)
+        out = jnp.zeros((n_cand + 1, 7), rows.dtype).at[dst].set(rows)[:max_out]
+        n_keep = jnp.sum(keep.astype(jnp.int32))
+        valid_out = jnp.arange(max_out) < n_keep
+        return out, valid_out
+
+    return jax.vmap(one)(prediction)
