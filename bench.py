@@ -58,32 +58,37 @@ def main():
             dec, num_classes=1, conf_thre=0.1, nms_thre=0.8,
             class_agnostic=True, n_cand=512, max_out=128,
         )
-        return dets[0], valid[0]
+        # pack dets + validity into ONE tensor -> single D2H per frame
+        return jnp.concatenate(
+            [dets[0], valid[0][:, None].astype(dets.dtype)], axis=1)
 
     tracker = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
 
-    # warmup / compile
-    d, v = step(params, frames[0])
-    jax.block_until_ready((d, v))
+    # warmup: compile AND force real execution + first host fetch (the first
+    # fetch pays a large one-time runtime warmup on this link)
+    _ = np.asarray(step(params, frames[0]))
+    _ = np.asarray(step(params, frames[1]))
 
-    def associate(dets_np, valid_np):
-        dets_np = dets_np[valid_np]
-        if len(dets_np):
-            tracker.update(dets_np[:, :4], dets_np[:, 4] * dets_np[:, 5],
-                           dets_np[:, 6])
+    def associate(packed_np):
+        d = packed_np[packed_np[:, 7] > 0.5]
+        if len(d):
+            tracker.update(d[:, :4], d[:, 4] * d[:, 5], d[:, 6])
 
-    n_frames = 50
-    depth = 2  # frames in flight
+    n_frames = 100
+    depth = 3  # frames in flight; D2H copies start async per frame
     inflight = []
     t0 = time.perf_counter()
     for i in range(n_frames):
-        inflight.append(step(params, frames[i % len(frames)]))
+        out = step(params, frames[i % len(frames)])
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        inflight.append(out)
         if len(inflight) >= depth:
-            d, v = inflight.pop(0)
-            associate(np.asarray(d), np.asarray(v))
+            associate(np.asarray(inflight.pop(0)))
     while inflight:
-        d, v = inflight.pop(0)
-        associate(np.asarray(d), np.asarray(v))
+        associate(np.asarray(inflight.pop(0)))
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

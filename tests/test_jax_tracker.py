@@ -1,0 +1,89 @@
+"""On-device ByteTrack vs host ByteTrack on a synthetic video."""
+import jax.numpy as jnp
+import numpy as np
+
+from unicorn_tpu.tracker.byte_tracker import BaseTrack, ByteTracker
+from unicorn_tpu.tracker.jax_tracker import init_state, tracker_step
+
+
+def run_device_tracker(frames_dets, max_tracks=32, max_dets=16):
+    ts = init_state(max_tracks)
+    outputs = []
+    for dets in frames_dets:
+        D = len(dets)
+        padded = np.zeros((max_dets, 5), np.float32)
+        padded[:D] = dets
+        valid = np.zeros((max_dets,), bool)
+        valid[:D] = True
+        ts, out, out_valid = tracker_step(ts, jnp.asarray(padded),
+                                          jnp.asarray(valid))
+        out = np.asarray(out)[np.asarray(out_valid)]
+        outputs.append(out)
+    return outputs
+
+
+def make_dets(n_frames=25, n_obj=3, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(100, 400, (n_obj, 2))
+    vel = rng.uniform(-3, 3, (n_obj, 2))
+    size = rng.uniform(40, 60, (n_obj, 2))
+    frames = []
+    for t in range(n_frames):
+        b = np.concatenate([pos + t * vel, pos + t * vel + size], 1)
+        dets = np.concatenate([b, np.full((n_obj, 1), 0.9)], 1)
+        frames.append(dets.astype(np.float32))
+    return frames
+
+
+def test_device_tracker_stable_ids():
+    frames = make_dets()
+    outs = run_device_tracker(frames)
+    # frame 0: all activated (frame_id == 1 special case)
+    assert len(outs[0]) == 3
+    ids_first = sorted(outs[0][:, 5].tolist())
+    for out in outs[1:]:
+        assert sorted(out[:, 5].tolist()) == ids_first
+        assert len(out) == 3
+
+
+def test_device_tracker_matches_host_ids():
+    frames = make_dets(seed=3)
+    outs_dev = run_device_tracker(frames)
+
+    BaseTrack.reset_id()
+    host = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
+    for t, dets in enumerate(frames):
+        online = host.update(dets[:, :4], dets[:, 4])
+        host_ids = sorted(tr.track_id for tr in online)
+        dev_ids = sorted(outs_dev[t][:, 5].astype(int).tolist())
+        assert host_ids == dev_ids, f"frame {t}: {host_ids} vs {dev_ids}"
+
+
+def test_device_tracker_occlusion_recovery():
+    """Object disappears for 3 frames, then reappears -> same id (lost->refind)."""
+    frames = make_dets(n_frames=20, n_obj=2, seed=1)
+    drop = set(range(8, 11))
+    seq = []
+    for t, dets in enumerate(frames):
+        seq.append(dets[1:] if t in drop else dets)
+    outs = run_device_tracker(seq)
+    ids_before = sorted(outs[7][:, 5].astype(int).tolist())
+    assert len(outs[8]) == 1  # one object visible
+    ids_after = sorted(outs[12][:, 5].astype(int).tolist())
+    assert ids_after == ids_before
+
+
+def test_device_tracker_new_object_midway():
+    frames = make_dets(n_frames=15, n_obj=2, seed=2)
+    extra = make_dets(n_frames=15, n_obj=1, seed=5)
+    seq = []
+    for t in range(15):
+        seq.append(frames[t] if t < 6 else
+                   np.concatenate([frames[t], extra[t]], 0))
+    outs = run_device_tracker(seq)
+    assert len(outs[4]) == 2
+    # new object becomes activated after its second frame
+    assert len(outs[8]) == 3
+    ids_old = set(outs[4][:, 5].astype(int))
+    ids_now = set(outs[8][:, 5].astype(int))
+    assert ids_old < ids_now

@@ -1,0 +1,54 @@
+"""Streaming pipeline tests: fused frame/chunk stepping and multi-stream
+sharding over the 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unicorn_tpu.models.unicorn import Unicorn
+from unicorn_tpu.drivers.stream import MultiStreamMOT, StreamingMOTPipeline
+from unicorn_tpu.parallel.mesh import make_mesh
+
+H = W = 64
+
+
+def _tiny_model_params():
+    model = Unicorn(num_classes=1, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame, method=Unicorn.init_all)
+    return model, params
+
+
+def test_streaming_pipeline_frame_and_chunk():
+    model, params = _tiny_model_params()
+    pipe = StreamingMOTPipeline(model, params, input_size=(H, W),
+                                conf_thre=0.01, max_dets=16, max_tracks=16,
+                                track_thresh=0.05, chunk=4)
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    out1 = pipe.push_frame(frame)
+    assert out1.shape == (16, 7)
+    # chunk mode continues from the same carry
+    frames = jnp.asarray(rng.rand(4, H, W, 3).astype(np.float32) * 255)
+    outs = pipe.run_chunk(frames)
+    assert outs.shape == (4, 16, 7)
+    assert int(pipe.ts.frame_id) == 5
+    assert np.all(np.isfinite(np.asarray(outs)))
+
+
+def test_multistream_sharded():
+    model, params = _tiny_model_params()
+    mesh = make_mesh((8,), ("stream",))
+    ms = MultiStreamMOT(model, params, n_streams=8, mesh=mesh,
+                        input_size=(H, W), conf_thre=0.01, max_dets=8,
+                        max_tracks=8, track_thresh=0.05)
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.rand(8, H, W, 3).astype(np.float32) * 255)
+    with mesh:
+        outs = ms.tick(frames)
+        outs2 = ms.tick(frames)
+    assert outs.shape == (8, 8, 7)
+    assert np.all(np.asarray(ms.states.frame_id) == 2)
+    assert np.all(np.isfinite(np.asarray(outs2)))

@@ -1,0 +1,160 @@
+"""MOT streaming drivers: ByteTrack (detection-only) and QDTrack (embedding)
+association.
+
+Reference call stacks: SURVEY.md §3.2 (tools/track.py ByteTrack path) and
+§3.4 (track_omni embedding path, mot_evaluator.py:815-847). TPU design:
+per-frame jitted step keeps everything on device; for the embedding path the
+previous frame's stride-16 feature is carry state on device and instance
+embeddings are grid-sampled at box centers inside the jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.preproc import letterbox
+from ..losses.uni import sample_instance_embeddings
+from ..models.heads import decode_for_inference
+from ..models.unicorn import Unicorn
+from ..ops.nms import postprocess_device
+from ..tracker.byte_tracker import ByteTracker
+from ..tracker.qd_tracker import QuasiDenseEmbedTracker
+
+
+class MOTDriver:
+    """ByteTrack path: detection per frame, motion-only association."""
+
+    def __init__(self, model: Unicorn, params, input_size=(800, 1280),
+                 num_classes: int = 1, conf_thre: float = 0.01,
+                 nms_thre: float = 0.65, track_thresh: float = 0.6,
+                 track_buffer: int = 30, match_thresh: float = 0.9,
+                 max_out: int = 128):
+        import jax
+        import jax.numpy as jnp
+
+        self.input_size = tuple(input_size)
+        self.params = params
+        self._jnp = jnp
+
+        def step(params, frame):
+            raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
+            dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+            return postprocess_device(
+                dec, num_classes=num_classes, conf_thre=conf_thre,
+                nms_thre=nms_thre, n_cand=512, max_out=max_out,
+            )
+
+        self._step = jax.jit(step)
+        self.tracker = ByteTracker(track_thresh, track_buffer, match_thresh)
+
+    def reset(self, **kw):
+        self.tracker = ByteTracker(**{**dict(track_thresh=0.6,
+                                             track_buffer=30,
+                                             match_thresh=0.9), **kw})
+
+    def update(self, image):
+        """image: HWC uint8. Returns list of active tracks (STrack)."""
+        img, r = letterbox(image, self.input_size)
+        dets, valid = self._step(self.params, self._jnp.asarray(img[None]))
+        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        if len(dets) == 0:
+            return self.tracker.update(np.zeros((0, 4)), np.zeros((0,)))
+        return self.tracker.update(dets[:, :4] / r,
+                                   dets[:, 4] * dets[:, 5], dets[:, 6])
+
+
+class MOTOmniDriver:
+    """QDTrack path: detection + embedding association
+    (mot_evaluator.py:702-1107)."""
+
+    def __init__(self, model: Unicorn, params, input_size=(800, 1280),
+                 num_classes: int = 1, conf_thre: float = 0.01,
+                 nms_thre: float = 0.65, max_out: int = 128,
+                 qd_params: dict | None = None, with_mask: bool = False,
+                 mask_thres: float = 0.3, d_rate: int = 4):
+        import jax
+        import jax.numpy as jnp
+
+        self.input_size = tuple(input_size)
+        self.params = params
+        self._jnp = jnp
+        self.with_mask = with_mask
+        self.mask_thres = mask_thres
+
+        def step(params, frame, feat_prev, has_prev):
+            """Returns (dets, valid, embeds, feat_cur[, masks])."""
+            from ..models.heads import flatten_raw_outputs
+
+            fpn_outs, feat_cur = model.apply(params, frame,
+                                             method=Unicorn.forward_backbone)
+            priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype)
+                           for f in fpn_outs)
+            raw = model.apply(params, fpn_outs, priors,
+                              method=Unicorn.forward_head)
+            dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+            dets, valid = postprocess_device(
+                dec, num_classes=num_classes, conf_thre=conf_thre,
+                nms_thre=nms_thre, n_cand=512, max_out=max_out,
+            )
+            # interaction vs previous frame (first frame: itself)
+            fp = jnp.where(has_prev, feat_prev, feat_cur)
+            _, new_cur = model.apply(
+                params, fp.astype(jnp.float32), feat_cur.astype(jnp.float32),
+                method=Unicorn.forward_interaction)
+            emb_map = model.apply(params, new_cur,
+                                  method=Unicorn.forward_upsample)[0]
+            centers = (dets[0, :, :2] + dets[0, :, 2:4]) / 2.0
+            embeds = sample_instance_embeddings(
+                emb_map.astype(jnp.float32), centers)
+            outs = [dets[0], valid[0], embeds, feat_cur]
+            if with_mask:
+                flat = flatten_raw_outputs(raw, "mot")
+                mask_feats, up_mask, _ = model.apply(
+                    params, fpn_outs, method=Unicorn.forward_mask_branch)
+                outs.append((flat["ctrl"][0], mask_feats[0],
+                             None if up_mask is None else up_mask[0]))
+            return tuple(outs)
+
+        self._step = jax.jit(step)
+        self.qd_params = qd_params or {}
+        self.tracker = QuasiDenseEmbedTracker(**self.qd_params)
+        self.feat_prev = None
+        self.frame_id = 0
+        self._model = model
+
+    def reset(self):
+        self.tracker = QuasiDenseEmbedTracker(**self.qd_params)
+        self.feat_prev = None
+        self.frame_id = 0
+
+    def update(self, image):
+        """Returns (bboxes (N, 5) image coords, labels, track_ids)."""
+        img, r = letterbox(image, self.input_size)
+        frame = self._jnp.asarray(img[None])
+        if self.feat_prev is None:
+            # shape-compatible zero feature; has_prev=False selects feat_cur
+            H, W = self.input_size
+            c16 = 384 if len(self._model.in_channels) == 3 else 384
+            self.feat_prev = self._jnp.zeros(
+                (1, H // 16, W // 16, self._model.in_channels[1]),
+                self._jnp.bfloat16 if self._model.dtype == self._jnp.bfloat16
+                else self._jnp.float32)
+            has_prev = self._jnp.asarray(False)
+        else:
+            has_prev = self._jnp.asarray(True)
+        out = self._step(self.params, frame, self.feat_prev, has_prev)
+        dets, valid, embeds, feat_cur = out[:4]
+        self.feat_prev = feat_cur
+        self.frame_id += 1
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        embeds = np.asarray(embeds)
+        k = valid.sum()
+        if k == 0:
+            return np.zeros((0, 5)), np.zeros((0,), int), np.zeros((0,), int)
+        d = dets[valid]
+        bboxes5 = np.concatenate(
+            [d[:, :4] / r, (d[:, 4] * d[:, 5])[:, None]], axis=1)
+        bboxes, labels, ids = self.tracker.match(
+            bboxes5, d[:, 6].astype(int), embeds[valid], self.frame_id)
+        keep = ids > -1
+        return bboxes[keep], labels[keep], ids[keep]

@@ -1,0 +1,119 @@
+"""SOT inference driver: reference-frame caching + per-frame propagation.
+
+Reference: external/lib/test/tracker/unicorn_sot.py:39-139. TPU re-design:
+  * frame 0 runs one jitted `init_fn` (backbone + label-map rasterization);
+    its stride-16 feature and stride-8 label map stay resident on device as
+    carry state (the reference caches `out_dict_pre` host-side).
+  * every later frame runs one jitted `track_fn`: backbone -> interaction with
+    the cached reference feature -> embeddings -> streaming-softmax label
+    propagation (ops/correlation.py) -> SOT head with the propagated prior
+    pyramid -> decode -> on-device NMS -> top-K dets. Only (K, 7) detections
+    cross the host link.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..data.preproc import letterbox
+from ..models.heads import decode_for_inference
+from ..models.unicorn import Unicorn
+from ..ops.correlation import box_label_map, resize_bilinear_torch
+from ..ops.nms import postprocess_device
+from ..utils.boxes import xyxy2xywh
+
+
+class SOTDriver:
+    def __init__(self, model: Unicorn, params, input_size=(800, 1280),
+                 conf_thre: float = 0.001, nms_thre: float = 0.65,
+                 max_inst: int = 3):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.input_size = tuple(input_size)
+        self.max_inst = max_inst
+        H, W = self.input_size
+
+        def init_fn(params, frame, init_box_cxcywh):
+            """frame (1, H, W, 3); init_box (1, 4) cxcywh in letterbox coords.
+            Returns (feat16_ref, lbs_ref (1, 1, H8*W8))."""
+            feat16 = model.apply(params, frame, run_fpn=False,
+                                 method=Unicorn.forward_backbone)
+            lbs_full = box_label_map(init_box_cxcywh, H, W)[..., None]
+            lbs = resize_bilinear_torch(lbs_full, H // 8, W // 8)
+            return feat16, lbs.reshape(1, 1, (H // 8) * (W // 8))
+
+        def track_fn(params, feat_ref, lbs_ref, frame):
+            from ..ops.correlation import correlation_propagate
+
+            fpn_outs, feat_cur = model.apply(params, frame,
+                                             method=Unicorn.forward_backbone)
+            new_ref, new_cur = model.apply(
+                params, feat_ref.astype(jnp.float32),
+                feat_cur.astype(jnp.float32),
+                method=Unicorn.forward_interaction)
+            emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
+            emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
+            b, h8, w8, c = emb_cur.shape
+            prior = correlation_propagate(
+                emb_ref.reshape(b, h8 * w8, c).astype(jnp.float32),
+                emb_cur.reshape(b, h8 * w8, c).astype(jnp.float32),
+                lbs_ref,
+            ).reshape(b, h8, w8, 1)
+            priors = (
+                prior,
+                resize_bilinear_torch(prior, h8 // 2, w8 // 2),
+                resize_bilinear_torch(prior, h8 // 4, w8 // 4),
+            )
+            priors = tuple(p.astype(f.dtype) for p, f in zip(priors, fpn_outs))
+            raw = model.apply(params, fpn_outs, priors,
+                              method=Unicorn.forward_head)
+            dec = decode_for_inference(raw, (8, 16, 32), mode="sot")
+            dets, valid = postprocess_device(
+                dec, num_classes=1, conf_thre=conf_thre, nms_thre=nms_thre,
+                class_agnostic=True, n_cand=256, max_out=max_inst,
+            )
+            return dets[0], valid[0]
+
+        conf_thre_ = conf_thre
+        nms_thre_ = nms_thre
+        self._init_fn = jax.jit(init_fn)
+        self._track_fn = jax.jit(track_fn)
+        self._jnp = jnp
+        self.state = None
+        self.feat_ref = None
+        self.lbs_ref = None
+        self.frame_id = 0
+
+    def _preproc(self, image):
+        img, r = letterbox(image, self.input_size)
+        return self._jnp.asarray(img[None]), r
+
+    def initialize(self, image, init_bbox_xywh):
+        """image: HWC uint8 BGR; init_bbox: [x, y, w, h] in image coords."""
+        self.frame_id = 0
+        frame, r = self._preproc(image)
+        x, y, w, h = init_bbox_xywh
+        box = np.array([[(x + w / 2) * r, (y + h / 2) * r, w * r, h * r]],
+                       np.float32)
+        self.feat_ref, self.lbs_ref = self._init_fn(
+            self.params, frame, self._jnp.asarray(box))
+        self.state = list(init_bbox_xywh)
+
+    def track(self, image):
+        """Returns {"target_bbox": [x, y, w, h]} in original image coords."""
+        self.frame_id += 1
+        frame, r = self._preproc(image)
+        dets, valid = self._track_fn(self.params, self.feat_ref,
+                                     self.lbs_ref, frame)
+        dets = np.asarray(dets)[np.asarray(valid)]
+        if len(dets):
+            boxes = dets[:, :4]
+            H, W = self.input_size
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, W)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, H)
+            best = boxes[0] / r
+            self.state = [float(best[0]), float(best[1]),
+                          float(best[2] - best[0]), float(best[3] - best[1])]
+        return {"target_bbox": list(self.state)}

@@ -1,0 +1,135 @@
+"""Fully on-device streaming MOT pipeline + multi-stream serving.
+
+The BASELINE.json north-star driver: video frames stream through
+backbone -> head -> decode -> NMS -> ByteTrack association with the tracker
+state resident in HBM as a jax carry. Nothing crosses the host link per frame;
+track outputs are fetched in periodic batches (or per-chunk via lax.scan).
+
+Multi-stream serving shards independent videos across chips over a "stream"
+mesh axis (SURVEY.md §2.11: the reference's inference distribution is
+embarrassingly parallel over sequences; here it is one pjit program).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..models.heads import decode_for_inference
+from ..models.unicorn import Unicorn
+from ..ops.nms import postprocess_device
+from ..tracker.jax_tracker import TrackState, init_state, tracker_step
+
+
+class StreamingMOTPipeline:
+    def __init__(self, model: Unicorn, params, input_size=(800, 1280),
+                 num_classes: int = 1, conf_thre: float = 0.1,
+                 nms_thre: float = 0.8, max_dets: int = 64,
+                 max_tracks: int = 128, track_thresh: float = 0.6,
+                 match_thresh: float = 0.9, chunk: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        self.input_size = tuple(input_size)
+        self.params = params
+        self.max_tracks = max_tracks
+        self.chunk = chunk
+        self._jnp = jnp
+
+        def detect(params, frame):
+            raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
+            dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+            dets, valid = postprocess_device(
+                dec, num_classes=num_classes, conf_thre=conf_thre,
+                nms_thre=nms_thre, class_agnostic=(num_classes == 1),
+                n_cand=256, max_out=max_dets,
+            )
+            d = dets[0]
+            dets5 = jnp.concatenate(
+                [d[:, :4], (d[:, 4] * d[:, 5])[:, None]], axis=1)
+            return dets5, valid[0]
+
+        def frame_step(params, ts, frame):
+            dets5, valid = detect(params, frame)
+            ts, out, out_valid = tracker_step(
+                ts, dets5, valid, track_thresh=track_thresh,
+                match_thresh=match_thresh)
+            packed = jnp.concatenate(
+                [out, out_valid[:, None].astype(out.dtype)], axis=1)
+            return ts, packed
+
+        def chunk_step(params, ts, frames):
+            """frames (N, H, W, 3): scan N frames in one XLA program."""
+            def body(ts, frame):
+                return frame_step(params, ts, frame[None])
+
+            ts, outs = jax.lax.scan(body, ts, frames)
+            return ts, outs  # (N, T, 7)
+
+        self._frame_step_raw = frame_step
+        self._frame_step = jax.jit(frame_step)
+        self._chunk_step = jax.jit(chunk_step)
+        self.ts = init_state(max_tracks)
+
+    def reset(self):
+        self.ts = init_state(self.max_tracks)
+
+    def push_frame(self, frame_device):
+        """One frame (1, H, W, 3) already on device. Returns the device-held
+        packed output (T, 7) [x1,y1,x2,y2,score,id,valid] WITHOUT fetching."""
+        self.ts, packed = self._frame_step(self.params, self.ts, frame_device)
+        return packed
+
+    def run_chunk(self, frames_device):
+        """frames (N, H, W, 3) on device -> (N, T, 7) device output."""
+        self.ts, outs = self._chunk_step(self.params, self.ts, frames_device)
+        return outs
+
+
+class MultiStreamMOT:
+    """S independent streams, one tracker state each, sharded over a mesh.
+
+    frames (S, H, W, 3) arrive per tick; states and frames shard along
+    "stream". XLA runs every stream's full pipeline in parallel over ICI-
+    connected chips with zero cross-chip traffic (states never mix).
+    """
+
+    def __init__(self, model: Unicorn, params, n_streams: int, mesh=None,
+                 axis: str = "stream", **kw):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pipe = StreamingMOTPipeline(model, params, **kw)
+        self.n_streams = n_streams
+        self._jnp = jnp
+
+        def tick(params, states, frames):
+            def one(ts, frame):
+                return pipe._frame_step_raw(params, ts, frame[None])
+
+            return jax.vmap(one)(states, frames)
+
+        self.params = params
+        self.mesh = mesh
+        max_tracks = kw.get("max_tracks", 128)
+        state_tree = init_state(max_tracks)
+        if mesh is not None:
+            state_sh = NamedSharding(mesh, P(axis))
+            state_shardings = jax.tree_util.tree_map(
+                lambda _: state_sh, state_tree)
+            self._tick = jax.jit(
+                tick,
+                in_shardings=(NamedSharding(mesh, P()), state_shardings,
+                              state_sh),
+                out_shardings=(state_shardings, state_sh),
+            )
+        else:
+            self._tick = jax.jit(tick)
+        self.states = jax.vmap(lambda _: init_state(max_tracks))(
+            jnp.arange(n_streams))
+
+    def tick(self, frames_device):
+        """frames (S, H, W, 3) -> (S, T, 7) packed outputs (device)."""
+        self.states, outs = self._tick(self.params, self.states, frames_device)
+        return outs

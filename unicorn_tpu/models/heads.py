@@ -66,6 +66,7 @@ class UnicornHead(nn.Module):
     fuse_method: str = "sum"         # "sum" | "mul"
     learnable_fuse: bool = True
     num_classes_sot: int = 1
+    with_mask: bool = False          # adds CondInst controllers per level
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,6 +122,14 @@ class UnicornHead(nn.Module):
                 "obj": PredConv(1, prior_bias=True, dtype=dt,
                                 name=f"obj_pred{k}")(reg_feat),
             }
+            if self.with_mask:
+                # CondInst controller: 169 dynamic params per anchor
+                # (unicorn_head_mask.py:78-87, from the reg tower)
+                from ..ops.dynamic_conv import NUM_GEN_PARAMS
+
+                out["ctrl"] = PredConv(
+                    NUM_GEN_PARAMS, dtype=dt, name=f"controller{k}"
+                )(reg_feat)
             if self.sot_branch:
                 out["cls_sot"] = PredConv(
                     self.num_classes_sot, prior_bias=True, dtype=dt,
@@ -166,7 +175,7 @@ def flatten_raw_outputs(outputs, mode: str, unshared_obj=True, unshared_reg=True
     Returns dict: reg_raw (B,A,4), obj_logits (B,A,1), cls_logits (B,A,C),
     hw (list of (H, W)).
     """
-    regs, objs, clss, hw = [], [], [], []
+    regs, objs, clss, ctrls, hw = [], [], [], [], []
     for out in outputs:
         if mode == "sot":
             reg = out["reg_sot"] if (unshared_reg and "reg_sot" in out) else out["reg"]
@@ -179,12 +188,17 @@ def flatten_raw_outputs(outputs, mode: str, unshared_obj=True, unshared_reg=True
         regs.append(reg.reshape(b, h * w, 4))
         objs.append(obj.reshape(b, h * w, 1))
         clss.append(cls.reshape(b, h * w, -1))
-    return {
+        if "ctrl" in out:
+            ctrls.append(out["ctrl"].reshape(b, h * w, -1))
+    flat = {
         "reg_raw": jnp.concatenate(regs, axis=1).astype(jnp.float32),
         "obj_logits": jnp.concatenate(objs, axis=1).astype(jnp.float32),
         "cls_logits": jnp.concatenate(clss, axis=1).astype(jnp.float32),
         "hw": hw,
     }
+    if ctrls:
+        flat["ctrl"] = jnp.concatenate(ctrls, axis=1).astype(jnp.float32)
+    return flat
 
 
 def decode_boxes(reg_raw, hw_list, strides):

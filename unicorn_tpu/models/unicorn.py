@@ -44,6 +44,8 @@ class Unicorn(nn.Module):
     unshared_reg: bool = True
     fuse_method: str = "sum"
     learnable_fuse: bool = True
+    use_mask: bool = False          # CondInst controllers + mask branch
+    use_raft: bool = False          # RAFT convex upsampling of masks
     dtype: Any = jnp.float32
     # interaction/embedding stages run fp32 by default, matching the
     # reference's autocast-off region (unicorn.py:491-504)
@@ -60,8 +62,14 @@ class Unicorn(nn.Module):
             use_attention=self.use_attention, n_layer_att=self.n_layer_att,
             unshared_obj=self.unshared_obj, unshared_reg=self.unshared_reg,
             fuse_method=self.fuse_method, learnable_fuse=self.learnable_fuse,
-            dtype=self.dtype,
+            with_mask=self.use_mask, dtype=self.dtype,
         )
+        if self.use_mask:
+            from .mask_head import MaskBranch
+
+            self.mask_branch = MaskBranch(
+                use_raft=self.use_raft, dtype=self.dtype,
+            )
         idt = self.interact_dtype
         self.bottleneck = Bottleneck1x1(self.hidden_dim, dtype=idt)
         self.upsample = UpsampleEmbed(self.embed_dim, self.hidden_dim, dtype=idt)
@@ -118,6 +126,10 @@ class Unicorn(nn.Module):
         """Run the unified head. priors: per-level (B, H, W, 1) label maps."""
         return self.head(fpn_outs, priors)
 
+    def forward_mask_branch(self, fpn_outs):
+        """CondInst mask features (B, H8, W8, 8) + optional RAFT up-mask."""
+        return self.mask_branch(fpn_outs)
+
     def forward_whole(self, imgs):
         """Detection-style forward for MOT inference (unicorn.py:133-139):
         backbone + head with zero priors. Returns (raw_head_outputs, feat_s16).
@@ -136,13 +148,15 @@ class Unicorn(nn.Module):
     def init_all(self, imgs):
         """Exercise every submodule so `model.init(..., method=Unicorn.init_all)`
         creates the full parameter tree (backbone + interaction + upsample +
-        head with priors)."""
+        head with priors + mask branch)."""
         fpn_outs, feat_s16 = self.forward_backbone(imgs)
         f32 = feat_s16.astype(jnp.float32)
         new0, new1 = self.forward_interaction(f32, f32)
         emb = self.forward_upsample(new0)
         priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype) for f in fpn_outs)
         head_raw = self.head(fpn_outs, priors)
+        if self.use_mask:
+            head_raw = (head_raw, self.mask_branch(fpn_outs))
         return head_raw, emb
 
 
@@ -158,6 +172,8 @@ class YOLOXDet(nn.Module):
     act: str = "silu"
     use_attention: bool = False
     n_layer_att: int = 0
+    use_mask: bool = False       # instance-seg stage (YOLOXMask, yolox.py:54-80)
+    sem_loss_on: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -169,9 +185,19 @@ class YOLOXDet(nn.Module):
             num_classes=self.num_classes, width=self.width,
             in_channels=self.in_channels, act=self.act, sot_branch=False,
             use_attention=self.use_attention, n_layer_att=self.n_layer_att,
-            dtype=self.dtype,
+            with_mask=self.use_mask, dtype=self.dtype,
         )
+        if self.use_mask:
+            from .mask_head import MaskBranch
+
+            self.mask_branch = MaskBranch(
+                sem_loss_on=self.sem_loss_on, num_classes=self.num_classes,
+                dtype=self.dtype,
+            )
 
     def __call__(self, imgs):
         fpn_outs = self.backbone(imgs)
-        return self.head(fpn_outs, None)
+        head_raw = self.head(fpn_outs, None)
+        if self.use_mask:
+            return head_raw, self.mask_branch(fpn_outs)
+        return head_raw

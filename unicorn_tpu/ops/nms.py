@@ -60,6 +60,9 @@ def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
     score, and valid (B, max_out) bool. Invalid rows are zero.
     """
 
+    n_cand = min(n_cand, prediction.shape[1])
+    max_out = min(max_out, n_cand)
+
     def one(img_pred):
         boxes = img_pred[:, :4]
         xy1 = boxes[:, :2] - boxes[:, 2:4] / 2

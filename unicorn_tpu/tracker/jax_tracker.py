@@ -1,0 +1,270 @@
+"""On-device ByteTrack: the association step as a pure jax function over
+fixed track slots.
+
+TPU-native replacement for the host tracker (tracker/byte_tracker.py): the
+whole tracker state (Kalman means/covs, slot table) lives in HBM as a pytree
+carry; one `tracker_step` call consumes one frame's (max_dets, 5) padded
+detections. No host round-trip per frame — the streaming driver fetches
+emitted track outputs in periodic batches (SURVEY.md §7 "inference driver").
+
+Association parity notes vs the reference lapjv matching: we use iterative
+greedy global-minimum assignment, which differs from Hungarian only on
+near-degenerate cost ties; two-stage BYTE logic (high/low split, unconfirmed
+handling, lost buffer) matches byte_tracker.py:161-296.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# slot states
+S_EMPTY, S_TRACKED, S_LOST = 0, 1, 2
+
+
+class TrackState(NamedTuple):
+    mean: jnp.ndarray        # (T, 8) cx, cy, a, h + velocities
+    cov: jnp.ndarray         # (T, 8, 8)
+    state: jnp.ndarray       # (T,) int: 0 empty / 1 tracked / 2 lost
+    activated: jnp.ndarray   # (T,) bool
+    track_id: jnp.ndarray    # (T,) int32
+    score: jnp.ndarray       # (T,)
+    last_frame: jnp.ndarray  # (T,) int32 — frame of last update
+    start_frame: jnp.ndarray  # (T,) int32
+    next_id: jnp.ndarray     # () int32
+    frame_id: jnp.ndarray    # () int32
+
+
+def init_state(max_tracks: int = 128) -> TrackState:
+    T = max_tracks
+    return TrackState(
+        mean=jnp.zeros((T, 8)), cov=jnp.zeros((T, 8, 8)),
+        state=jnp.zeros((T,), jnp.int32), activated=jnp.zeros((T,), bool),
+        track_id=jnp.zeros((T,), jnp.int32), score=jnp.zeros((T,)),
+        last_frame=jnp.zeros((T,), jnp.int32),
+        start_frame=jnp.zeros((T,), jnp.int32),
+        next_id=jnp.ones((), jnp.int32), frame_id=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------- Kalman (vectorized; tracker/kalman.py parity) -------------
+
+_STD_POS = 1.0 / 20
+_STD_VEL = 1.0 / 160
+
+
+def _motion_mat():
+    m = jnp.eye(8)
+    return m.at[jnp.arange(4), jnp.arange(4) + 4].set(1.0)
+
+
+def kalman_initiate(meas):
+    """meas (4,) cxcyah -> (mean (8,), cov (8, 8))."""
+    h = meas[3]
+    mean = jnp.concatenate([meas, jnp.zeros(4)])
+    std = jnp.stack([
+        2 * _STD_POS * h, 2 * _STD_POS * h, 1e-2, 2 * _STD_POS * h,
+        10 * _STD_VEL * h, 10 * _STD_VEL * h, 1e-5, 10 * _STD_VEL * h,
+    ])
+    return mean, jnp.diag(std ** 2)
+
+
+def kalman_predict(mean, cov):
+    h = mean[3]
+    std = jnp.stack([_STD_POS * h, _STD_POS * h, 1e-2, _STD_POS * h,
+                     _STD_VEL * h, _STD_VEL * h, 1e-5, _STD_VEL * h])
+    F = _motion_mat()
+    return F @ mean, F @ cov @ F.T + jnp.diag(std ** 2)
+
+
+def kalman_update(mean, cov, meas):
+    h = mean[3]
+    std = jnp.stack([_STD_POS * h, _STD_POS * h, 1e-1, _STD_POS * h])
+    Hm = jnp.eye(4, 8)
+    S = Hm @ cov @ Hm.T + jnp.diag(std ** 2)
+    K = jnp.linalg.solve(S, Hm @ cov).T  # (8, 4)
+    innov = meas - Hm @ mean
+    return mean + K @ innov, cov - K @ S @ K.T
+
+
+def mean_to_tlbr(mean):
+    """(…, 8) cxcyah -> (…, 4) tlbr."""
+    cx, cy, a, h = mean[..., 0], mean[..., 1], mean[..., 2], mean[..., 3]
+    w = a * h
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def xyxy_to_xyah(b):
+    w = b[..., 2] - b[..., 0]
+    h = b[..., 3] - b[..., 1]
+    return jnp.stack([
+        (b[..., 0] + b[..., 2]) / 2, (b[..., 1] + b[..., 3]) / 2,
+        w / jnp.maximum(h, 1e-6), h,
+    ], -1)
+
+
+# ---------------- greedy assignment ----------------------------------------
+
+def greedy_assign(cost, row_valid, col_valid, thresh, n_iter: int):
+    """Iterative global-min greedy assignment.
+
+    cost (R, C); returns match_col (R,) int (-1 = unmatched).
+    """
+    BIG = 1e9
+    R, C = cost.shape
+    cost = jnp.where(row_valid[:, None] & col_valid[None, :], cost, BIG)
+
+    def body(_, carry):
+        cost, match = carry
+        flat = jnp.argmin(cost)
+        r, c = flat // C, flat % C
+        ok = cost[r, c] < thresh
+        match = jnp.where(ok, match.at[r].set(c), match)
+        cost = jnp.where(ok, cost.at[r, :].set(BIG).at[:, c].set(BIG), cost)
+        return cost, match
+
+    _, match = jax.lax.fori_loop(
+        0, n_iter, body, (cost, jnp.full((R,), -1, jnp.int32)))
+    return match
+
+
+def iou_xyxy(a, b):
+    """(Ra, 4) x (Rb, 4) -> (Ra, Rb)."""
+    tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = jnp.prod(jnp.clip(br - tl, 0, None), -1)
+    area_a = jnp.prod(jnp.clip(a[:, 2:] - a[:, :2], 0, None), -1)
+    area_b = jnp.prod(jnp.clip(b[:, 2:] - b[:, :2], 0, None), -1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
+
+
+# ---------------- the per-frame step ----------------------------------------
+
+@partial(jax.jit, static_argnames=("track_thresh", "match_thresh",
+                                   "max_time_lost", "det_thresh_offset"))
+def tracker_step(ts: TrackState, dets, det_valid,
+                 track_thresh: float = 0.6, match_thresh: float = 0.9,
+                 max_time_lost: int = 30, det_thresh_offset: float = 0.1):
+    """One BYTE association step.
+
+    dets: (D, 5) [x1, y1, x2, y2, score] padded; det_valid: (D,) bool.
+    Returns (new_state, out (T, 6) [x1,y1,x2,y2,score,track_id] for currently
+    activated tracked slots, out_valid (T,)).
+    """
+    T = ts.mean.shape[0]
+    D = dets.shape[0]
+    frame_id = ts.frame_id + 1
+    det_thresh = track_thresh + det_thresh_offset
+
+    # Kalman predict for all live slots (lost slots zero their h-velocity,
+    # byte_tracker.py STrack.multi_predict)
+    mean_in = jnp.where((ts.state == S_LOST)[:, None],
+                        ts.mean.at[:, 7].set(0.0), ts.mean)
+    mean_p, cov_p = jax.vmap(kalman_predict)(mean_in, ts.cov)
+    live = ts.state != S_EMPTY
+    mean_p = jnp.where(live[:, None], mean_p, ts.mean)
+    cov_p = jnp.where(live[:, None, None], cov_p, ts.cov)
+
+    scores = dets[:, 4]
+    high = det_valid & (scores > track_thresh)
+    low = det_valid & (scores > 0.1) & (scores < track_thresh)
+
+    track_boxes = mean_to_tlbr(mean_p)
+
+    # --- association 1: activated-or-lost slots vs high dets, fused score ---
+    pool1 = live & (ts.activated | (ts.state == S_LOST))
+    iou1 = iou_xyxy(track_boxes, dets[:, :4])
+    cost1 = 1.0 - iou1 * scores[None, :]  # fuse_score (matching.py fuse_score)
+    match1 = greedy_assign(cost1, pool1, high, match_thresh, min(T, D))
+
+    # --- association 2: remaining TRACKED slots vs low dets, plain IoU ------
+    pool2 = live & (ts.state == S_TRACKED) & ts.activated & (match1 < 0)
+    cost2 = 1.0 - iou1
+    match2 = greedy_assign(cost2, pool2, low, 0.5, min(T, D))
+
+    # --- association 3: unconfirmed (tracked, not activated) vs leftover ---
+    det_used = jnp.zeros((D,), bool)
+    det_used = det_used.at[jnp.where(match1 >= 0, match1, 0)].max(match1 >= 0)
+    pool3 = live & (ts.state == S_TRACKED) & (~ts.activated)
+    cost3 = 1.0 - iou1 * scores[None, :]
+    match3 = greedy_assign(cost3, pool3, high & (~det_used), 0.7, min(T, D))
+
+    match = jnp.where(match1 >= 0, match1,
+                      jnp.where(match2 >= 0, match2, match3))
+    matched = match >= 0
+    det_idx = jnp.where(matched, match, 0)
+    meas = xyxy_to_xyah(dets[det_idx, :4])
+
+    mean_u, cov_u = jax.vmap(kalman_update)(mean_p, cov_p, meas)
+    new_mean = jnp.where(matched[:, None], mean_u, mean_p)
+    new_cov = jnp.where(matched[:, None, None], cov_u, cov_p)
+    new_score = jnp.where(matched, dets[det_idx, 4], ts.score)
+    new_activated = ts.activated | matched
+    new_last = jnp.where(matched, frame_id, ts.last_frame)
+    new_state_v = jnp.where(matched, S_TRACKED, ts.state)
+
+    # unmatched tracked -> lost; unconfirmed unmatched -> removed (empty)
+    unmatched_tracked = live & (ts.state == S_TRACKED) & ts.activated & ~matched
+    new_state_v = jnp.where(unmatched_tracked, S_LOST, new_state_v)
+    unconfirmed_unmatched = live & (ts.state == S_TRACKED) & (~ts.activated) & ~matched
+    new_state_v = jnp.where(unconfirmed_unmatched, S_EMPTY, new_state_v)
+    # expire lost
+    expired = (new_state_v == S_LOST) & (frame_id - new_last > max_time_lost)
+    new_state_v = jnp.where(expired, S_EMPTY, new_state_v)
+
+    # --- new tracks from unmatched strong dets ------------------------------
+    det_used = det_used.at[jnp.where(match2 >= 0, match2, 0)].max(match2 >= 0)
+    det_used = det_used.at[jnp.where(match3 >= 0, match3, 0)].max(match3 >= 0)
+    new_det = det_valid & (scores > det_thresh) & high & (~det_used)
+    # assign det j -> the j-th free slot (computed via cumulative counts)
+    free = new_state_v == S_EMPTY
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1      # rank among slots
+    det_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1    # rank among dets
+    # slot_for_rank[r] = index of r-th free slot
+    slot_for_rank = jnp.full((T + D,), -1, jnp.int32)
+    slot_idx = jnp.where(free, free_rank, T + D - 1)
+    slot_for_rank = slot_for_rank.at[slot_idx].set(jnp.arange(T, dtype=jnp.int32))
+    target_slot = slot_for_rank[jnp.clip(det_rank, 0, T + D - 1)]
+    place = new_det & (target_slot >= 0)
+
+    init_mean, init_cov = jax.vmap(kalman_initiate)(xyxy_to_xyah(dets[:, :4]))
+
+    def scatter(dst, src, idx, mask):
+        idx_safe = jnp.where(mask, idx, T)  # T = scratch row
+        pad = jnp.zeros((T + 1,) + dst.shape[1:], dst.dtype).at[:T].set(dst)
+        pad = pad.at[idx_safe].set(jnp.where(
+            mask.reshape((-1,) + (1,) * (src.ndim - 1)), src,
+            pad[idx_safe]))
+        return pad[:T]
+
+    new_mean = scatter(new_mean, init_mean, target_slot, place)
+    new_cov = scatter(new_cov, init_cov, target_slot, place)
+    new_score = scatter(new_score, scores, target_slot, place)
+    new_state_v = scatter(new_state_v, jnp.full((D,), S_TRACKED, jnp.int32),
+                          target_slot, place)
+    new_activated = scatter(new_activated, jnp.broadcast_to(frame_id == 1, (D,)),
+                            target_slot, place)
+    new_last = scatter(new_last, jnp.full((D,), frame_id, jnp.int32),
+                       target_slot, place)
+    start = scatter(ts.start_frame, jnp.full((D,), frame_id, jnp.int32),
+                    target_slot, place)
+    n_new = jnp.sum(place.astype(jnp.int32))
+    new_ids = ts.next_id + det_rank.astype(jnp.int32)
+    track_id = scatter(ts.track_id, new_ids, target_slot, place)
+
+    new_ts = TrackState(
+        mean=new_mean, cov=new_cov, state=new_state_v,
+        activated=new_activated, track_id=track_id, score=new_score,
+        last_frame=new_last, start_frame=start,
+        next_id=ts.next_id + n_new, frame_id=frame_id,
+    )
+
+    out_valid = (new_ts.state == S_TRACKED) & new_ts.activated
+    out_boxes = mean_to_tlbr(new_ts.mean)
+    out = jnp.concatenate([
+        out_boxes, new_ts.score[:, None],
+        new_ts.track_id[:, None].astype(out_boxes.dtype),
+    ], axis=1)
+    return new_ts, out, out_valid
