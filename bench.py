@@ -1,22 +1,22 @@
 """Benchmark: online MOT tracking FPS per chip (the BASELINE.json north star).
 
-Measures the per-frame MOT17 pipeline of the reference's ByteTrack path
-(SURVEY.md §3.2): frame -> backbone+head ('whole' mode, bf16) -> decode ->
-ON-DEVICE confidence filter + class NMS + top-K -> tiny (K,7) device->host
-transfer -> ByteTrack association, streaming frames on a single chip at
-800x1280 (unicorn_track_tiny config size).
+Measures the full per-frame MOT17 pipeline of the reference's ByteTrack path
+(SURVEY.md §3.2) as the TPU-native streaming driver
+(unicorn_tpu/drivers/stream.py): frame -> backbone+head (bf16, 'whole' mode)
+-> decode -> on-device NMS -> on-device ByteTrack association, all fused in
+one jitted program with the tracker state resident in HBM. Frames stream in
+chunks via lax.scan; only the packed (T, 7) track outputs are fetched per
+chunk, so the (tunnel-latency-bound) host link is amortized.
 
-TPU-native design points exercised here:
-  * all postprocessing stays on device (ops/nms.py) — only ~3.5 KB crosses
-    the host link per frame (the tunnel link is latency-bound);
-  * the loop keeps 2 frames in flight (double buffering) so dispatch and
-    host association overlap device compute.
+Model: unicorn_track_tiny topology (ConvNeXt-Tiny + PAFPN + unified head,
+deformable interaction present but idle on the MOT17 path, exactly like the
+reference), input 800x1280.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference repo publishes no FPS figures (BASELINE.md); the
-paper (arXiv:2207.07078) targets real-time ~30 FPS on GPU. BASELINE.json's
-goal is >=2x A100 FPS, so vs_baseline = measured_fps / 60.0.
+Baseline note: the reference publishes no FPS (BASELINE.md); the paper
+(arXiv:2207.07078) targets ~30 FPS real-time on GPU. BASELINE.json's goal is
+>=2x A100 FPS, so vs_baseline = measured_fps / 60.0.
 """
 import json
 import time
@@ -35,62 +35,53 @@ def main():
     except Exception:
         pass
 
-    from unicorn_tpu.models.heads import decode_for_inference
+    from unicorn_tpu.drivers.stream import StreamingMOTPipeline
     from unicorn_tpu.models.unicorn import Unicorn
-    from unicorn_tpu.ops.nms import postprocess_device
-    from unicorn_tpu.tracker.byte_tracker import ByteTracker
 
     H, W = 800, 1280
+    CHUNK = 16
     model = Unicorn(
         num_classes=1, backbone_name="convnext_tiny", in_channels=(192, 384, 768),
         interact_mode="deform", n_layer_att=3, dtype=jnp.bfloat16,
     )
     rng = np.random.RandomState(0)
-    frames = [jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255.0)
-              for _ in range(4)]
-    params = model.init(jax.random.PRNGKey(0), frames[0], method=Unicorn.init_all)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255.0)
+    params = model.init(jax.random.PRNGKey(0), frame0, method=Unicorn.init_all)
 
-    @jax.jit
-    def step(params, frame):
-        raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
-        dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
-        dets, valid = postprocess_device(
-            dec, num_classes=1, conf_thre=0.1, nms_thre=0.8,
-            class_agnostic=True, n_cand=512, max_out=128,
-        )
-        # pack dets + validity into ONE tensor -> single D2H per frame
-        return jnp.concatenate(
-            [dets[0], valid[0][:, None].astype(dets.dtype)], axis=1)
+    pipe = StreamingMOTPipeline(
+        model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
+        nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
+        match_thresh=0.9,
+    )
 
-    tracker = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
+    chunks = [
+        jnp.asarray(rng.rand(CHUNK, H, W, 3).astype(np.float32) * 255.0)
+        for _ in range(2)
+    ]
 
-    # warmup: compile AND force real execution + first host fetch (the first
-    # fetch pays a large one-time runtime warmup on this link)
-    _ = np.asarray(step(params, frames[0]))
-    _ = np.asarray(step(params, frames[1]))
+    # warmup: compile + force real execution and first host fetch (the first
+    # fetch pays a one-time runtime warmup on this link)
+    _ = np.asarray(pipe.run_chunk(chunks[0]))
+    _ = np.asarray(pipe.run_chunk(chunks[1]))
+    pipe.reset()
 
-    def associate(packed_np):
-        d = packed_np[packed_np[:, 7] > 0.5]
-        if len(d):
-            tracker.update(d[:, :4], d[:, 4] * d[:, 5], d[:, 6])
-
-    n_frames = 100
-    depth = 3  # frames in flight; D2H copies start async per frame
+    n_chunks = 8
+    depth = 2
     inflight = []
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        out = step(params, frames[i % len(frames)])
+    for i in range(n_chunks):
+        out = pipe.run_chunk(chunks[i % len(chunks)])
         try:
             out.copy_to_host_async()
         except Exception:
             pass
         inflight.append(out)
         if len(inflight) >= depth:
-            associate(np.asarray(inflight.pop(0)))
+            _ = np.asarray(inflight.pop(0))
     while inflight:
-        associate(np.asarray(inflight.pop(0)))
+        _ = np.asarray(inflight.pop(0))
     dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    fps = n_chunks * CHUNK / dt
 
     print(json.dumps({
         "metric": "mot17_online_fps_per_chip_800x1280",

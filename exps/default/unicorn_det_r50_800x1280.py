@@ -1,0 +1,15 @@
+"""COCO detection pretraining, ResNet-50 @ 800x1280"""
+import os
+
+from unicorn_tpu.exp.det import ExpDet
+
+
+class Exp(ExpDet):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.backbone_name = 'resnet50'
+        self.in_channels = [512, 1024, 2048]
+        self.width = 0.5
+        self.input_size = (800, 1280)
+        self.test_size = (800, 1280)

@@ -1,0 +1,14 @@
+"""VOS+MOTS mask stage (reference unicorn_track_r50_mask.py)"""
+import os
+
+from unicorn_tpu.exp.track_mask import ExpTrackMask
+
+
+class Exp(ExpTrackMask):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.backbone_name = 'resnet50'
+        self.in_channels = [512, 1024, 2048]
+        self.width = 0.5
+        self.pretrain_name = 'unicorn_track_r50'

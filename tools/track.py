@@ -1,0 +1,109 @@
+"""MOT17 ByteTrack evaluation (reference tools/track.py).
+
+Runs the streaming MOT driver over a COCO-format video test set, writes
+per-video MOT txt files, and scores CLEAR-MOT vs gt if available.
+"""
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser():
+    p = argparse.ArgumentParser("unicorn_tpu track (MOT17 ByteTrack)")
+    p.add_argument("-f", "--exp_file", default=None)
+    p.add_argument("-n", "--name", default=None)
+    p.add_argument("-c", "--ckpt", default=None)
+    p.add_argument("--result-dir", default="track_results")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--track-thresh", type=float, default=0.6)
+    p.add_argument("--match-thresh", type=float, default=0.9)
+    p.add_argument("--track-buffer", type=int, default=30)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p
+
+
+def load_gt_from_dataset(dataset):
+    """Build {video: [(frame_id, ids, tlwhs)]} from the eval dataset's jsons."""
+    gts = defaultdict(lambda: defaultdict(lambda: ([], [])))
+    for img_id in dataset.ids:
+        im = dataset.coco.imgs[img_id]
+        video = im["file_name"].split("/")[0]
+        fid = im.get("frame_id", 0)
+        for a in dataset.coco.load_anns_for_img(img_id):
+            tid = a.get("track_id", -1)
+            if tid < 0:
+                continue
+            x, y, w, h = a["bbox"]
+            gts[video][fid][0].append(tid)
+            gts[video][fid][1].append((x, y, w, h))
+    out = {}
+    for video, frames in gts.items():
+        out[video] = [(fid, ids, tlwhs) for fid, (ids, tlwhs)
+                      in sorted(frames.items())]
+    return out
+
+
+def main():
+    args = make_parser().parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unicorn_tpu.core.checkpoint import load_checkpoint
+    from unicorn_tpu.evaluators.mot_evaluator import MOTEvaluator
+    from unicorn_tpu.exp.base import get_exp
+    from unicorn_tpu.data.datasets.mot import MOTEvalDataset
+    from unicorn_tpu.data.transforms import ValTransform
+    from unicorn_tpu.models.heads import decode_for_inference
+    from unicorn_tpu.models.unicorn import Unicorn
+    from unicorn_tpu.ops.nms import postprocess_device
+    from unicorn_tpu.exp.det import get_unicorn_datadir
+
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    model = exp.get_model()
+    if args.ckpt:
+        ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
+                               os.path.basename(args.ckpt))
+        params = ckpt.get("ema_params", ckpt.get("params"))
+    else:
+        dummy = jnp.asarray(np.zeros((1, *exp.test_size, 3), np.float32))
+        params = model.init(jax.random.PRNGKey(0), dummy,
+                            method=Unicorn.init_all)
+
+    dataset = MOTEvalDataset(
+        data_dir=os.path.join(get_unicorn_datadir(), "mot"),
+        json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
+    )
+
+    @jax.jit
+    def step(params, frame):
+        raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
+        dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+        return postprocess_device(
+            dec, num_classes=exp.num_classes, conf_thre=exp.test_conf,
+            nms_thre=exp.nmsthre, n_cand=512, max_out=256,
+        )
+
+    def step1(params, frame):
+        dets, valid = step(params, frame)
+        return dets[0], valid[0]
+
+    evaluator = MOTEvaluator(
+        exp=exp, dataset=dataset, track_thresh=args.track_thresh,
+        track_buffer=args.track_buffer, match_thresh=args.match_thresh,
+    )
+    results = evaluator.evaluate(step1, params, result_dir=args.result_dir,
+                                 max_frames=args.max_frames)
+    gts = load_gt_from_dataset(dataset)
+    if any(gts.values()):
+        print(MOTEvaluator.score(results, gts))
+    else:
+        print(f"wrote results for {len(results)} videos to {args.result_dir}")
+
+
+if __name__ == "__main__":
+    main()

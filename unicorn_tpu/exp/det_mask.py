@@ -1,0 +1,76 @@
+"""Instance-segmentation pretraining experiment.
+
+Reference: unicorn/exp/unicorn_det_mask.py:22-… (ExpDetMask: freezes the
+detector, trains the CondInst branch only). In the functional train state the
+freeze is an optimizer mask (zero updates for non-mask params) instead of
+requires_grad flags.
+"""
+from __future__ import annotations
+
+from .det import ExpDet
+
+MASK_PARAM_KEYS = ("controller", "mask_branch")
+
+
+def mask_only_trainable(params):
+    """Optax mask: True where the param belongs to the CondInst branch."""
+    import jax
+
+    def is_mask_param(path):
+        joined = "/".join(str(p) for p in path)
+        return any(k in joined for k in MASK_PARAM_KEYS)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params),
+        [is_mask_param([getattr(k, "key", getattr(k, "idx", k)) for k in path])
+         for path, _ in flat],
+    )
+
+
+class ExpDetMask(ExpDet):
+    def __init__(self):
+        super().__init__()
+        self.task = "inst"
+        self.exp_name = "unicorn_inst"
+        self.train_mask_only = True
+        self.d_rate = 4
+        self.max_epoch = 12
+        self.pretrain_name = "unicorn_det_convnext_tiny_800x1280"
+
+    def get_model(self):
+        import jax.numpy as jnp
+
+        from ..models.unicorn import YOLOXDet
+
+        return YOLOXDet(
+            num_classes=self.num_classes, depth=self.depth, width=self.width,
+            in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
+            act=self.act, use_attention=self.use_attention,
+            n_layer_att=self.n_layer_att, use_mask=True,
+            dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+
+    def get_optimizer(self, batch_size, iters_per_epoch=1000):
+        import optax
+
+        from ..core.train_state import default_wd_mask, make_optimizer
+
+        tx = make_optimizer(
+            self.get_lr_fn(batch_size, iters_per_epoch), kind="sgd",
+            weight_decay=self.weight_decay, momentum=self.momentum,
+            no_decay_mask_fn=default_wd_mask,
+        )
+        if self.train_mask_only:
+            # zero out updates for frozen (non-CondInst) params
+            tx = optax.chain(tx, optax.masked(
+                optax.set_to_zero(),
+                lambda params: _invert(mask_only_trainable(params)),
+            ))
+        return tx
+
+
+def _invert(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda b: not b, tree)

@@ -1,0 +1,80 @@
+"""Unified VOS+MOTS experiment (mask stage).
+
+Reference: unicorn/exp/unicorn_track_mask.py:31-220 (ExpTrackMask): loads the
+SOT-MOT weights, trains ONLY head.controllers + mask_branch
+(:92-96, via optimizer masking here), use_raft convex upsampling, d_rate=2,
+ema off.
+"""
+from __future__ import annotations
+
+from .track import ExpTrack
+
+MASK_PARAM_KEYS = ("controller", "mask_branch")
+
+
+class ExpTrackMask(ExpTrack):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = "unicorn_track_mask"
+        self.use_raft = True
+        self.d_rate = 2
+        self.up_rate = 8
+        self.ema = False
+        self.train_mask_only = True
+        self.max_epoch = 5
+        self.samples_per_epoch = 100000
+        self.mhs = False
+        self.pretrain_name = "unicorn_track_tiny"
+
+    def get_model(self):
+        import jax.numpy as jnp
+
+        from ..models.unicorn import Unicorn
+
+        return Unicorn(
+            num_classes=self.num_classes, depth=self.depth, width=self.width,
+            in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
+            act=self.act, interact_mode=self.interact_mode,
+            embed_dim=self.embed_dim, use_attention=self.use_attention,
+            n_layer_att=self.n_layer_att, unshared_obj=self.unshared_obj,
+            unshared_reg=self.unshared_reg, fuse_method=self.fuse_method,
+            learnable_fuse=self.learnable_fuse, use_mask=True,
+            use_raft=self.use_raft,
+            dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+        )
+
+    def get_optimizer(self, batch_size, iters_per_epoch=12500):
+        import jax
+        import optax
+
+        from ..core.train_state import default_wd_mask, make_optimizer
+
+        tx = make_optimizer(
+            self.get_lr_fn(batch_size, iters_per_epoch), kind="adamw",
+            weight_decay=self.weight_decay,
+            grad_accum=self.grad_acc_step if self.use_grad_acc else 1,
+            no_decay_mask_fn=default_wd_mask,
+        )
+        if self.train_mask_only:
+            def frozen_mask(params):
+                def is_frozen(path):
+                    joined = "/".join(str(getattr(p, "key", p)) for p in path)
+                    return not any(k in joined for k in MASK_PARAM_KEYS)
+
+                flat, tree = jax.tree_util.tree_flatten_with_path(params)
+                return jax.tree_util.tree_unflatten(
+                    tree, [is_frozen(path) for path, _ in flat])
+
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
+        return tx
+
+    def get_train_step(self, batch_size):
+        from ..core.train_step import make_uni_mask_train_step
+
+        return make_uni_mask_train_step(
+            self.get_model(), self.input_size,
+            mot_weight=float(self.mot_weight) if self.scale_all_mot else 1.0,
+            bidirect=self.bidirect, use_l1=self.always_l1,
+            num_classes=self.num_classes, d_rate=self.d_rate,
+            use_raft=self.use_raft, up_rate=self.up_rate,
+        )

@@ -1,0 +1,163 @@
+"""SOT/VOS evaluation dataset registry + sequence loaders.
+
+Reference: external/lib/test/evaluation/datasets.py:9-26 (registry:
+otb/nfs/uav/trackingnet/got10k/lasot/dv2016/dv2017/yt2018) and the per-dataset
+Sequence loaders (got10kdataset.py, lasotdataset.py, ...). A Sequence is just
+frame paths + ground-truth boxes (and masks for VOS).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+def env_data_root():
+    return os.environ.get(
+        "UNICORN_DATADIR",
+        os.path.join(os.getcwd(), "datasets"),
+    )
+
+
+@dataclass
+class Sequence:
+    name: str
+    frames: list                      # frame paths
+    ground_truth_rect: np.ndarray     # (N, 4) xywh; may be only frame 0 for test sets
+    object_ids: Optional[list] = None
+    masks: Optional[list] = None      # per-frame mask paths (VOS)
+    dataset: str = ""
+
+    @property
+    def init_bbox(self):
+        return list(self.ground_truth_rect[0])
+
+
+def _load_txt(path):
+    for d in [",", None, "\t"]:
+        try:
+            return np.loadtxt(path, delimiter=d).reshape(-1, 4)
+        except Exception:
+            continue
+    raise ValueError(f"cannot parse {path}")
+
+
+def load_lasot(root=None, split="test"):
+    """LaSOT test split (lasotdataset.py). root/<cls>/<cls>-<k>/"""
+    root = root or os.path.join(env_data_root(), "LaSOT")
+    seqs = []
+    if not os.path.isdir(root):
+        return seqs
+    split_file = os.path.join(os.path.dirname(__file__), "lasot_test_split.txt")
+    names = None
+    if os.path.exists(split_file):
+        names = [l.strip() for l in open(split_file) if l.strip()]
+    if names is None:
+        names = []
+        for cls in sorted(os.listdir(root)):
+            cdir = os.path.join(root, cls)
+            if os.path.isdir(cdir):
+                names += [s for s in sorted(os.listdir(cdir))
+                          if s.startswith(cls + "-")]
+    for name in names:
+        cls = name.split("-")[0]
+        sdir = os.path.join(root, cls, name)
+        gt_path = os.path.join(sdir, "groundtruth.txt")
+        if not os.path.exists(gt_path):
+            continue
+        gt = _load_txt(gt_path)
+        frames = [os.path.join(sdir, "img", f"{i + 1:08d}.jpg")
+                  for i in range(len(gt))]
+        seqs.append(Sequence(name, frames, gt, dataset="lasot"))
+    return seqs
+
+
+def load_got10k(root=None, split="test"):
+    root = root or os.path.join(env_data_root(), "GOT10K", split)
+    seqs = []
+    if not os.path.isdir(root):
+        return seqs
+    names = [d for d in sorted(os.listdir(root))
+             if os.path.isdir(os.path.join(root, d))]
+    for name in names:
+        sdir = os.path.join(root, name)
+        gt = _load_txt(os.path.join(sdir, "groundtruth.txt"))
+        n_frames = len([f for f in os.listdir(sdir) if f.endswith(".jpg")])
+        frames = [os.path.join(sdir, f"{i + 1:08d}.jpg") for i in range(n_frames)]
+        seqs.append(Sequence(name, frames, gt, dataset="got10k"))
+    return seqs
+
+
+def load_trackingnet(root=None):
+    root = root or os.path.join(env_data_root(), "TrackingNet")
+    seqs = []
+    tdir = os.path.join(root, "TEST")
+    if not os.path.isdir(tdir):
+        return seqs
+    anno = os.path.join(tdir, "anno")
+    for f in sorted(os.listdir(anno)):
+        if not f.endswith(".txt"):
+            continue
+        name = f[:-4]
+        gt = _load_txt(os.path.join(anno, f))
+        fdir = os.path.join(tdir, "frames", name)
+        n = len(os.listdir(fdir))
+        frames = [os.path.join(fdir, f"{i}.jpg") for i in range(n)]
+        seqs.append(Sequence(name, frames, gt, dataset="trackingnet"))
+    return seqs
+
+
+def load_otb(root=None):
+    """OTB-100 (otbdataset.py layout: root/<seq>/img + groundtruth_rect.txt)."""
+    root = root or os.path.join(env_data_root(), "OTB100")
+    seqs = []
+    if not os.path.isdir(root):
+        return seqs
+    for name in sorted(os.listdir(root)):
+        sdir = os.path.join(root, name)
+        gt_path = os.path.join(sdir, "groundtruth_rect.txt")
+        if not os.path.exists(gt_path):
+            continue
+        gt = _load_txt(gt_path)
+        img_dir = os.path.join(sdir, "img")
+        frames = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))]
+        seqs.append(Sequence(name, frames[: len(gt)], gt, dataset="otb"))
+    return seqs
+
+
+def load_davis(root=None, year="2017", split="val"):
+    """DAVIS 2016/2017 (VOS). root/JPEGImages/480p/<seq>, Annotations/480p."""
+    root = root or os.path.join(env_data_root(), f"DAVIS{year}" if year != "2017"
+                                else "DAVIS")
+    seqs = []
+    set_file = os.path.join(root, "ImageSets", year, f"{split}.txt")
+    if not os.path.exists(set_file):
+        return seqs
+    names = [l.strip() for l in open(set_file) if l.strip()]
+    for name in names:
+        jdir = os.path.join(root, "JPEGImages", "480p", name)
+        adir = os.path.join(root, "Annotations", "480p", name)
+        frames = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))]
+        masks = [os.path.join(adir, f) for f in sorted(os.listdir(adir))]
+        seqs.append(Sequence(name, frames, np.zeros((1, 4)), masks=masks,
+                             dataset=f"davis{year}"))
+    return seqs
+
+
+DATASET_REGISTRY = {
+    "lasot": load_lasot,
+    "got10k_test": lambda: load_got10k(split="test"),
+    "got10k_val": lambda: load_got10k(split="val"),
+    "trackingnet": load_trackingnet,
+    "otb": load_otb,
+    "dv2016": lambda: load_davis(year="2016"),
+    "dv2017": lambda: load_davis(year="2017"),
+}
+
+
+def get_dataset(name: str):
+    if name not in DATASET_REGISTRY:
+        raise KeyError(f"unknown dataset {name}; have {list(DATASET_REGISTRY)}")
+    return DATASET_REGISTRY[name]()

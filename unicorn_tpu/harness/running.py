@@ -1,0 +1,72 @@
+"""Sequence/dataset runners for SOT & VOS evaluation.
+
+Reference: external/lib/test/evaluation/running.py:176-203 and
+tracker.py:70-212. The reference shards sequences over a multiprocessing pool
+with one GPU each; here a single chip streams sequences (the multi-stream
+driver can shard them over a mesh axis instead).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import cv2
+import numpy as np
+
+from .datasets import Sequence
+
+
+def run_sequence_sot(driver, seq: Sequence, result_dir: str | None = None):
+    """Run one SOT sequence; returns (boxes (N, 4) xywh, fps)."""
+    frames = seq.frames
+    img0 = cv2.imread(frames[0])
+    assert img0 is not None, frames[0]
+    driver.initialize(img0, seq.init_bbox)
+    boxes = [seq.init_bbox]
+    t0 = time.time()
+    for path in frames[1:]:
+        img = cv2.imread(path)
+        out = driver.track(img)
+        boxes.append(out["target_bbox"])
+    fps = max(len(frames) - 1, 1) / max(time.time() - t0, 1e-9)
+    boxes = np.asarray(boxes, np.float64)
+    if result_dir:
+        os.makedirs(result_dir, exist_ok=True)
+        np.savetxt(os.path.join(result_dir, f"{seq.name}.txt"), boxes,
+                   delimiter="\t", fmt="%d")
+    return boxes, fps
+
+
+def run_dataset_sot(driver_factory, sequences, result_dir=None, max_seqs=None,
+                    verbose=True):
+    """driver_factory() -> fresh SOTDriver per sequence."""
+    results = {}
+    n = len(sequences) if max_seqs is None else min(max_seqs, len(sequences))
+    for i in range(n):
+        seq = sequences[i]
+        driver = driver_factory()
+        boxes, fps = run_sequence_sot(driver, seq, result_dir)
+        results[seq.name] = boxes
+        if verbose:
+            print(f"[{i + 1}/{n}] {seq.name}: {len(boxes)} frames, {fps:.1f} FPS")
+    return results
+
+
+def run_sequence_vos(driver, seq: Sequence, result_dir: str | None = None):
+    """Run one VOS sequence from its first-frame annotation; writes indexed
+    PNGs (the DAVIS submission format) when result_dir is given."""
+    img0 = cv2.imread(seq.frames[0])
+    mask0 = cv2.imread(seq.masks[0], cv2.IMREAD_GRAYSCALE)
+    driver.initialize(img0, mask0)
+    masks = [mask0]
+    for path in seq.frames[1:]:
+        img = cv2.imread(path)
+        mask, _ = driver.track(img)
+        masks.append(mask if mask is not None else np.zeros_like(mask0))
+    if result_dir:
+        out_dir = os.path.join(result_dir, seq.name)
+        os.makedirs(out_dir, exist_ok=True)
+        for path, m in zip(seq.frames, masks):
+            name = os.path.splitext(os.path.basename(path))[0] + ".png"
+            cv2.imwrite(os.path.join(out_dir, name), m.astype(np.uint8))
+    return masks
