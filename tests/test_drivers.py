@@ -1,0 +1,53 @@
+"""End-to-end driver tests (tiny model, CPU): SOT tracking and VOS mask
+propagation through the public driver APIs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unicorn_tpu.drivers.sot import SOTDriver
+from unicorn_tpu.drivers.vos import VOSDriver
+from unicorn_tpu.models.unicorn import Unicorn
+
+H = W = 64
+
+
+def _model_params(use_mask=False):
+    model = Unicorn(num_classes=1, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False,
+                    use_mask=use_mask)
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame, method=Unicorn.init_all)
+    return model, params
+
+
+def test_sot_driver_tracks():
+    model, params = _model_params()
+    driver = SOTDriver(model, params, input_size=(H, W), conf_thre=0.0)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+    driver.initialize(img, [10, 10, 20, 20])
+    for _ in range(3):
+        out = driver.track((rng.rand(48, 56, 3) * 255).astype(np.uint8))
+    box = out["target_bbox"]
+    assert len(box) == 4
+    assert all(np.isfinite(box))
+    assert box[2] > 0 and box[3] > 0
+
+
+def test_vos_driver_masks():
+    model, params = _model_params(use_mask=True)
+    driver = VOSDriver(model, params, input_size=(H, W), max_objects=3,
+                       conf_thre=0.0)
+    rng = np.random.RandomState(1)
+    img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+    mask = np.zeros((48, 56), np.uint8)
+    mask[5:20, 5:20] = 1
+    mask[25:40, 30:50] = 2
+    driver.initialize(img, mask)
+    assert driver.obj_ids == [1, 2]
+    out_mask, boxes = driver.track((rng.rand(48, 56, 3) * 255).astype(np.uint8))
+    assert out_mask is not None
+    assert out_mask.shape == mask.shape
+    assert set(np.unique(out_mask)) <= {0, 1, 2}

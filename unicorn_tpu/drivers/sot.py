@@ -45,7 +45,7 @@ class SOTDriver:
             return feat16, lbs.reshape(1, 1, (H // 8) * (W // 8))
 
         def track_fn(params, feat_ref, lbs_ref, frame):
-            from ..ops.correlation import correlation_propagate
+            from ..ops.pallas_correlation import correlation_propagate_auto
 
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
@@ -56,7 +56,7 @@ class SOTDriver:
             emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
             emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
             b, h8, w8, c = emb_cur.shape
-            prior = correlation_propagate(
+            prior = correlation_propagate_auto(
                 emb_ref.reshape(b, h8 * w8, c).astype(jnp.float32),
                 emb_cur.reshape(b, h8 * w8, c).astype(jnp.float32),
                 lbs_ref,

@@ -50,7 +50,7 @@ class VOSDriver:
             return feat16, lbs.reshape(1, K, H8 * W8)
 
         def track_fn(params, feat_ref, lbs_ref, frame):
-            from ..ops.correlation import correlation_propagate
+            from ..ops.pallas_correlation import correlation_propagate_auto
 
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
@@ -61,7 +61,7 @@ class VOSDriver:
             emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
             emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
             b, h8, w8, c = emb_cur.shape
-            priors_k = correlation_propagate(
+            priors_k = correlation_propagate_auto(
                 emb_ref.reshape(1, h8 * w8, c).astype(jnp.float32),
                 emb_cur.reshape(1, h8 * w8, c).astype(jnp.float32),
                 lbs_ref,

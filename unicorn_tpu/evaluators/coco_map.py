@@ -78,27 +78,44 @@ def _evaluate_img(dts, gts, ious, area_rng):
     gt_ig = gt_ig[g_order]
     ious = ious[:, g_order] if ious.size else ious
 
-    dt_m = np.zeros((T, D), dtype=np.int64) - 1
-    gt_m = np.zeros((T, G), dtype=np.int64) - 1
-    dt_ig = np.zeros((T, D), bool)
-    for t, thr in enumerate(IOU_THRS):
-        for di in range(D):
-            iou = min(thr, 1 - 1e-10)
-            m = -1
-            for gi in range(G):
-                if gt_m[t, gi] >= 0 and not gts[g_order[gi]].get("iscrowd", 0):
+    iscrowd_sorted = np.array(
+        [gts[g_order[gi]].get("iscrowd", 0) == 1 for gi in range(G)], bool)
+
+    native = None
+    if D and G:
+        try:
+            from ..csrc.bindings import evaluate_img_native
+
+            native = evaluate_img_native(ious, gt_ig, iscrowd_sorted, IOU_THRS)
+        except Exception:
+            native = None
+    if native is not None:
+        dt_m_sorted, dt_ig = native
+        dt_m = np.where(dt_m_sorted >= 0,
+                        np.asarray(g_order)[np.clip(dt_m_sorted, 0, G - 1)]
+                        if G else dt_m_sorted, -1)
+    else:
+        dt_m = np.zeros((T, D), dtype=np.int64) - 1
+        gt_m = np.zeros((T, G), dtype=np.int64) - 1
+        dt_ig = np.zeros((T, D), bool)
+        for t, thr in enumerate(IOU_THRS):
+            for di in range(D):
+                iou = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(G):
+                    if gt_m[t, gi] >= 0 and not iscrowd_sorted[gi]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                        break  # best non-ignored match found; rest are ignored
+                    if ious[di, gi] < iou:
+                        continue
+                    iou = ious[di, gi]
+                    m = gi
+                if m == -1:
                     continue
-                if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                    break  # best non-ignored match found; rest are ignored
-                if ious[di, gi] < iou:
-                    continue
-                iou = ious[di, gi]
-                m = gi
-            if m == -1:
-                continue
-            dt_ig[t, di] = gt_ig[m]
-            dt_m[t, di] = g_order[m]
-            gt_m[t, m] = di
+                dt_ig[t, di] = gt_ig[m]
+                dt_m[t, di] = g_order[m]
+                gt_m[t, m] = di
     # unmatched dets outside area range are ignored
     d_areas = np.array([d["area"] for d in dts])
     d_out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
