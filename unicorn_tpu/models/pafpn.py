@@ -31,6 +31,10 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32):
             "convnext_large": convnext_large,
         }[name]
         return fn(dtype=dtype), CONVNEXT_OUT_CHANNELS[name]
+    if name.startswith("swin"):
+        from .swin import SWIN_OUT_CHANNELS, swin_tiny
+
+        return swin_tiny(dtype=dtype), SWIN_OUT_CHANNELS["swin_tiny"]
     if name == "resnet50":
         return ResNet50(dtype=dtype), (512, 1024, 2048)
     if name == "csp_darknet":
