@@ -77,3 +77,19 @@ def test_mosaic_detection():
     assert img2.shape == (128, 128, 3)
     n_valid = (np.abs(labels2).sum(1) > 0).sum()
     assert n_valid == 1
+
+
+def test_letterbox_device_matches_host():
+    import jax.numpy as jnp
+
+    from unicorn_tpu.ops.letterbox import letterbox_device
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(100, 200, 3) * 255).astype(np.uint8)
+    host, r_host = letterbox(img, (128, 128))
+    dev, r_dev = letterbox_device(jnp.asarray(img), (100, 200), (128, 128))
+    assert abs(r_host - r_dev) < 1e-9
+    # padding identical, content within rounding of cv2's uint8 quantization
+    np.testing.assert_allclose(np.asarray(dev)[70:], host[70:])
+    diff = np.abs(np.asarray(dev)[:64] - host[:64])
+    assert diff.mean() < 1.0 and diff.max() <= 2.0

@@ -59,7 +59,11 @@ class OmniDatasetPlus:
         self.cur_task = 2 if self.cur_task == 1 else 1
 
     def pull_item(self, index):
-        if self.mode == "joint":
+        if self.sot_dataset is None:       # MOT-only ablation
+            task = 2
+        elif self.mot_dataset is None:     # SOT-only ablation
+            task = 1
+        elif self.mode == "joint":
             task = 2 if random.random() < self.mot_weight else 1
         else:
             task = self.cur_task

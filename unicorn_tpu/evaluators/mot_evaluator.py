@@ -152,6 +152,98 @@ class MOTEvaluator:
         return dict(all_results)
 
     # ------------------------------------------------------------------
+    # QDTrack + CondInst masks (MOTS; mot_evaluator.py:702-922)
+    # ------------------------------------------------------------------
+    def evaluate_omni_mots(self, whole_mask_fn, embed_fn, params, dataset=None,
+                           qd_params=None, mask_thres: float = 0.3,
+                           result_dir=None, max_frames=None):
+        """MOTS path: detection + embeddings + per-instance dynamic-conv
+        masks; overlapping masks resolved by score order (higher score wins a
+        pixel); writes MOTS-challenge txt (frame, id+class*1000, class, h, w,
+        RLE) when result_dir is given.
+
+        whole_mask_fn(params, frame) -> (dets (K,7), valid, feat_s16,
+                                         masks (K, Hm, Wm) sigmoid scores)
+        """
+        import cv2
+        import jax.numpy as jnp
+
+        from . import rle as rle_codec
+
+        dataset = dataset or self.dataset
+        img_size = dataset.img_size
+        qd_params = qd_params or {}
+        all_results = defaultdict(list)
+        tracker = None
+        cur_video = None
+        feat_prev = None
+        n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
+        txt_rows = defaultdict(list)
+        for i in range(n):
+            img, _, info, _ = dataset.pull_item(i) if hasattr(dataset, "pull_item") \
+                else dataset[i]
+            h, w, frame_id, video_id, file_name = info
+            video_name = file_name.split("/")[0]
+            if video_name != cur_video:
+                cur_video = video_name
+                tracker = QuasiDenseEmbedTracker(**qd_params)
+                feat_prev = None
+            from ..data.preproc import letterbox
+
+            padded, r = letterbox(img, img_size)
+            frame = jnp.asarray(padded[None])
+            dets, valid, feat_cur, masks = whole_mask_fn(params, frame)
+            dets = np.asarray(dets)[np.asarray(valid)]
+            masks = np.asarray(masks)[np.asarray(valid)]
+            if feat_prev is None:
+                feat_prev = feat_cur
+            if len(dets):
+                centers = (dets[:, :2] + dets[:, 2:4]) / 2
+                embeds = np.asarray(embed_fn(params, feat_prev, feat_cur,
+                                             jnp.asarray(centers)))
+                bboxes5 = np.concatenate(
+                    [dets[:, :4] / r, (dets[:, 4] * dets[:, 5])[:, None]], 1)
+                bboxes, labels, ids = tracker.match(
+                    bboxes5, dets[:, 6].astype(int), embeds, frame_id)
+                keep = ids > -1
+                # overlap-free merge in score order (rows already sorted)
+                kept_masks = []
+                occupied = None
+                Hm, Wm = masks.shape[1:]
+                for k in np.flatnonzero(keep):
+                    m = masks[min(k, len(masks) - 1)] > mask_thres
+                    if occupied is None:
+                        occupied = np.zeros_like(m)
+                    m = m & ~occupied
+                    occupied |= m
+                    kept_masks.append(m)
+                tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1])
+                         for b in bboxes[keep]]
+                all_results[video_name].append(
+                    (frame_id, ids[keep].tolist(), tlwhs,
+                     bboxes[keep][:, 4].tolist()))
+                if result_dir:
+                    for tid, cls, m in zip(ids[keep], labels[keep], kept_masks):
+                        crop_h = int(round(h * r * Hm / img_size[0]))
+                        crop_w = int(round(w * r * Wm / img_size[1]))
+                        m_full = cv2.resize(
+                            m[:max(crop_h, 1), :max(crop_w, 1)].astype(np.uint8),
+                            (w, h), interpolation=cv2.INTER_NEAREST)
+                        enc = rle_codec.encode(m_full)
+                        txt_rows[video_name].append(
+                            f"{frame_id} {2000 + int(tid)} 2 {h} {w} "
+                            f"{enc['counts']}")
+            else:
+                all_results[video_name].append((frame_id, [], [], []))
+            feat_prev = feat_cur
+        if result_dir:
+            os.makedirs(result_dir, exist_ok=True)
+            for vname, rows in txt_rows.items():
+                with open(os.path.join(result_dir, f"{vname}.txt"), "w") as f:
+                    f.write("\n".join(rows) + "\n")
+        return dict(all_results)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def score(results, gts):
         """CLEAR-MOT scoring: results/gts are {video: [(frame_id, ids,

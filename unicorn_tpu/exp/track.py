@@ -169,6 +169,10 @@ class ExpTrack(BaseExp):
                     mot_datasets.append(ds)
             except Exception:
                 pass
+        if self.mot_only:
+            sot_datasets = []
+        if self.sot_only:
+            mot_datasets = []
         sot = OmniDataset(sot_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
             if sot_datasets else None
         mot = OmniDataset(mot_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
