@@ -57,3 +57,31 @@ def test_pallas_correlation_padded_n():
     assert out.shape == (B, K, N)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_vjp_matches_dense_grads():
+    import jax
+
+    from unicorn_tpu.ops.pallas_correlation import (
+        correlation_propagate_pallas_vjp,
+    )
+
+    rng = np.random.RandomState(3)
+    B, N, C, K = 1, 200, 16, 2
+    e0 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    e1 = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    v = jnp.asarray(rng.rand(B, K, N).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, K, N).astype(np.float32))
+
+    def loss_p(e0, e1, v):
+        return jnp.sum(
+            correlation_propagate_pallas_vjp(e0, e1, v, 128, 128, True) * w)
+
+    def loss_d(e0, e1, v):
+        return jnp.sum(correlation_propagate_dense(e0, e1, v) * w)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(e0, e1, v)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(e0, e1, v)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -44,9 +44,11 @@ class SOTDriver:
             lbs = resize_bilinear_torch(lbs_full, H // 8, W // 8)
             return feat16, lbs.reshape(1, 1, (H // 8) * (W // 8))
 
-        def track_fn(params, feat_ref, lbs_ref, frame):
+        def track_fn(params, feat_ref, lbs_ref, frame_u8):
             from ..ops.pallas_correlation import correlation_propagate_auto
 
+            # uint8 -> float on device (4x less H2D traffic than float32)
+            frame = frame_u8.astype(jnp.float32)
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
             new_ref, new_cur = model.apply(
@@ -74,10 +76,10 @@ class SOTDriver:
                 dec, num_classes=1, conf_thre=conf_thre, nms_thre=nms_thre,
                 class_agnostic=True, n_cand=256, max_out=max_inst,
             )
-            return dets[0], valid[0]
+            # pack dets + validity -> ONE D2H fetch per frame
+            return jnp.concatenate(
+                [dets[0], valid[0][:, None].astype(dets.dtype)], axis=1)
 
-        conf_thre_ = conf_thre
-        nms_thre_ = nms_thre
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
         self._jnp = jnp
@@ -85,6 +87,12 @@ class SOTDriver:
         self.feat_ref = None
         self.lbs_ref = None
         self.frame_id = 0
+
+    def _preproc_u8(self, image):
+        """Letterbox on host but keep uint8 — the device casts to float
+        (4x less transfer over the host link)."""
+        img, r = letterbox(image, self.input_size)
+        return self._jnp.asarray(img[None].astype(np.uint8)), r
 
     def _preproc(self, image):
         img, r = letterbox(image, self.input_size)
@@ -104,10 +112,10 @@ class SOTDriver:
     def track(self, image):
         """Returns {"target_bbox": [x, y, w, h]} in original image coords."""
         self.frame_id += 1
-        frame, r = self._preproc(image)
-        dets, valid = self._track_fn(self.params, self.feat_ref,
-                                     self.lbs_ref, frame)
-        dets = np.asarray(dets)[np.asarray(valid)]
+        frame, r = self._preproc_u8(image)
+        packed = np.asarray(self._track_fn(self.params, self.feat_ref,
+                                           self.lbs_ref, frame))
+        dets = packed[packed[:, 7] > 0.5]
         if len(dets):
             boxes = dets[:, :4]
             H, W = self.input_size

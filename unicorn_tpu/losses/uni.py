@@ -170,9 +170,11 @@ def build_sot_priors(embed_0, embed_1, targets, img_size, task_ids=None,
     gt1_full = box_label_map(targets[:, 1, 0, 1:5], H, W)[..., None]
     gt1 = resize_bilinear_torch(gt1_full, H8, W8)
 
+    from ..ops.pallas_correlation import correlation_propagate_train
+
     e0 = embed_0.reshape(B, N, C).astype(jnp.float32)
     e1 = embed_1.reshape(B, N, C).astype(jnp.float32)
-    pred = correlation_propagate(e0, e1, lbs0.reshape(B, 1, N), chunk=chunk)
+    pred = correlation_propagate_train(e0, e1, lbs0.reshape(B, 1, N))
     pred = pred.reshape(B, H8, W8, 1)
     if task_ids is not None:
         pred = pred * (task_ids == 1).astype(pred.dtype)[:, None, None, None]

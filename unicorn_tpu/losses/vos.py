@@ -121,7 +121,9 @@ def vos_loss(
             box_label_map(bx, H, W)[..., None], H8, W8)[..., 0])(boxes0)
     # propagate all K slots in one pass
     C = embed_0.shape[-1]
-    pred = correlation_propagate(
+    from ..ops.pallas_correlation import correlation_propagate_train
+
+    pred = correlation_propagate_train(
         embed_0.reshape(B, N, C).astype(jnp.float32),
         embed_1.reshape(B, N, C).astype(jnp.float32),
         lbs0.reshape(B, K, N),
