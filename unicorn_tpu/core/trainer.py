@@ -114,7 +114,11 @@ class Trainer:
             batch = next(it)
             batch = shard_batch(self.mesh, batch)
             t1 = time.time()
-            if self.exp.task == "uni":
+            if self.exp.task == "uni" and len(batch) == 4:
+                images, targets, task_ids, masks = batch
+                self.state, loss_dict = self.step_fn(
+                    self.state, images, targets, task_ids, masks)
+            elif self.exp.task == "uni":
                 images, targets, task_ids = batch
                 self.state, loss_dict = self.step_fn(
                     self.state, images, targets, task_ids)

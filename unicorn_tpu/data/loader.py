@@ -88,6 +88,37 @@ class UniLoader:
         return self._q.get()
 
 
+class UniMaskLoader(UniLoader):
+    """Mask-stage batches: (images (B,2,H,W,3), targets (B,2,M,6),
+    task_ids (B,), masks (B,2,M,Hm,Wm)). Sub-datasets yield 3-tuples
+    (img, res, masks) per frame; the TrainTransformIns handles mask warps."""
+
+    def _make_batch(self):
+        import numpy as np
+
+        imgs, tgts, tids, mks = [], [], [], []
+        for _ in range(self.batch_size):
+            frames, task = self.dataset.pull_item(0)
+            flip = self._rng.random() < 0.5
+            f_imgs, f_tgts, f_masks = [], [], []
+            for (img, res, masks) in frames:
+                im_t, lab_t, m_t = self.transform(
+                    img, res, masks, self.input_size, joint=True, flip=flip
+                )
+                f_imgs.append(im_t)
+                f_tgts.append(lab_t)
+                f_masks.append(m_t)
+            imgs.append(np.stack(f_imgs))
+            tgts.append(np.stack(f_tgts))
+            mks.append(np.stack(f_masks))
+            tids.append(task)
+        self._count += 1
+        if self.alter_every > 0 and self._count % self.alter_every == 0:
+            self.dataset.alter_task()
+        return (np.stack(imgs), np.stack(tgts),
+                np.asarray(tids, np.int32), np.stack(mks))
+
+
 class DetLoader:
     """Detection batches: (images (B,H,W,3), labels (B,M,5))."""
 

@@ -68,6 +68,66 @@ class ExpTrackMask(ExpTrack):
             tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
         return tx
 
+    def get_dataset(self, vos_datasets=None, mots_datasets=None):
+        """VOS datasets = COCO-MOTS + Saliency + DAVIS + YouTubeVOS; MOTS =
+        BDD-MOTS / COCO-person+MOTS (reference unicorn_track_mask.py:189-220).
+        Missing dataset roots are skipped."""
+        import os
+
+        from ..data.datasets.omni import OmniDataset, OmniDatasetPlus
+        from ..data.datasets.vos import (
+            COCOMOTSDataset,
+            DAVISTrainDataset,
+            SaliencyDataset,
+            YoutubeVOSDataset,
+        )
+        from .det import get_unicorn_datadir
+
+        root = get_unicorn_datadir()
+        if vos_datasets is None:
+            vos_datasets = []
+            for cls, args in ((DAVISTrainDataset, (os.path.join(root, "DAVIS"),)),
+                              (YoutubeVOSDataset, (os.path.join(root, "ytbvos18"),)),
+                              (SaliencyDataset, (os.path.join(root, "saliency"),)),
+                              (COCOMOTSDataset, (os.path.join(root, "coco"),))):
+                try:
+                    ds = cls(*args)
+                    if len(ds):
+                        vos_datasets.append(ds)
+                except Exception:
+                    pass
+        if mots_datasets is None:
+            mots_datasets = []
+            try:
+                ds = COCOMOTSDataset(os.path.join(root, "coco"),
+                                     person_only=True)
+                if len(ds):
+                    mots_datasets.append(ds)
+            except Exception:
+                pass
+        if self.mot_only:
+            vos_datasets = []
+        if self.sot_only:
+            mots_datasets = []
+        vos = OmniDataset(vos_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
+            if vos_datasets else None
+        mots = OmniDataset(mots_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
+            if mots_datasets else None
+        return OmniDatasetPlus(vos, mots, self.samples_per_epoch,
+                               mode=self.train_mode)
+
+    def get_data_loader(self, batch_size, is_distributed=False):
+        from ..data.loader import UniMaskLoader
+        from ..data.transforms import TrainTransformIns
+
+        return UniMaskLoader(
+            self.get_dataset(),
+            TrainTransformIns(max_labels=self.max_labels,
+                              flip_prob=self.flip_prob,
+                              hsv_prob=self.hsv_prob, d_rate=self.d_rate),
+            batch_size, self.input_size, alter_every=self.alter_step,
+        )
+
     def get_train_step(self, batch_size):
         from ..core.train_step import make_uni_mask_train_step
 
