@@ -39,7 +39,7 @@ def main():
     from unicorn_tpu.models.unicorn import Unicorn
 
     H, W = 800, 1280
-    CHUNK = 16
+    CHUNK = 32
     model = Unicorn(
         num_classes=1, backbone_name="convnext_tiny", in_channels=(192, 384, 768),
         interact_mode="deform", n_layer_att=3, dtype=jnp.bfloat16,
@@ -51,7 +51,7 @@ def main():
     pipe = StreamingMOTPipeline(
         model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
         nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
-        match_thresh=0.9,
+        match_thresh=0.9, n_cand=128,
     )
 
     chunks = [

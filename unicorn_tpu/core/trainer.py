@@ -38,7 +38,18 @@ class Trainer:
         os.makedirs(self.output_dir, exist_ok=True)
         self.logger = setup_logger(self.output_dir)
         self.meters = MeterBuffer()
-        self.mesh = make_mesh()
+        # data mesh over the largest device count dividing the batch
+        n_dev = len(jax.devices())
+        while self.batch_size % n_dev != 0:
+            n_dev -= 1
+        if n_dev != len(jax.devices()):
+            self.logger.warning(
+                "batch %d not divisible by %d devices; using %d",
+                self.batch_size, len(jax.devices()), n_dev)
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        self.mesh = Mesh(_np.asarray(jax.devices()[:n_dev]), ("data",))
         self.start_epoch = 0
         self.epoch = 0
         self.iter = 0
@@ -97,14 +108,32 @@ class Trainer:
                 self.logger.info("no checkpoint to resume; starting fresh")
         self.state = replicate_state(self.mesh, state)
         self.loader = exp.get_data_loader(self.batch_size)
-        if exp.task == "uni":
-            self.step_fn = exp.get_train_step(self.batch_size)
-        else:
-            from .train_step import make_det_train_step
+        self._step_fns = {}
+        self.step_fn = self._get_step_fn(self.input_size)
+        # multiscale size list (reference multiscale_range in 32-px steps)
+        rng_steps = int(getattr(exp, "multiscale_range", 0))
+        self.size_list = [
+            (self.input_size[0] + 32 * d,
+             int(round((self.input_size[1] + 32 * d * self.input_size[1]
+                        / self.input_size[0]) / 32)) * 32)
+            for d in range(-rng_steps, rng_steps + 1)
+        ] if rng_steps else [self.input_size]
 
-            self.step_fn = make_det_train_step(
-                self.model, self.input_size,
-                use_l1=getattr(exp, "always_l1", False))
+    def _get_step_fn(self, size):
+        size = tuple(size)
+        if size not in self._step_fns:
+            exp = self.exp
+            if exp.task == "uni":
+                old = exp.input_size
+                exp.input_size = size
+                self._step_fns[size] = exp.get_train_step(self.batch_size)
+                exp.input_size = old
+            else:
+                from .train_step import make_det_train_step
+
+                self._step_fns[size] = make_det_train_step(
+                    self.model, size, use_l1=getattr(exp, "always_l1", False))
+        return self._step_fns[size]
 
     def train_in_epoch(self):
         t_data = t_step = 0.0
@@ -114,6 +143,8 @@ class Trainer:
             batch = next(it)
             batch = shard_batch(self.mesh, batch)
             t1 = time.time()
+            cur_size = tuple(batch[0].shape[-3:-1])
+            self.step_fn = self._get_step_fn(cur_size)
             if self.exp.task == "uni" and len(batch) == 4:
                 images, targets, task_ids, masks = batch
                 self.state, loss_dict = self.step_fn(
@@ -128,6 +159,11 @@ class Trainer:
             t2 = time.time()
             t_data += t1 - t0
             t_step += t2 - t1
+            if (self.iter + 1) % 10 == 0 and len(self.size_list) > 1 and \
+                    hasattr(self.loader, "set_input_size"):
+                import random as _random
+
+                self.loader.set_input_size(_random.choice(self.size_list))
             if (self.iter + 1) % self.exp.print_interval == 0:
                 losses = {k: float(v) for k, v in loss_dict.items()}
                 left = (self.iters_per_epoch - self.iter - 1) \

@@ -35,6 +35,7 @@ class UniLoader:
         self.transform = transform
         self.batch_size = batch_size
         self.input_size = tuple(input_size)
+        self.base_input_size = tuple(input_size)
         self.alter_every = alter_every
         self.prefetch = prefetch
         self._count = 0
@@ -70,6 +71,12 @@ class UniLoader:
                 self._q.put(self._make_batch(), timeout=1.0)
             except queue.Full:
                 continue
+
+    def set_input_size(self, size):
+        """Multiscale training: future batches letterbox to `size` (the
+        reference's random input-resize every 10 iters, trainer.py:449-453;
+        here each distinct size is its own cached XLA compile)."""
+        self.input_size = tuple(size)
 
     def start(self):
         if self._thread is None:

@@ -26,7 +26,8 @@ class StreamingMOTPipeline:
                  num_classes: int = 1, conf_thre: float = 0.1,
                  nms_thre: float = 0.8, max_dets: int = 64,
                  max_tracks: int = 128, track_thresh: float = 0.6,
-                 match_thresh: float = 0.9, chunk: int = 8):
+                 match_thresh: float = 0.9, chunk: int = 8,
+                 n_cand: int = 128):
         import jax
         import jax.numpy as jnp
 
@@ -42,7 +43,7 @@ class StreamingMOTPipeline:
             dets, valid = postprocess_device(
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, class_agnostic=(num_classes == 1),
-                n_cand=256, max_out=max_dets,
+                n_cand=n_cand, max_out=max_dets,
             )
             d = dets[0]
             dets5 = jnp.concatenate(
