@@ -68,3 +68,25 @@ def test_device_postprocess_empty():
         n_cand=300, max_out=128,
     )
     assert not np.asarray(valid).any()
+
+
+def test_cluster_nms_matches_sequential():
+    """Cluster-NMS fixed point == exact sequential greedy NMS."""
+    from unicorn_tpu.ops.nms import nms_fixed
+
+    rng = np.random.RandomState(0)
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n = 64
+        cx = rng.uniform(0, 100, n)
+        cy = rng.uniform(0, 100, n)
+        w = rng.uniform(10, 40, n)
+        h = rng.uniform(10, 40, n)
+        boxes = jnp.asarray(
+            np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1),
+            jnp.float32)
+        scores = jnp.asarray(rng.rand(n).astype(np.float32))
+        k_seq, o_seq = nms_fixed(boxes, scores, 0.5, n)
+        k_cl, o_cl = nms_fixed(boxes, scores, 0.5, n, cluster_iters=16)
+        np.testing.assert_array_equal(np.asarray(k_seq), np.asarray(k_cl))
+        np.testing.assert_array_equal(np.asarray(o_seq), np.asarray(o_cl))

@@ -92,14 +92,90 @@ def convert_crowdhuman(root, split="train"):
     print(f"wrote {out_path}")
 
 
+def convert_mots(root, split="train"):
+    """MOTS-Challenge gt.txt (frame id class_id img_h img_w rle) -> COCO
+    video json with RLE segmentations (reference convert_mots_to_coco.py)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from unicorn_tpu.evaluators import rle as rle_codec
+
+    out = {"images": [], "annotations": [],
+           "categories": [{"id": 1, "name": "pedestrian"}], "videos": []}
+    split_dir = os.path.join(root, split)
+    img_id = ann_id = 1
+    for vid, video in enumerate(sorted(os.listdir(split_dir)), start=1):
+        gt_path = os.path.join(split_dir, video, "gt", "gt.txt")
+        if not os.path.exists(gt_path):
+            continue
+        out["videos"].append({"id": vid, "name": video})
+        frame_to_img = {}
+        rows = [l.split() for l in open(gt_path)]
+        n_frames = max(int(r[0]) for r in rows) if rows else 0
+        h = int(rows[0][3]) if rows else 0
+        w = int(rows[0][4]) if rows else 0
+        for f in range(1, n_frames + 1):
+            out["images"].append({
+                "id": img_id, "video_id": vid, "frame_id": f,
+                "file_name": f"{video}/img1/{f:06d}.jpg",
+                "width": w, "height": h,
+            })
+            frame_to_img[f] = img_id
+            img_id += 1
+        for r in rows:
+            frame, oid, cls = int(r[0]), int(r[1]), int(r[2])
+            if cls != 2:   # pedestrians only (class 2 in MOTS)
+                continue
+            seg = {"size": [int(r[3]), int(r[4])], "counts": r[5]}
+            mask = rle_codec.decode(seg)
+            ys, xs = mask.nonzero()
+            if len(xs) == 0:
+                continue
+            out["annotations"].append({
+                "id": ann_id, "image_id": frame_to_img[frame],
+                "category_id": 1, "track_id": oid % 1000,
+                "bbox": [float(xs.min()), float(ys.min()),
+                         float(xs.max() - xs.min() + 1),
+                         float(ys.max() - ys.min() + 1)],
+                "area": float(mask.sum()), "iscrowd": 0,
+                "segmentation": seg,
+            })
+            ann_id += 1
+    out_path = os.path.join(root, "annotations", f"{split}_mots.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    json.dump(out, open(out_path, "w"))
+    print(f"wrote {out_path}")
+
+
+def convert_cityscapes_like(root, ann_json, split="train"):
+    """CityPersons / ETHZ style: already COCO-ish jsons from the ByteTrack
+    data kit — normalize track_id/video fields for the omni loader."""
+    d = json.load(open(os.path.join(root, ann_json)))
+    for a in d.get("annotations", []):
+        a.setdefault("track_id", -1)
+        a.setdefault("iscrowd", 0)
+    for im in d.get("images", []):
+        im.setdefault("video_id", -1)
+        im.setdefault("frame_id", 0)
+    out_path = os.path.join(root, "annotations", f"{split}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    json.dump(d, open(out_path, "w"))
+    print(f"wrote {out_path}")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("dataset", choices=["mot17", "mot20", "crowdhuman"])
+    p.add_argument("dataset", choices=["mot17", "mot20", "crowdhuman", "mots",
+                                       "cityperson", "ethz"])
     p.add_argument("--root", required=True)
     p.add_argument("--split", default="train")
+    p.add_argument("--ann-json", default=None)
     args = p.parse_args()
     if args.dataset in ("mot17", "mot20"):
         convert_mot(args.root, args.split, mot20=args.dataset == "mot20")
+    elif args.dataset == "mots":
+        convert_mots(args.root, args.split)
+    elif args.dataset in ("cityperson", "ethz"):
+        convert_cityscapes_like(args.root, args.ann_json or "annotations.json",
+                                args.split)
     else:
         convert_crowdhuman(args.root, args.split)
 

@@ -43,7 +43,7 @@ class StreamingMOTPipeline:
             dets, valid = postprocess_device(
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, class_agnostic=(num_classes == 1),
-                n_cand=n_cand, max_out=max_dets,
+                n_cand=n_cand, max_out=max_dets, cluster_iters=8,
             )
             d = dets[0]
             dets5 = jnp.concatenate(

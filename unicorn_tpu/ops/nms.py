@@ -26,33 +26,51 @@ def _iou_matrix_xyxy(boxes):
     return inter / (areas[:, None] + areas[None, :] - inter + 1e-12)
 
 
-def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int):
+def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int,
+              cluster_iters: int = 0):
     """Greedy NMS over the top-n_cand scoring boxes, static shapes.
 
     boxes (A, 4) xyxy, scores (A,). Returns (keep_mask (n_cand,), order
     (n_cand,) indices into the input). Matches torchvision semantics
     (suppress strictly-greater IoU, descending score order).
+
+    cluster_iters > 0 switches to Cluster-NMS (parallel fixed-point
+    iteration: keep <- no higher-scored KEPT box suppresses me), which
+    converges to EXACT greedy NMS in <= suppression-chain-depth iterations
+    (usually < 5) — each iteration is one matmul-shaped reduction instead of
+    n_cand sequential steps. Used by the streaming serving path.
     """
     top_scores, order = jax.lax.top_k(scores, n_cand)
     cand = boxes[order]
     iou = _iou_matrix_xyxy(cand)
-    sup_mat = iou > iou_threshold  # (n, n)
+    upper = jnp.arange(n_cand)[:, None] < jnp.arange(n_cand)[None, :]
+    sup_mat = (iou > iou_threshold) & upper  # i suppresses j (i higher score)
 
-    def body(i, suppressed):
-        keep_i = jnp.logical_not(suppressed[i])
-        row = sup_mat[i] & (jnp.arange(n_cand) > i) & keep_i
-        return suppressed | row
+    if cluster_iters > 0:
+        def body(_, keep):
+            # j survives iff no kept higher-scored i suppresses it
+            return ~jnp.any(sup_mat & keep[:, None], axis=0)
 
-    suppressed = jax.lax.fori_loop(0, n_cand, body, jnp.zeros((n_cand,), bool))
-    keep = (~suppressed) & (top_scores > -jnp.inf)
+        keep = jax.lax.fori_loop(0, cluster_iters, body,
+                                 jnp.ones((n_cand,), bool))
+    else:
+        def body(i, suppressed):
+            keep_i = jnp.logical_not(suppressed[i])
+            return suppressed | (sup_mat[i] & keep_i)
+
+        suppressed = jax.lax.fori_loop(0, n_cand, body,
+                                       jnp.zeros((n_cand,), bool))
+        keep = ~suppressed
+    keep = keep & (top_scores > -jnp.inf)
     return keep, order
 
 
 @partial(jax.jit, static_argnames=("num_classes", "class_agnostic", "n_cand",
-                                   "max_out"))
+                                   "max_out", "cluster_iters"))
 def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
                        nms_thre: float = 0.45, class_agnostic: bool = False,
-                       n_cand: int = 512, max_out: int = 128):
+                       n_cand: int = 512, max_out: int = 128,
+                       cluster_iters: int = 0):
     """Full decode-side postprocess on device (boxes.py:33-79 parity).
 
     prediction: (B, A, 5+C) [cxcywh, obj_sig, cls_sig...].
@@ -82,7 +100,8 @@ def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
             max_coord = jnp.max(jnp.where(valid[:, None], boxes_xyxy, 0.0))
             nms_boxes = boxes_xyxy + cls_id[:, None] * (max_coord + 1.0)
 
-        keep, order = nms_fixed(nms_boxes, score_m, nms_thre, n_cand)
+        keep, order = nms_fixed(nms_boxes, score_m, nms_thre, n_cand,
+                                cluster_iters=cluster_iters)
         keep = keep & (score_m[order] > -jnp.inf)
         # compact kept rows to the front, preserving score order
         rank = jnp.cumsum(keep.astype(jnp.int32)) - 1

@@ -108,25 +108,37 @@ def xyxy_to_xyah(b):
 # ---------------- greedy assignment ----------------------------------------
 
 def greedy_assign(cost, row_valid, col_valid, thresh, n_iter: int):
-    """Iterative global-min greedy assignment.
+    """Global-min greedy assignment via parallel mutual-best elimination.
+
+    Equivalent to repeatedly taking the global minimum (for distinct costs):
+    every (row, col) pair that is both its row's and its column's minimum is
+    matched simultaneously each round — a round is a handful of parallel
+    reductions instead of one sequential argmin per match, so rounds ~ O(chain
+    depth) (typically <= 5) replace n sequential steps.
 
     cost (R, C); returns match_col (R,) int (-1 = unmatched).
     """
     BIG = 1e9
     R, C = cost.shape
     cost = jnp.where(row_valid[:, None] & col_valid[None, :], cost, BIG)
+    n_rounds = min(16, n_iter)
 
     def body(_, carry):
         cost, match = carry
-        flat = jnp.argmin(cost)
-        r, c = flat // C, flat % C
-        ok = cost[r, c] < thresh
-        match = jnp.where(ok, match.at[r].set(c), match)
-        cost = jnp.where(ok, cost.at[r, :].set(BIG).at[:, c].set(BIG), cost)
+        row_min = jnp.min(cost, axis=1, keepdims=True)     # (R, 1)
+        col_min = jnp.min(cost, axis=0, keepdims=True)     # (1, C)
+        mutual = (cost <= row_min) & (cost <= col_min) & (cost < thresh)
+        # break ties inside a row: keep the first mutual col
+        first_c = jnp.argmax(mutual, axis=1)
+        row_has = jnp.any(mutual, axis=1) & (match < 0)
+        match = jnp.where(row_has, first_c.astype(jnp.int32), match)
+        # eliminate matched rows/cols
+        col_taken = jnp.zeros((C,), bool).at[first_c].max(row_has)
+        cost = jnp.where(row_has[:, None] | col_taken[None, :], BIG, cost)
         return cost, match
 
     _, match = jax.lax.fori_loop(
-        0, n_iter, body, (cost, jnp.full((R,), -1, jnp.int32)))
+        0, n_rounds, body, (cost, jnp.full((R,), -1, jnp.int32)))
     return match
 
 
