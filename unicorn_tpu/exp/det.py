@@ -107,7 +107,23 @@ class ExpDet(BaseExp):
     def get_data_loader(self, batch_size, is_distributed=False):
         from ..data.loader import DetLoader
 
-        return DetLoader(self.get_dataset(), batch_size)
+        dataset = self.get_dataset()
+        if self.mosaic_prob > 0:
+            from ..data.mosaic import MosaicDetection
+            from ..data.transforms import TrainTransform
+
+            dataset = MosaicDetection(
+                dataset,  # mosaic pulls raw items via pull_item
+                img_size=self.input_size,
+                preproc=TrainTransform(max_labels=self.max_labels,
+                                       flip_prob=self.flip_prob,
+                                       hsv_prob=self.hsv_prob),
+                mosaic_prob=self.mosaic_prob, mixup_prob=self.mixup_prob,
+                degrees=self.degrees, translate=self.translate,
+                mosaic_scale=self.mosaic_scale, mixup_scale=self.mixup_scale,
+                shear=self.shear, enable_mixup=self.enable_mixup,
+            )
+        return DetLoader(dataset, batch_size)
 
     def get_lr_fn(self, batch_size, iters_per_epoch):
         from ..core.schedule import yolox_warm_cos_lr

@@ -22,7 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _corr_kernel(e0_ref, e1_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
-                 *, n_i_blocks: int, block_i: int, n_valid: int):
+                 *, n_i_blocks: int, block_i: int, n_valid: int,
+                 bf16_dots: bool = False):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -34,6 +35,11 @@ def _corr_kernel(e0_ref, e1_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
     e0 = e0_ref[...]            # (BI, C)
     e1 = e1_ref[...]            # (BJ, C)
     v = v_ref[...]              # (K, BI)
+    if bf16_dots:
+        # inference-mode precision, mirroring the reference's fp16
+        # correlation (unicorn_sot.py:94-97); accumulation stays fp32
+        e0 = e0.astype(jnp.bfloat16)
+        e1 = e1.astype(jnp.bfloat16)
 
     s = jax.lax.dot_general(
         e0, e1, (((1,), (1,)), ((), ())),
@@ -61,9 +67,11 @@ def _corr_kernel(e0_ref, e1_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
         out_ref[...] = acc_ref[...] / l_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("block_i", "block_j", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_i", "block_j", "interpret",
+                                             "bf16_dots"))
 def correlation_propagate_pallas(e0, e1, v, block_i: int = 512,
-                                 block_j: int = 256, interpret: bool = False):
+                                 block_j: int = 256, interpret: bool = False,
+                                 bf16_dots: bool = False):
     """e0 (B, N, C), e1 (B, N, C), v (B, K, N) -> (B, K, N).
 
     N is zero-padded up to a multiple of lcm(block_i, block_j); padded source
@@ -104,7 +112,8 @@ def correlation_propagate_pallas(e0, e1, v, block_i: int = 512,
     )
 
     kernel = functools.partial(_corr_kernel, n_i_blocks=n_i,
-                               block_i=block_i, n_valid=N)
+                               block_i=block_i, n_valid=N,
+                               bf16_dots=bf16_dots)
 
     def one(e0_b, e1_b, v_b):
         return pl.pallas_call(
@@ -136,7 +145,8 @@ def correlation_propagate_auto(e0, e1, v, use_pallas: bool = True):
     if not use_pallas or not on_tpu or N < 256:
         return correlation_propagate(e0, e1, v)
     bi, bj = pick_blocks(N)
-    return correlation_propagate_pallas(e0, e1, v, block_i=bi, block_j=bj)
+    return correlation_propagate_pallas(e0, e1, v, block_i=bi, block_j=bj,
+                                        bf16_dots=True)
 
 
 # ---------------------------------------------------------------------------
