@@ -51,3 +51,20 @@ def test_vos_driver_masks():
     assert out_mask is not None
     assert out_mask.shape == mask.shape
     assert set(np.unique(out_mask)) <= {0, 1, 2}
+
+
+def test_sot_track_window_matches_sequential():
+    model, params = _model_params()
+    rng = np.random.RandomState(2)
+    imgs = [(rng.rand(48, 56, 3) * 255).astype(np.uint8) for _ in range(5)]
+    init = [10, 10, 20, 20]
+
+    d1 = SOTDriver(model, params, input_size=(H, W), conf_thre=0.0)
+    d1.initialize(imgs[0], init)
+    seq = [d1.track(im)["target_bbox"] for im in imgs[1:]]
+
+    d2 = SOTDriver(model, params, input_size=(H, W), conf_thre=0.0)
+    d2.initialize(imgs[0], init)
+    win = [o["target_bbox"] for o in d2.track_window(imgs[1:], window=3)]
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(win), rtol=1e-4,
+                               atol=1e-3)

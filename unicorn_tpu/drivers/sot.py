@@ -80,8 +80,22 @@ class SOTDriver:
             return jnp.concatenate(
                 [dets[0], valid[0][:, None].astype(dets.dtype)], axis=1)
 
+        def track_batch_fn(params, feat_ref, lbs_ref, frames_u8):
+            """(F, H, W, 3) uint8 -> (F, max_inst, 8) packed dets.
+
+            SOT per-frame computation depends only on the FIXED reference
+            state (feat_ref/lbs_ref), never on previous frames — so whole
+            windows of a video batch through the pipeline at once (the
+            reference processes frame-by-frame, unicorn_sot.py:57-75; the
+            host-side best-box state update happens after the fact).
+            """
+            return jax.vmap(
+                lambda f: track_fn(params, feat_ref, lbs_ref, f[None])
+            )(frames_u8)
+
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
+        self._track_batch_fn = jax.jit(track_batch_fn)
         self._jnp = jnp
         self.state = None
         self.feat_ref = None
@@ -125,3 +139,36 @@ class SOTDriver:
             self.state = [float(best[0]), float(best[1]),
                           float(best[2] - best[0]), float(best[3] - best[1])]
         return {"target_bbox": list(self.state)}
+
+    def track_window(self, images, window: int = 8):
+        """Batched tracking of a list of frames (one fetch per window).
+
+        Exactly equivalent to sequential `track` calls — per-frame compute
+        never reads the previous frame's result. Returns a list of
+        {"target_bbox": ...} per frame.
+        """
+        outs = []
+        for start in range(0, len(images), window):
+            chunk = images[start: start + window]
+            frames, rs = [], []
+            for im in chunk:
+                f, r = self._preproc_u8(im)
+                frames.append(f[0])
+                rs.append(r)
+            packed = np.asarray(self._track_batch_fn(
+                self.params, self.feat_ref, self.lbs_ref,
+                self._jnp.stack(frames)))
+            H, W = self.input_size
+            for k, r in enumerate(rs):
+                self.frame_id += 1
+                dets = packed[k][packed[k][:, 7] > 0.5]
+                if len(dets):
+                    boxes = dets[:, :4]
+                    boxes[:, 0::2] = boxes[:, 0::2].clip(0, W)
+                    boxes[:, 1::2] = boxes[:, 1::2].clip(0, H)
+                    best = boxes[0] / r
+                    self.state = [float(best[0]), float(best[1]),
+                                  float(best[2] - best[0]),
+                                  float(best[3] - best[1])]
+                outs.append({"target_bbox": list(self.state)})
+        return outs

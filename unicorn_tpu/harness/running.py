@@ -16,18 +16,27 @@ import numpy as np
 from .datasets import Sequence
 
 
-def run_sequence_sot(driver, seq: Sequence, result_dir: str | None = None):
-    """Run one SOT sequence; returns (boxes (N, 4) xywh, fps)."""
+def run_sequence_sot(driver, seq: Sequence, result_dir: str | None = None,
+                     window: int = 8):
+    """Run one SOT sequence; returns (boxes (N, 4) xywh, fps).
+
+    Uses the driver's batched `track_window` when available (SOT per-frame
+    compute is reference-state-only, so windows batch losslessly)."""
     frames = seq.frames
     img0 = cv2.imread(frames[0])
     assert img0 is not None, frames[0]
     driver.initialize(img0, seq.init_bbox)
     boxes = [seq.init_bbox]
     t0 = time.time()
-    for path in frames[1:]:
-        img = cv2.imread(path)
-        out = driver.track(img)
-        boxes.append(out["target_bbox"])
+    if hasattr(driver, "track_window") and window > 1:
+        imgs = [cv2.imread(p) for p in frames[1:]]
+        outs = driver.track_window(imgs, window=window)
+        boxes.extend(o["target_bbox"] for o in outs)
+    else:
+        for path in frames[1:]:
+            img = cv2.imread(path)
+            out = driver.track(img)
+            boxes.append(out["target_bbox"])
     fps = max(len(frames) - 1, 1) / max(time.time() - t0, 1e-9)
     boxes = np.asarray(boxes, np.float64)
     if result_dir:
