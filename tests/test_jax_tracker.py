@@ -87,3 +87,29 @@ def test_device_tracker_new_object_midway():
     ids_old = set(outs[4][:, 5].astype(int))
     ids_now = set(outs[8][:, 5].astype(int))
     assert ids_old < ids_now
+
+
+def test_jax_kalman_matches_host():
+    """Vectorized jax Kalman == host numpy KalmanFilter."""
+    from unicorn_tpu.tracker.jax_tracker import (
+        kalman_initiate, kalman_predict, kalman_update,
+    )
+    from unicorn_tpu.tracker.kalman import KalmanFilter
+
+    kf = KalmanFilter()
+    meas = np.array([120.0, 80.0, 0.5, 60.0])
+    m_h, c_h = kf.initiate(meas)
+    m_j, c_j = kalman_initiate(jnp.asarray(meas))
+    np.testing.assert_allclose(np.asarray(m_j), m_h, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_j), c_h, rtol=1e-6)
+
+    m_h, c_h = kf.predict(m_h, c_h)
+    m_j, c_j = kalman_predict(m_j, c_j)
+    np.testing.assert_allclose(np.asarray(m_j), m_h, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_j), c_h, rtol=1e-6)
+
+    z = np.array([124.0, 83.0, 0.52, 61.0])
+    m_h, c_h = kf.update(m_h, c_h, z)
+    m_j, c_j = kalman_update(m_j, c_j, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(m_j), m_h, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_j), c_h, rtol=1e-4, atol=1e-7)

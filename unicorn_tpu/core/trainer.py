@@ -143,6 +143,16 @@ class Trainer:
             batch = next(it)
             batch = shard_batch(self.mesh, batch)
             t1 = time.time()
+            if getattr(self.exp, "debug_only", False) and self.iter == 0:
+                from ..utils.debug_dump import dump_uni_batch
+
+                if self.exp.task == "uni":
+                    dump_uni_batch(os.path.join(self.output_dir, "debug_data"),
+                                   *batch[:3],
+                                   masks=batch[3] if len(batch) == 4 else None)
+                self.logger.info("debug_only: dumped first batch to %s; "
+                                 "stopping", self.output_dir)
+                return
             cur_size = tuple(batch[0].shape[-3:-1])
             self.step_fn = self._get_step_fn(cur_size)
             if self.exp.task == "uni" and len(batch) == 4:

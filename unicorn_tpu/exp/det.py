@@ -67,6 +67,7 @@ class ExpDet(BaseExp):
         self.weight_decay = 5e-2
         self.momentum = 0.9
         self.print_interval = 10
+        self.debug_only = False
         self.eval_interval = 10
         self.use_grad_acc = False
         self.grad_acc_step = 1

@@ -61,6 +61,7 @@ class ExpTrack(BaseExp):
         self.mhs = True
         self.weight_decay = 5e-4
         self.print_interval = 15
+        self.debug_only = False
         self.eval_interval = 10
         self.samples_per_epoch = 200000
         self.always_l1 = True
