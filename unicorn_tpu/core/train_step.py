@@ -7,9 +7,6 @@ one unified head call, masked task losses.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicate_state, shard_batch
+from ..parallel.mesh import replicate_state, shard_batch
 from ..utils.logger import setup_logger
 from ..utils.meters import MeterBuffer
 from .checkpoint import load_checkpoint, save_checkpoint
@@ -76,7 +76,7 @@ class Trainer:
         )
         import jax.numpy as jnp
 
-        from ..models.unicorn import Unicorn, YOLOXDet
+        from ..models.unicorn import Unicorn
 
         if isinstance(self.model, Unicorn):
             params = self.model.init(jax.random.PRNGKey(exp.seed or 0),

@@ -10,8 +10,6 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from typing import Optional
-
 import cv2
 import numpy as np
 

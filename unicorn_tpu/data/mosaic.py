@@ -12,7 +12,7 @@ import random
 import cv2
 import numpy as np
 
-from .transforms import random_perspective, xyxy2cxcywh
+from .transforms import random_perspective
 
 
 def get_mosaic_coordinate(mosaic_index, xc, yc, w, h, input_h, input_w):

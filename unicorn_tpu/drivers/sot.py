@@ -19,7 +19,6 @@ from ..models.heads import decode_for_inference
 from ..models.unicorn import Unicorn
 from ..ops.correlation import box_label_map, resize_bilinear_torch
 from ..ops.nms import postprocess_device
-from ..utils.boxes import xyxy2xywh
 
 
 class SOTDriver:

@@ -11,14 +11,12 @@ embarrassingly parallel over sequences; here it is one pjit program).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 from ..models.heads import decode_for_inference
 from ..models.unicorn import Unicorn
 from ..ops.nms import postprocess_device
-from ..tracker.jax_tracker import TrackState, init_state, tracker_step
+from ..tracker.jax_tracker import init_state, tracker_step
 
 
 class StreamingMOTPipeline:

@@ -5,8 +5,6 @@ difficult-object handling and 07-metric option) + voc_evaluator.py.
 """
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 
 

@@ -148,7 +148,7 @@ class ExpTrack(BaseExp):
         skipped (so partial-data environments still train)."""
         from ..data.datasets.mot import MOTOmniDataset
         from ..data.datasets.omni import OmniDataset, OmniDatasetPlus
-        from ..data.datasets.sot import COCOSOT, Got10k, Lasot, TrackingNet
+        from ..data.datasets.sot import Got10k, Lasot
 
         root = get_unicorn_datadir()
         if sot_datasets is None:

@@ -8,7 +8,7 @@ focal loss head) and unicorn/models/unicorn_head_mask.py:78-87,334-344
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

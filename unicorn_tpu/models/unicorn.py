@@ -9,7 +9,7 @@ re-runs only interaction+upsample+head per frame).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

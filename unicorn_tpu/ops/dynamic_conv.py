@@ -12,8 +12,6 @@ Also: aligned_bilinear (condinst/comm.py:5-27), compute_locations
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 
