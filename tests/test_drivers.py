@@ -68,3 +68,37 @@ def test_sot_track_window_matches_sequential():
     win = [o["target_bbox"] for o in d2.track_window(imgs[1:], window=3)]
     np.testing.assert_allclose(np.asarray(seq), np.asarray(win), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_mot_omni_driver():
+    from unicorn_tpu.drivers.mot import MOTOmniDriver
+
+    model, params = _model_params()
+    driver = MOTOmniDriver(model, params, input_size=(H, W), num_classes=1,
+                           conf_thre=0.0,
+                           qd_params=dict(init_score_thr=0.0,
+                                          obj_score_thr=0.0,
+                                          match_score_thr=0.01))
+    rng = np.random.RandomState(3)
+    for t in range(3):
+        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+        bboxes, labels, ids = driver.update(img)
+        assert len(bboxes) == len(ids) == len(labels)
+        if len(ids):
+            assert (ids >= 0).all()
+    # reset clears tracker + temporal state
+    driver.reset()
+    assert driver.frame_id == 0 and driver.feat_prev is None
+
+
+def test_mot_driver_bytetrack():
+    from unicorn_tpu.drivers.mot import MOTDriver
+
+    model, params = _model_params()
+    driver = MOTDriver(model, params, input_size=(H, W), conf_thre=0.0,
+                       track_thresh=0.01)
+    rng = np.random.RandomState(4)
+    for t in range(3):
+        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+        online = driver.update(img)
+    assert isinstance(online, list)

@@ -35,7 +35,8 @@ class MOTDriver:
         self.params = params
         self._jnp = jnp
 
-        def step(params, frame):
+        def step(params, frame_u8):
+            frame = frame_u8.astype(jnp.float32)  # uint8 upload, cast on chip
             raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
             dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
             return postprocess_device(
@@ -54,7 +55,8 @@ class MOTDriver:
     def update(self, image):
         """image: HWC uint8. Returns list of active tracks (STrack)."""
         img, r = letterbox(image, self.input_size)
-        dets, valid = self._step(self.params, self._jnp.asarray(img[None]))
+        dets, valid = self._step(
+            self.params, self._jnp.asarray(img[None].astype("uint8")))
         dets = np.asarray(dets[0])[np.asarray(valid[0])]
         if len(dets) == 0:
             return self.tracker.update(np.zeros((0, 4)), np.zeros((0,)))
@@ -117,6 +119,13 @@ class MOTOmniDriver:
         self._step = jax.jit(step)
         self.qd_params = qd_params or {}
         self.tracker = QuasiDenseEmbedTracker(**self.qd_params)
+        # stride-16 feature shape for the zero placeholder (first frame)
+        H, W = self.input_size
+        feat_shape = jax.eval_shape(
+            lambda p, x: model.apply(p, x, run_fpn=False,
+                                     method=Unicorn.forward_backbone),
+            params, jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32))
+        self._feat16_shape = (feat_shape.shape, feat_shape.dtype)
         self.feat_prev = None
         self.frame_id = 0
         self._model = model
@@ -132,12 +141,7 @@ class MOTOmniDriver:
         frame = self._jnp.asarray(img[None])
         if self.feat_prev is None:
             # shape-compatible zero feature; has_prev=False selects feat_cur
-            H, W = self.input_size
-            c16 = 384 if len(self._model.in_channels) == 3 else 384
-            self.feat_prev = self._jnp.zeros(
-                (1, H // 16, W // 16, self._model.in_channels[1]),
-                self._jnp.bfloat16 if self._model.dtype == self._jnp.bfloat16
-                else self._jnp.float32)
+            self.feat_prev = self._jnp.zeros(*self._feat16_shape)
             has_prev = self._jnp.asarray(False)
         else:
             has_prev = self._jnp.asarray(True)
