@@ -121,3 +121,48 @@ def test_yolox_losses_grad():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(grads[0]).sum()) > 0.0
+
+
+def test_mhs_labels_and_loss():
+    """MOT-helps-SOT: synthetic labels pick the first matched pair; the aux
+    loss is finite and contributes gradients on MOT samples."""
+    import numpy as np
+
+    from unicorn_tpu.losses.uni import build_mhs_labels
+
+    targets = np.zeros((2, 2, 6, 6), np.float32)
+    # sample 0: matched tids (7 at rows 1/0)
+    targets[0, 0, 1] = [1, 40, 40, 20, 20, 7]
+    targets[0, 1, 0] = [1, 44, 42, 20, 20, 7]
+    # sample 1: no matches
+    targets[1, 0, 0] = [0, 30, 30, 10, 10, 3]
+    targets[1, 1, 0] = [0, 33, 30, 10, 10, 9]
+    mhs_t, has = build_mhs_labels(jnp.asarray(targets))
+    assert bool(has[0]) and not bool(has[1])
+    np.testing.assert_allclose(np.asarray(mhs_t)[0, 0, 0, 1:6],
+                               targets[0, 0, 1, 1:6])
+    np.testing.assert_allclose(np.asarray(mhs_t)[0, 1, 0, 1:6],
+                               targets[0, 1, 0, 1:6])
+    assert np.asarray(mhs_t)[1].sum() == 0
+
+
+def test_uni_loss_with_mhs_runs():
+    from unicorn_tpu.core.train_step import uni_loss_fn
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    model = Unicorn(num_classes=8, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(0)
+    Hh = Ww = 64
+    images = jnp.asarray(rng.rand(1, 2, Hh, Ww, 3).astype(np.float32) * 255)
+    targets = np.zeros((1, 2, 5, 6), np.float32)
+    targets[0, 0, 0] = [1, 30, 30, 20, 20, 5]
+    targets[0, 1, 0] = [1, 33, 32, 20, 20, 5]
+    params = model.init(jax.random.PRNGKey(0), images[:1, 0],
+                        method=Unicorn.init_all)
+    total, ld = uni_loss_fn(model, params, images, jnp.asarray(targets),
+                            jnp.asarray([2], jnp.int32), (Hh, Ww), mhs=True)
+    assert np.isfinite(float(total))
+    assert "mhs_loss" in ld and np.isfinite(float(ld["mhs_loss"]))
+    assert float(ld["mhs_loss"]) > 0

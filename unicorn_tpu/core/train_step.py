@@ -53,25 +53,52 @@ def uni_forward_embeddings(model: Unicorn, params, images):
 
 def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
                 mot_weight=1.0, sot_weight=1.0, bidirect=True, use_l1=False,
-                num_classes=8):
+                num_classes=8, mhs=False, mhs_weight=0.5):
     """Full unified SOT+MOT loss for a (B, 2, ...) batch."""
     fpn_outs_1, embed_0, embed_1 = uni_forward_embeddings(model, params, images)
     pred_prior, gt_lbs1 = build_sot_priors(
         embed_0, embed_1, targets, img_size, task_ids
     )
     H8, W8 = pred_prior.shape[1:3]
-    priors = (
-        pred_prior,
-        resize_bilinear_torch(pred_prior, H8 // 2, W8 // 2),
-        resize_bilinear_torch(pred_prior, H8 // 4, W8 // 4),
-    )
-    head_raw = model.apply(params, fpn_outs_1, priors, method=Unicorn.forward_head)
+
+    def prior_pyramid(p):
+        return (p, resize_bilinear_torch(p, H8 // 2, W8 // 2),
+                resize_bilinear_torch(p, H8 // 4, W8 // 4))
+
+    head_raw = model.apply(params, fpn_outs_1, prior_pyramid(pred_prior),
+                           method=Unicorn.forward_head)
     loss_dict = unicorn_uni_loss(
         head_raw, embed_0, embed_1, pred_prior, gt_lbs1, targets, task_ids,
         img_size, num_classes=num_classes, mot_weight=mot_weight,
         sot_weight=sot_weight, bidirect=bidirect, use_l1=use_l1,
     )
-    return loss_dict["total_loss"], loss_dict
+    total = loss_dict["total_loss"]
+
+    if mhs:
+        # MOT-helps-SOT aux: run the SOT branch on MOT samples with a
+        # synthetic single-instance label pair (unicorn.py:104-119)
+        from ..losses.uni import build_mhs_labels
+
+        mhs_targets, has_pair = build_mhs_labels(targets)
+        mot_mask = (task_ids == 2)
+        mhs_task = jnp.where(mot_mask & has_pair, 1, 0).astype(jnp.int32)
+        mhs_prior, mhs_gt1 = build_sot_priors(
+            embed_0, embed_1, mhs_targets, img_size, mhs_task)
+        mhs_raw = model.apply(params, fpn_outs_1, prior_pyramid(mhs_prior),
+                              method=Unicorn.forward_head)
+        mhs_dict = unicorn_uni_loss(
+            mhs_raw, embed_0, embed_1, mhs_prior, mhs_gt1, mhs_targets,
+            mhs_task, img_size, num_classes=num_classes, use_l1=use_l1,
+        )
+        # reference adds the subset-normalized SOT loss directly
+        # (unicorn.py:119-121); undo the n/B weighting uni_loss applies
+        B = targets.shape[0]
+        n_mhs = jnp.maximum(jnp.sum((mhs_task == 1).astype(jnp.float32)), 1.0)
+        mhs_loss = mhs_dict["total_loss"] * B / n_mhs
+        total = total + mhs_weight * mhs_loss
+        loss_dict["mhs_loss"] = mhs_loss
+        loss_dict["total_loss"] = total
+    return total, loss_dict
 
 
 def make_det_train_step(model, img_size, use_l1=False, donate=True):
@@ -175,12 +202,14 @@ def make_uni_mask_train_step(model, img_size, mot_weight=1.0, bidirect=True,
 
 
 def make_uni_train_step(model, img_size, mot_weight=1.0, sot_weight=1.0,
-                        bidirect=True, use_l1=False, num_classes=8, donate=True):
+                        bidirect=True, use_l1=False, num_classes=8,
+                        mhs=False, mhs_weight=0.5, donate=True):
     def step(state, images, targets, task_ids):
         def loss(params):
             return uni_loss_fn(
                 model, params, images, targets, task_ids, img_size,
                 mot_weight, sot_weight, bidirect, use_l1, num_classes,
+                mhs, mhs_weight,
             )
 
         (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)

@@ -226,7 +226,7 @@ class ExpTrack(BaseExp):
             self.get_model(), self.input_size,
             mot_weight=float(self.mot_weight) if self.scale_all_mot else 1.0,
             bidirect=self.bidirect, use_l1=self.always_l1,
-            num_classes=self.num_classes,
+            num_classes=self.num_classes, mhs=self.mhs,
         )
 
     def get_evaluator(self, batch_size=1):

@@ -86,6 +86,24 @@ def mot_contrastive_loss_single(embed0, embed1, targets, bidirect: bool = True):
     return 0.5 * (loss_row + loss_col)
 
 
+def build_mhs_labels(targets):
+    """MOT-helps-SOT: pick the FIRST track-id-matched instance pair of each
+    sample and make a single-instance SOT label pair out of it
+    (reference's nested matching loop, unicorn.py:104-119).
+
+    targets (B, 2, M, 6) -> (mhs_targets (B, 2, M, 6) with one instance,
+    has_pair (B,) bool)."""
+    from .vos import match_instance_pairs
+
+    idx0, idx1, pv = match_instance_pairs(targets, 1)
+    b_idx = jnp.arange(targets.shape[0])
+    out = jnp.zeros_like(targets)
+    out = out.at[:, 0, 0, 1:6].set(targets[b_idx, 0, idx0[:, 0], 1:6])
+    out = out.at[:, 1, 0, 1:6].set(targets[b_idx, 1, idx1[:, 0], 1:6])
+    has = pv[:, 0]
+    return out * has[:, None, None, None], has
+
+
 def unicorn_uni_loss(
     head_raw,            # per-level raw head outputs (both branches)
     embed_0, embed_1,    # (B, H8, W8, C) stride-8 embedding maps
