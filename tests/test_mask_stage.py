@@ -59,3 +59,32 @@ def test_uni_mask_train_step():
     l0 = jax.tree_util.tree_leaves(state.params)[0]
     l1 = jax.tree_util.tree_leaves(state2.params)[0]
     assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_det_mask_train_step():
+    """Instance-seg stage: det + CondInst mask loss end-to-end."""
+    from unicorn_tpu.core.train_step import make_det_mask_train_step
+    from unicorn_tpu.core.train_state import TrainState, make_optimizer
+    from unicorn_tpu.models.unicorn import YOLOXDet
+
+    model = YOLOXDet(num_classes=5, backbone_name="csp_darknet", depth=0.33,
+                     width=0.25, in_channels=(256, 512, 1024),
+                     use_attention=False, n_layer_att=0, use_mask=True)
+    rng = np.random.RandomState(0)
+    B, Mi, d_rate = 1, 6, 4
+    Hm, Wm = H // d_rate, W // d_rate
+    images = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    labels = np.zeros((B, Mi, 5), np.float32)
+    labels[0, 0] = [1, 30, 30, 20, 20]
+    labels[0, 1] = [3, 45, 40, 16, 16]
+    masks = np.zeros((B, Mi, Hm, Wm), np.float32)
+    masks[0, 0, 5:10, 5:10] = 1
+    masks[0, 1, 9:13, 10:14] = 1
+
+    params = model.init(jax.random.PRNGKey(0), images)
+    tx = make_optimizer(lambda s: 1e-4, kind="sgd")
+    state = TrainState.create(params, tx, use_ema=False)
+    step = make_det_mask_train_step(model, (H, W), donate=False)
+    state2, ld = step(state, images, jnp.asarray(labels), jnp.asarray(masks))
+    assert np.isfinite(float(ld["total_loss"]))
+    assert float(ld["condinst_loss"]) > 0

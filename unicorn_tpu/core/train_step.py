@@ -101,6 +101,56 @@ def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
     return total, loss_dict
 
 
+def det_mask_loss_fn(model, params, images, labels, masks, img_size,
+                     use_l1=False, strides=(8, 16, 32), max_inst=24,
+                     sem_loss_on=False):
+    """Instance-seg stage loss: det losses + CondInst mask dice over
+    SimOTA-matched anchors (reference YOLOXHeadDetMask path,
+    yolo_head_det_mask.py:34-841). masks: (B, M, Hm, Wm)."""
+    from ..losses.mask import condinst_mask_loss, semantic_focal_loss
+
+    out = model.apply(params, images)
+    head_raw, (mask_feats, up_mask, sem_logits) = out
+    flat = flatten_raw_outputs(head_raw, "mot")
+    boxes = decode_boxes(flat["reg_raw"], flat["hw"], strides)
+    xs, ys, ss = level_grids(flat["hw"], strides)
+    loss_dict, assign = yolox_losses(
+        labels, boxes, flat["obj_logits"], flat["cls_logits"], flat["reg_raw"],
+        xs, ys, ss, img_size, use_l1=use_l1,
+    )
+    mask_l = condinst_mask_loss(
+        flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
+        assign.pred_iou, masks, flat["hw"], strides, max_inst=max_inst,
+        up_masks=up_mask,
+    )
+    total = loss_dict["total_loss"] + mask_l
+    loss_dict["condinst_loss"] = mask_l
+    if sem_loss_on and sem_logits is not None:
+        gt_valid = (jnp.sum(labels, axis=2) > 0).astype(jnp.float32)
+        sem_l = semantic_focal_loss(
+            sem_logits, masks, labels[..., 0].astype(jnp.int32), gt_valid,
+            sem_logits.shape[-1])
+        total = total + sem_l
+        loss_dict["sem_loss"] = sem_l
+    loss_dict["total_loss"] = total
+    return total, loss_dict
+
+
+def make_det_mask_train_step(model, img_size, use_l1=False, max_inst=24,
+                             sem_loss_on=False, donate=True):
+    def step(state, images, labels, masks):
+        def loss(params):
+            return det_mask_loss_fn(model, params, images, labels, masks,
+                                    img_size, use_l1, max_inst=max_inst,
+                                    sem_loss_on=sem_loss_on)
+
+        (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, loss_dict
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_det_train_step(model, img_size, use_l1=False, donate=True):
     def step(state, images, labels):
         def loss(params):

@@ -123,7 +123,7 @@ class Trainer:
         size = tuple(size)
         if size not in self._step_fns:
             exp = self.exp
-            if exp.task == "uni":
+            if exp.task in ("uni", "inst") and hasattr(exp, "get_train_step"):
                 old = exp.input_size
                 exp.input_size = size
                 self._step_fns[size] = exp.get_train_step(self.batch_size)
@@ -163,6 +163,10 @@ class Trainer:
                 images, targets, task_ids = batch
                 self.state, loss_dict = self.step_fn(
                     self.state, images, targets, task_ids)
+            elif self.exp.task == "inst":
+                images, labels, masks = batch
+                self.state, loss_dict = self.step_fn(
+                    self.state, images, labels[..., :5], masks)
             else:
                 images, labels = batch
                 self.state, loss_dict = self.step_fn(self.state, images, labels)

@@ -179,3 +179,57 @@ class DetLoader:
 
     def __next__(self):
         return self._q.get()
+
+
+class InstLoader:
+    """Instance-seg batches: (images (B,H,W,3), labels (B,M,6),
+    masks (B,M,Hm,Wm)) from a dataset exposing pull_item_omni (single frame
+    used) + TrainTransformIns."""
+
+    def __init__(self, dataset, transform, batch_size: int, input_size,
+                 prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.transform = transform
+        self.batch_size = batch_size
+        self.input_size = tuple(input_size)
+        self._rng = random.Random(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = None
+        self._stop = threading.Event()
+
+    def set_input_size(self, size):
+        self.input_size = tuple(size)
+
+    def _make_batch(self):
+        imgs, labs, mks = [], [], []
+        for _ in range(self.batch_size):
+            idx = self._rng.randint(0, len(self.dataset) - 1)
+            (img, res, masks) = self.dataset.pull_item_omni(idx, 1)[0]
+            im_t, lab_t, m_t = self.transform(img, res, masks, self.input_size)
+            imgs.append(im_t)
+            labs.append(lab_t)
+            mks.append(m_t)
+        return np.stack(imgs), np.stack(labs), np.stack(mks)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                self._q.put(self._make_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def __iter__(self):
+        self.start()
+        return self
+
+    def __next__(self):
+        return self._q.get()

@@ -51,6 +51,31 @@ class ExpDetMask(ExpDet):
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 
+    def get_data_loader(self, batch_size, is_distributed=False):
+        import os
+
+        from ..data.datasets.vos import COCOMOTSDataset
+        from ..data.loader import InstLoader
+        from ..data.transforms import TrainTransformIns
+        from .det import get_unicorn_datadir
+
+        data_dir = self.data_dir or os.path.join(get_unicorn_datadir(), "coco")
+        dataset = COCOMOTSDataset(data_dir, self.train_ann, self.train_name)
+        return InstLoader(
+            dataset,
+            TrainTransformIns(max_labels=self.max_labels,
+                              flip_prob=self.flip_prob,
+                              hsv_prob=self.hsv_prob, d_rate=self.d_rate),
+            batch_size, self.input_size,
+        )
+
+    def get_train_step(self, batch_size):
+        from ..core.train_step import make_det_mask_train_step
+
+        return make_det_mask_train_step(
+            self.get_model(), self.input_size,
+            use_l1=getattr(self, "always_l1", False))
+
     def get_optimizer(self, batch_size, iters_per_epoch=1000):
         import optax
 
