@@ -1,0 +1,96 @@
+"""COCOEvaluator end-to-end over a synthetic on-disk dataset: a mock forward
+emitting the gt boxes (in letterbox coords) must score AP == 1.0; shifted
+boxes must score lower."""
+import json
+import os
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from unicorn_tpu.data.datasets.coco import COCODataset
+from unicorn_tpu.data.transforms import ValTransform
+from unicorn_tpu.evaluators.coco_evaluator import COCOEvaluator
+
+IMG = (96, 128)  # h, w of the synthetic images
+TEST_SIZE = (64, 64)
+
+
+def _make_dataset(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "annotations"))
+    os.makedirs(os.path.join(root, "val"))
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    gt = {}
+    for i in range(3):
+        name = f"{i:04d}.jpg"
+        cv2.imwrite(os.path.join(root, "val", name),
+                    (rng.rand(*IMG, 3) * 255).astype(np.uint8))
+        images.append({"id": i + 1, "file_name": name,
+                       "width": IMG[1], "height": IMG[0]})
+        boxes = []
+        for k in range(2):
+            x, y = rng.uniform(5, 60), rng.uniform(5, 40)
+            w, h = rng.uniform(15, 35), rng.uniform(15, 30)
+            cat = int(rng.randint(1, 3))
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": cat,
+                "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+            })
+            ann_id += 1
+            boxes.append((x, y, w, h, cat))
+        gt[i] = boxes
+    d = {"images": images, "annotations": annotations,
+         "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}
+    json.dump(d, open(os.path.join(root, "annotations", "val.json"), "w"))
+    ds = COCODataset(root, "val.json", "val", img_size=TEST_SIZE,
+                     preproc=ValTransform())
+    return ds, gt
+
+
+def _mock_forward(gt, shift=0.0):
+    """Returns forward_fn(params, images)->(B, A, 5+2) with dets at the gt
+    boxes (letterbox coords), padded with background anchors."""
+    def forward(params, images):
+        B = images.shape[0]
+        idx = forward.counter
+        outs = []
+        for b in range(B):
+            boxes = gt[idx + b]
+            r = min(TEST_SIZE[0] / IMG[0], TEST_SIZE[1] / IMG[1])
+            rows = np.zeros((8, 7), np.float32)
+            rows[:, 4] = 0.0
+            for k, (x, y, w, h, cat) in enumerate(boxes):
+                cx, cy = (x + w / 2) * r + shift, (y + h / 2) * r
+                rows[k, :4] = [cx, cy, w * r, h * r]
+                rows[k, 4] = 0.95          # obj
+                rows[k, 5 + (cat - 1)] = 0.9
+            outs.append(rows)
+        forward.counter += B
+        return jnp.asarray(np.stack(outs))
+
+    forward.counter = 0
+    return forward
+
+
+def test_perfect_predictions_ap1(tmp_path):
+    ds, gt = _make_dataset(tmp_path)
+    ev = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
+                       num_classes=2, batch_size=1)
+    m = ev.evaluate(_mock_forward(gt), None)
+    assert abs(m["AP"] - 1.0) < 1e-6, m
+    assert abs(m["AP50"] - 1.0) < 1e-6
+
+
+def test_shifted_predictions_lower_ap(tmp_path):
+    ds, gt = _make_dataset(tmp_path)
+    ev = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
+                       num_classes=2, batch_size=1)
+    m = ev.evaluate(_mock_forward(gt, shift=4.0), None)
+    # a 4-letterbox-px shift (~8 px original) degrades localization quality:
+    # strict-IoU thresholds drop while AP50 mostly survives
+    assert m["AP"] < 0.99
+    assert m["AP"] < m["AP50"] + 1e-9
+    assert m["AP50"] > 0.3
