@@ -141,10 +141,12 @@ def simota_assign(
     matching = matching.at[jnp.arange(M)[:, None], top_idx].set(sel.astype(jnp.float32))
 
     # conflict resolution: anchor claimed by >1 gt goes to the min-cost gt
+    # (over ALL gt rows, matching the reference's argmin over the full cost
+    # column, unicorn_head.py:905-908)
     anchor_deg = jnp.sum(matching, axis=0)  # (A,)
     best_gt = jnp.argmin(cost, axis=0)      # (A,)
     onehot_best = jax.nn.one_hot(best_gt, M, axis=0)  # (M, A)
-    matching = jnp.where(anchor_deg[None, :] > 1, onehot_best * (matching > 0).any(axis=0), matching)
+    matching = jnp.where(anchor_deg[None, :] > 1, onehot_best, matching)
 
     fg_mask = jnp.sum(matching, axis=0) > 0
     matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)

@@ -108,10 +108,7 @@ class Bottleneck(nn.Module):
         hidden = int(self.out_channels * self.expansion)
         y = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype)(x)
         conv = DWConv if self.depthwise else BaseConv
-        if self.depthwise:
-            y = conv(self.out_channels, 3, 1, act=self.act, dtype=self.dtype)(y)
-        else:
-            y = conv(self.out_channels, 3, 1, act=self.act, dtype=self.dtype)(y)
+        y = conv(self.out_channels, 3, 1, act=self.act, dtype=self.dtype)(y)
         if self.shortcut and x.shape[-1] == self.out_channels:
             y = y + x
         return y
