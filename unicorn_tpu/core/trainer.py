@@ -180,6 +180,8 @@ class Trainer:
                 self.loader.set_input_size(_random.choice(self.size_list))
             if (self.iter + 1) % self.exp.print_interval == 0:
                 losses = {k: float(v) for k, v in loss_dict.items()}
+                self._log_metrics({"epoch": self.epoch, "iter": self.iter + 1,
+                                   **losses})
                 left = (self.iters_per_epoch - self.iter - 1) \
                     + (self.max_epoch - self.epoch - 1) * self.iters_per_epoch
                 eta = left * (t_step + t_data) / max(self.iter + 1, 1)
@@ -221,9 +223,20 @@ class Trainer:
         metrics = evaluator.evaluate(forward, params, max_images=1000)
         ap = metrics.get("AP", 0.0)
         self.logger.info("eval: %s", metrics)
+        self._log_metrics({"epoch": self.epoch, "eval": True,
+                           **{k: float(v) for k, v in metrics.items()
+                              if isinstance(v, (int, float))}})
         if ap > self.best_ap:
             self.best_ap = ap
             self.save_ckpt("best")
+
+    def _log_metrics(self, record):
+        """Scalar metrics to metrics.jsonl (role of the reference's
+        TensorBoard scalars, trainer.py:359-361)."""
+        import json
+
+        with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def save_ckpt(self, name):
         import jax
