@@ -166,3 +166,28 @@ def test_uni_loss_with_mhs_runs():
     assert np.isfinite(float(total))
     assert "mhs_loss" in ld and np.isfinite(float(ld["mhs_loss"]))
     assert float(ld["mhs_loss"]) > 0
+
+
+def test_head_prior_fusion_modes():
+    """Prior fusion semantics (unicorn_head.py:271-281): 'sum' adds m*beta
+    (beta init 1 -> x+m), 'mul' computes x*m + x; zero prior is a no-op in
+    both modes (the basis for single-head-call mixed-task batches)."""
+    feats = tuple(jnp.ones((1, H // s, W // s, 128)) for s in (8, 16, 32))
+    zero_p = tuple(jnp.zeros((1, H // s, W // s, 1)) for s in (8, 16, 32))
+    one_p = tuple(jnp.ones((1, H // s, W // s, 1)) for s in (8, 16, 32))
+
+    for fuse in ("sum", "mul"):
+        head = UnicornHead(num_classes=2, width=0.5,
+                           in_channels=(256, 512, 1024), sot_branch=False,
+                           use_attention=False, n_layer_att=0,
+                           fuse_method=fuse, learnable_fuse=(fuse == "sum"))
+        params = head.init(jax.random.PRNGKey(0), feats, zero_p)
+        out_zero = head.apply(params, feats, zero_p)
+        out_none = head.apply(params, feats, None)
+        np.testing.assert_allclose(np.asarray(out_zero[0]["reg"]),
+                                   np.asarray(out_none[0]["reg"]), atol=1e-6)
+        out_one = head.apply(params, feats, one_p)
+        diff = np.abs(np.asarray(out_one[0]["reg"])
+                      - np.asarray(out_zero[0]["reg"])).max()
+        # magnitude depends on init-scale towers; just require a real effect
+        assert diff > 1e-6, f"prior had no effect under {fuse}"
