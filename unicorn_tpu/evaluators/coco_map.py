@@ -144,7 +144,12 @@ class COCOMeanAP:
         dt = defaultdict(list)
         for d in detections:
             if "area" not in d:
-                d["area"] = d["bbox"][2] * d["bbox"][3]
+                if "bbox" in d:
+                    d["area"] = d["bbox"][2] * d["bbox"][3]
+                else:  # segm-only result: area from the RLE
+                    from . import rle as rle_codec
+
+                    d["area"] = float(rle_codec.area(d["segmentation"]))
             dt[(d["image_id"], d["category_id"])].append(d)
 
         area_names = list(AREA_RNG.keys())
