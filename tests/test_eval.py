@@ -78,3 +78,30 @@ def test_rle_iou():
     b[2:7] = 1
     i = rle.iou_rle([rle.encode(a)], [rle.encode(b)])
     np.testing.assert_allclose(i[0, 0], 30.0 / 70.0, rtol=1e-6)
+
+
+def test_davis_jf_metrics():
+    from unicorn_tpu.harness.davis_metrics import boundary_f, evaluate_davis, jaccard
+
+    m = np.zeros((40, 50), np.uint8)
+    m[10:30, 15:35] = 1
+    assert jaccard(m, m) == 1.0
+    assert boundary_f(m, m) == 1.0
+    other = np.zeros_like(m)
+    other[0:5, 0:5] = 1
+    assert jaccard(m, other) == 0.0
+    assert boundary_f(m, other) == 0.0
+    # shifted mask: intermediate J, F tolerant to small boundary shifts
+    sh = np.roll(m, 2, axis=1)
+    assert 0.5 < jaccard(m, sh) < 1.0
+    assert boundary_f(m, sh) > 0.5
+
+    # sequence-level: perfect predictions -> J&F 1 (two objects)
+    seq = []
+    for t in range(4):
+        ann = np.zeros((40, 50), np.uint8)
+        ann[5 + t:15 + t, 5:20] = 1
+        ann[25:35, 30 + t:45 + t] = 2
+        seq.append(ann)
+    res = evaluate_davis({"s": [a.copy() for a in seq]}, {"s": seq})
+    assert res["J&F"] == 1.0 and res["n_objects"] == 2
