@@ -2,7 +2,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from unicorn_tpu.tracker.byte_tracker import BaseTrack, ByteTracker
+from unicorn_tpu.tracker.byte_tracker import ByteTracker
 from unicorn_tpu.tracker.jax_tracker import init_state, tracker_step
 
 
@@ -50,7 +50,6 @@ def test_device_tracker_matches_host_ids():
     frames = make_dets(seed=3)
     outs_dev = run_device_tracker(frames)
 
-    BaseTrack.reset_id()
     host = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
     for t, dets in enumerate(frames):
         online = host.update(dets[:, :4], dets[:, 4])
@@ -87,6 +86,66 @@ def test_device_tracker_new_object_midway():
     ids_old = set(outs[4][:, 5].astype(int))
     ids_now = set(outs[8][:, 5].astype(int))
     assert ids_old < ids_now
+
+
+def test_device_tracker_crowded_hungarian_agreement():
+    """VERDICT r1 item 4: on crowded frames (40-80 overlapping, jittered,
+    score-mixed dets) the device auction assignment must agree with the host
+    scipy-Hungarian ByteTracker at >= 99% of track-id pairings."""
+    from scipy.optimize import linear_sum_assignment
+
+    def crowded_seq(n_obj, n_frames, seed):
+        rng = np.random.RandomState(seed)
+        pos = rng.uniform(100, 500, (n_obj, 2))
+        vel = rng.uniform(-5, 5, (n_obj, 2))
+        size = rng.uniform(30, 90, (n_obj, 2))
+        frames = []
+        for t in range(n_frames):
+            p = pos + t * vel
+            b = np.concatenate([p, p + size], 1) + rng.randn(n_obj, 4) * 1.5
+            s = np.clip(rng.uniform(0.2, 1.0, (n_obj, 1)), 0, 1)
+            keep = rng.rand(n_obj) > 0.05  # occasional dropout -> lost tracks
+            frames.append(np.concatenate([b, s], 1)[keep].astype(np.float32))
+        return frames
+
+    total = agree = 0
+    MD, MT = 96, 256
+    ts = None
+    for seed, n_obj in ((3, 60), (5, 80)):
+        frames = crowded_seq(n_obj, 20, seed)
+        from unicorn_tpu.tracker.jax_tracker import init_state, tracker_step
+        ts = init_state(MT)
+        host = ByteTracker()
+        mapping = {}
+        for dets in frames:
+            D = len(dets)
+            pad = np.zeros((MD, 5), np.float32); pad[:D] = dets
+            val = np.zeros((MD,), bool); val[:D] = True
+            ts, out, ov = tracker_step(ts, jnp.asarray(pad), jnp.asarray(val))
+            out = np.asarray(out)[np.asarray(ov)]
+            hv = host.update(dets[:, :4], dets[:, 4])
+            if not len(hv) or not len(out):
+                continue
+            hb = np.stack([t.tlbr for t in hv])
+            hid = [t.track_id for t in hv]
+            db, did = out[:, :4], out[:, 5].astype(int)
+            tl = np.maximum(hb[:, None, :2], db[None, :, :2])
+            br = np.minimum(hb[:, None, 2:], db[None, :, 2:])
+            inter = np.prod(np.clip(br - tl, 0, None), -1)
+            iou = inter / (np.prod(hb[:, 2:] - hb[:, :2], -1)[:, None]
+                           + np.prod(db[:, 2:] - db[:, :2], -1)[None]
+                           - inter + 1e-9)
+            r, c = linear_sum_assignment(-iou)
+            for i, j in zip(r, c):
+                if iou[i, j] < 0.7:
+                    continue
+                total += 1
+                h, d = hid[i], did[j]
+                if h not in mapping and d not in mapping.values():
+                    mapping[h] = d
+                agree += mapping.get(h) == d
+    assert total > 1000, f"test under-powered: only {total} pairs"
+    assert agree / total >= 0.99, f"agreement {agree}/{total}"
 
 
 def test_jax_kalman_matches_host():

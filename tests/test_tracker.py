@@ -2,7 +2,7 @@
 with stable IDs and near-perfect MOTA."""
 import numpy as np
 
-from unicorn_tpu.tracker.byte_tracker import BaseTrack, ByteTracker
+from unicorn_tpu.tracker.byte_tracker import ByteTracker
 from unicorn_tpu.tracker.qd_tracker import QuasiDenseEmbedTracker
 from unicorn_tpu.tracker.matching import linear_assignment
 from unicorn_tpu.evaluators.mot_metrics import MOTAccumulator
@@ -29,8 +29,39 @@ def test_linear_assignment_cost_limit():
     assert len(m2) == 0 and len(ua2) == 2 and len(ub2) == 2
 
 
+def test_linear_assignment_accepts_cost_between_half_and_full_thresh():
+    """lapjv(cost_limit=t) accepts any pair with cost < t — including costs in
+    (t/2, t), which a naive all-t/2 dummy padding rejects."""
+    m, ua, ub = linear_assignment(np.array([[0.7]]), thresh=0.9)
+    assert m.tolist() == [[0, 0]] and not ua and not ub
+    # exactly at the limit -> rejected (lapjv is strict)
+    m2, ua2, ub2 = linear_assignment(np.array([[0.9]]), thresh=0.9)
+    assert len(m2) == 0 and ua2 == (0,) and ub2 == (0,)
+    # mixed: one pair above limit, one below
+    cost = np.array([[0.85, 2.0], [2.0, 0.95]])
+    m3, ua3, ub3 = linear_assignment(cost, thresh=0.9)
+    assert m3.tolist() == [[0, 0]] and ua3 == (1,) and ub3 == (1,)
+
+
+def test_kalman_multi_update_matches_sequential():
+    from unicorn_tpu.tracker.kalman import KalmanFilter
+    kf = KalmanFilter()
+    rng = np.random.RandomState(0)
+    means, covs, meas = [], [], []
+    for i in range(5):
+        m, c = kf.initiate(np.array([100 + 30 * i, 80.0, 0.5, 60 + i]))
+        m, c = kf.predict(m, c)
+        means.append(m); covs.append(c)
+        meas.append(m[:4] + rng.randn(4) * [2, 2, 0.01, 2])
+    means, covs, meas = map(np.stack, (means, covs, meas))
+    bm, bc = kf.multi_update(means, covs, meas)
+    for i in range(5):
+        sm, sc = kf.update(means[i], covs[i], meas[i])
+        np.testing.assert_allclose(bm[i], sm, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(bc[i], sc, rtol=1e-6, atol=1e-10)
+
+
 def test_bytetrack_stable_ids():
-    BaseTrack.reset_id()
     frames = make_synthetic_video()
     tracker = ByteTracker(track_thresh=0.6, track_buffer=30, match_thresh=0.9)
     ids_per_frame = []
@@ -44,7 +75,6 @@ def test_bytetrack_stable_ids():
 
 
 def test_bytetrack_low_score_rescue():
-    BaseTrack.reset_id()
     frames = make_synthetic_video(n_frames=10, n_obj=2, seed=1)
     tracker = ByteTracker(track_thresh=0.6)
     ids = None

@@ -53,7 +53,7 @@ class MOTDriver:
                                              match_thresh=0.9), **kw})
 
     def update(self, image):
-        """image: HWC uint8. Returns list of active tracks (STrack)."""
+        """image: HWC uint8. Returns list of active TrackViews."""
         img, r = letterbox(image, self.input_size)
         dets, valid = self._step(
             self.params, self._jnp.asarray(img[None].astype("uint8")))

@@ -1,6 +1,6 @@
 """Online trackers (reference unicorn/tracker)."""
-from .byte_tracker import ByteTracker, STrack
+from .byte_tracker import ByteTracker, TrackView
 from .qd_tracker import QuasiDenseEmbedTracker
 from .kalman import KalmanFilter
 
-__all__ = ["ByteTracker", "STrack", "QuasiDenseEmbedTracker", "KalmanFilter"]
+__all__ = ["ByteTracker", "TrackView", "QuasiDenseEmbedTracker", "KalmanFilter"]

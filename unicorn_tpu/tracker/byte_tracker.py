@@ -1,305 +1,249 @@
-"""ByteTrack online association (host-side numpy).
+"""Host-side BYTE association over a struct-of-arrays track table.
 
-Reference: unicorn/tracker/basetrack.py:5-56 (state machine) and
-byte_tracker.py:13-296 (STrack + two-stage BYTE association: high-score dets
-matched by Kalman-predicted IoU with score fusion, low-score rescue pass,
-unconfirmed handling, lost-track buffer). Used for the MOT17 eval path
-(SURVEY.md §3.2).
+This is the host twin of the on-device tracker (tracker/jax_tracker.py): the
+tracker state is a dense table of per-track rows (Kalman mean/cov, lifecycle
+state, id, score, frame stamps) and every step is a vectorized numpy pass —
+batched Kalman predict/update, one cost matrix per association stage, scipy
+Hungarian with lapjv cost-limit semantics (matching.linear_assignment).
+
+The *algorithm* is BYTE (Zhang et al. 2021, MIT-licensed; vendored by the
+reference at unicorn/tracker/byte_tracker.py:147-296, which is the behavior
+anchor for MOT17 parity): split detections at track_thresh, associate
+high-score detections to the tracked+lost pool by Kalman-predicted IoU fused
+with detection score, rescue remaining tracked rows with low-score
+detections, give unconfirmed (single-frame) tracks one chance at the leftover
+high-score detections, start new tracks from strong leftovers, expire lost
+rows after a buffer, and de-duplicate tracked-vs-lost overlaps.
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import numpy as np
 
 from . import matching
 from .kalman import KalmanFilter
 
-
-class TrackState:
-    New = 0
-    Tracked = 1
-    Lost = 2
-    Removed = 3
+# lifecycle states of a table row
+TRACKED, LOST = 1, 2
 
 
-class BaseTrack:
-    _count = 0
-
-    track_id = 0
-    is_activated = False
-    state = TrackState.New
-    frame_id = 0
-    start_frame = 0
-
-    @property
-    def end_frame(self):
-        return self.frame_id
-
-    @staticmethod
-    def next_id():
-        BaseTrack._count += 1
-        return BaseTrack._count
-
-    @staticmethod
-    def reset_id():
-        BaseTrack._count = 0
-
-    def mark_lost(self):
-        self.state = TrackState.Lost
-
-    def mark_removed(self):
-        self.state = TrackState.Removed
+class TrackView(NamedTuple):
+    """Per-frame snapshot of one track, returned by ByteTracker.update."""
+    track_id: int
+    score: float
+    tlwh: np.ndarray   # (4,) top-left x, y, w, h
+    tlbr: np.ndarray   # (4,) x1, y1, x2, y2
 
 
-class STrack(BaseTrack):
-    shared_kalman = KalmanFilter()
-
-    def __init__(self, tlwh, score):
-        self._tlwh = np.asarray(tlwh, np.float64)
-        self.kalman_filter = None
-        self.mean, self.covariance = None, None
-        self.is_activated = False
-        self.score = float(score)
-        self.tracklet_len = 0
-
-    def predict(self):
-        mean_state = self.mean.copy()
-        if self.state != TrackState.Tracked:
-            mean_state[7] = 0
-        self.mean, self.covariance = self.kalman_filter.predict(mean_state, self.covariance)
-
-    @staticmethod
-    def multi_predict(stracks):
-        if len(stracks) == 0:
-            return
-        means = np.stack([st.mean.copy() for st in stracks])
-        covs = np.stack([st.covariance for st in stracks])
-        for i, st in enumerate(stracks):
-            if st.state != TrackState.Tracked:
-                means[i][7] = 0
-        means, covs = STrack.shared_kalman.multi_predict(means, covs)
-        for st, m, c in zip(stracks, means, covs):
-            st.mean, st.covariance = m, c
-
-    def activate(self, kalman_filter, frame_id):
-        self.kalman_filter = kalman_filter
-        self.track_id = self.next_id()
-        self.mean, self.covariance = self.kalman_filter.initiate(
-            self.tlwh_to_xyah(self._tlwh))
-        self.tracklet_len = 0
-        self.state = TrackState.Tracked
-        if frame_id == 1:
-            self.is_activated = True
-        self.frame_id = frame_id
-        self.start_frame = frame_id
-
-    def re_activate(self, new_track, frame_id, new_id=False):
-        self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh))
-        self.tracklet_len = 0
-        self.state = TrackState.Tracked
-        self.is_activated = True
-        self.frame_id = frame_id
-        if new_id:
-            self.track_id = self.next_id()
-        self.score = new_track.score
-
-    def update(self, new_track, frame_id):
-        self.frame_id = frame_id
-        self.tracklet_len += 1
-        self.mean, self.covariance = self.kalman_filter.update(
-            self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh))
-        self.state = TrackState.Tracked
-        self.is_activated = True
-        self.score = new_track.score
-
-    @property
-    def tlwh(self):
-        """(top-left x, top-left y, w, h) from the Kalman state."""
-        if self.mean is None:
-            return self._tlwh.copy()
-        ret = self.mean[:4].copy()
-        ret[2] *= ret[3]
-        ret[:2] -= ret[2:] / 2
-        return ret
-
-    @property
-    def tlbr(self):
-        ret = self.tlwh
-        out = ret.copy()
-        out[2:] += out[:2]
-        return out
-
-    @staticmethod
-    def tlwh_to_xyah(tlwh):
-        ret = np.asarray(tlwh, np.float64).copy()
-        ret[:2] += ret[2:] / 2
-        ret[2] /= ret[3]
-        return ret
-
-    def to_xyah(self):
-        return self.tlwh_to_xyah(self.tlwh)
-
-    @staticmethod
-    def tlbr_to_tlwh(tlbr):
-        ret = np.asarray(tlbr, np.float64).copy()
-        ret[2:] -= ret[:2]
-        return ret
-
-    @staticmethod
-    def tlwh_to_tlbr(tlwh):
-        ret = np.asarray(tlwh, np.float64).copy()
-        ret[2:] += ret[:2]
-        return ret
-
-    def __repr__(self):
-        return f"OT_{self.track_id}_({self.start_frame}-{self.end_frame})"
+def _xyxy_to_xyah(boxes: np.ndarray) -> np.ndarray:
+    """(N,4) xyxy -> (N,4) [cx, cy, aspect, h] measurement space."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    return np.stack([
+        (boxes[:, 0] + boxes[:, 2]) / 2,
+        (boxes[:, 1] + boxes[:, 3]) / 2,
+        w / np.maximum(h, 1e-12),
+        h,
+    ], axis=1)
 
 
-def joint_stracks(tlista, tlistb):
-    exists = {t.track_id for t in tlista}
-    return tlista + [t for t in tlistb if t.track_id not in exists]
-
-
-def sub_stracks(tlista, tlistb):
-    ids_b = {t.track_id for t in tlistb}
-    return [t for t in tlista if t.track_id not in ids_b]
-
-
-def remove_duplicate_stracks(stracksa, stracksb):
-    pdist = matching.iou_distance(stracksa, stracksb)
-    pairs = np.where(pdist < 0.15)
-    dupa, dupb = [], []
-    for p, q in zip(*pairs):
-        timep = stracksa[p].frame_id - stracksa[p].start_frame
-        timeq = stracksb[q].frame_id - stracksb[q].start_frame
-        if timep > timeq:
-            dupb.append(q)
-        else:
-            dupa.append(p)
-    resa = [t for i, t in enumerate(stracksa) if i not in dupa]
-    resb = [t for i, t in enumerate(stracksb) if i not in dupb]
-    return resa, resb
+def _mean_to_tlbr(means: np.ndarray) -> np.ndarray:
+    """(N,8) Kalman means (cxcyah…) -> (N,4) xyxy."""
+    cx, cy, a, h = means[:, 0], means[:, 1], means[:, 2], means[:, 3]
+    w = a * h
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
 
 
 class ByteTracker:
-    """BYTE association (byte_tracker.py:147-296).
+    """BYTE association over a row table; one `update` call per frame.
 
-    update(boxes_xyxy, scores, classes) per frame -> list of active STracks.
+    update(boxes_xyxy (N,4), scores (N,)) -> list[TrackView] of the currently
+    activated tracked rows. Track ids are per-instance, starting at 1, and
+    issued in ascending detection order (reference id semantics).
     """
 
     def __init__(self, track_thresh=0.6, track_buffer=30, match_thresh=0.9,
                  frame_rate=30, mot20=False):
-        self.tracked_stracks: list[STrack] = []
-        self.lost_stracks: list[STrack] = []
-        self.removed_stracks: list[STrack] = []
-        self.frame_id = 0
-        self.track_thresh = track_thresh
-        self.match_thresh = match_thresh
-        self.det_thresh = track_thresh + 0.1
-        self.buffer_size = int(frame_rate / 30.0 * track_buffer)
-        self.max_time_lost = self.buffer_size
+        self.track_thresh = float(track_thresh)
+        self.match_thresh = float(match_thresh)
+        self.det_thresh = self.track_thresh + 0.1
+        self.max_time_lost = int(frame_rate / 30.0 * track_buffer)
         self.mot20 = mot20
         self.kalman_filter = KalmanFilter()
 
+        self.frame_id = 0
+        self._next_id = 1
+        # the table: one row per live track (tracked, unconfirmed, or lost)
+        self.mean = np.zeros((0, 8))
+        self.cov = np.zeros((0, 8, 8))
+        self.state = np.zeros((0,), np.int32)
+        self.activated = np.zeros((0,), bool)
+        self.score = np.zeros((0,))
+        self.track_id = np.zeros((0,), np.int64)
+        self.last_frame = np.zeros((0,), np.int64)   # frame of last update
+        self.start_frame = np.zeros((0,), np.int64)
+
+    # -- table helpers -------------------------------------------------------
+
+    def _keep(self, mask: np.ndarray) -> None:
+        """Drop rows where mask is False."""
+        for name in ("mean", "cov", "state", "activated", "score",
+                     "track_id", "last_frame", "start_frame"):
+            setattr(self, name, getattr(self, name)[mask])
+
+    def _append_new(self, boxes: np.ndarray, scores: np.ndarray) -> None:
+        """Initiate one new row per detection (in det order -> ascending ids)."""
+        n = len(boxes)
+        if n == 0:
+            return
+        meas = _xyxy_to_xyah(boxes)
+        means = np.zeros((n, 8))
+        covs = np.zeros((n, 8, 8))
+        for i in range(n):
+            means[i], covs[i] = self.kalman_filter.initiate(meas[i])
+        self.mean = np.concatenate([self.mean, means])
+        self.cov = np.concatenate([self.cov, covs])
+        self.state = np.concatenate(
+            [self.state, np.full(n, TRACKED, np.int32)])
+        # only first-frame tracks are born activated
+        self.activated = np.concatenate(
+            [self.activated, np.full(n, self.frame_id == 1, bool)])
+        self.score = np.concatenate([self.score, scores.astype(np.float64)])
+        ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
+        self._next_id += n
+        self.track_id = np.concatenate([self.track_id, ids])
+        self.last_frame = np.concatenate(
+            [self.last_frame, np.full(n, self.frame_id, np.int64)])
+        self.start_frame = np.concatenate(
+            [self.start_frame, np.full(n, self.frame_id, np.int64)])
+
+    def _record(self, stage: int, rows: np.ndarray, matches: np.ndarray,
+                det_global: np.ndarray) -> None:
+        for r, d in matches:
+            self.last_matches[int(self.track_id[rows[r]])] = \
+                (stage, int(det_global[d]))
+
+    def _match_rows(self, rows: np.ndarray, det_boxes: np.ndarray,
+                    det_scores: np.ndarray, thresh: float, fuse: bool):
+        """One association stage: Hungarian on 1 - IoU (optionally score-fused)
+        between table rows `rows` and the given detections."""
+        cost = 1.0 - matching.inclusive_iou_np(
+            _mean_to_tlbr(self.mean[rows]).astype(np.float32),
+            np.asarray(det_boxes, np.float32))
+        if fuse and not self.mot20:
+            cost = 1.0 - (1.0 - cost) * det_scores[None, :]
+        return matching.linear_assignment(cost, thresh)
+
+    def _apply_matches(self, rows: np.ndarray, matches: np.ndarray,
+                       det_boxes: np.ndarray, det_scores: np.ndarray) -> None:
+        """Batched Kalman update + lifecycle transition for matched rows."""
+        if len(matches) == 0:
+            return
+        r = rows[matches[:, 0]]
+        d = matches[:, 1]
+        meas = _xyxy_to_xyah(det_boxes[d])
+        self.mean[r], self.cov[r] = self.kalman_filter.multi_update(
+            self.mean[r], self.cov[r], meas)
+        self.state[r] = TRACKED
+        self.activated[r] = True
+        self.score[r] = det_scores[d]
+        self.last_frame[r] = self.frame_id
+
+    # -- the per-frame step --------------------------------------------------
+
     def update(self, boxes_xyxy, scores, classes=None):
         self.frame_id += 1
-        activated, refind, lost, removed = [], [], [], []
-
-        boxes_xyxy = np.asarray(boxes_xyxy, np.float64).reshape(-1, 4)
+        boxes = np.asarray(boxes_xyxy, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64).reshape(-1)
+        # per-frame debug trace for parity tests: {track_id: (stage, det_idx)}
+        self.last_matches = {}
 
-        remain_inds = scores > self.track_thresh
-        inds_low = scores > 0.1
-        inds_high = scores < self.track_thresh
-        inds_second = np.logical_and(inds_low, inds_high)
+        high = scores > self.track_thresh
+        low = (scores > 0.1) & (scores < self.track_thresh)
+        dets_high, s_high = boxes[high], scores[high]
+        dets_low, s_low = boxes[low], scores[low]
 
-        dets = boxes_xyxy[remain_inds]
-        dets_second = boxes_xyxy[inds_second]
-        scores_keep = scores[remain_inds]
-        scores_second = scores[inds_second]
+        is_unconf = (self.state == TRACKED) & ~self.activated
+        pool = ((self.state == TRACKED) & self.activated) | (self.state == LOST)
+        pool_rows = np.flatnonzero(pool)
 
-        detections = [STrack(STrack.tlbr_to_tlwh(b), s)
-                      for b, s in zip(dets, scores_keep)]
+        # Kalman predict on the pool (lost rows zero their h-velocity);
+        # unconfirmed rows keep their initiate-time state (reference predicts
+        # only the tracked+lost pool).
+        if len(pool_rows):
+            m = self.mean[pool_rows].copy()
+            m[self.state[pool_rows] == LOST, 7] = 0.0
+            self.mean[pool_rows], self.cov[pool_rows] = \
+                self.kalman_filter.multi_predict(m, self.cov[pool_rows])
 
-        unconfirmed, tracked_stracks = [], []
-        for track in self.tracked_stracks:
-            (tracked_stracks if track.is_activated else unconfirmed).append(track)
+        # stage 1: pool vs high-score dets, score-fused IoU
+        matches, u_track, u_det = self._match_rows(
+            pool_rows, dets_high, s_high, self.match_thresh, fuse=True)
+        self._record(1, pool_rows, matches, np.flatnonzero(high))
+        self._apply_matches(pool_rows, matches, dets_high, s_high)
 
-        # association 1: high-score dets vs tracked+lost, Kalman-IoU
-        strack_pool = joint_stracks(tracked_stracks, self.lost_stracks)
-        STrack.multi_predict(strack_pool)
-        dists = matching.iou_distance(strack_pool, detections)
-        if not self.mot20:
-            dists = matching.fuse_score(dists, detections)
-        matches, u_track, u_detection = matching.linear_assignment(
-            dists, thresh=self.match_thresh)
-        for itracked, idet in matches:
-            track, det = strack_pool[itracked], detections[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
-            else:
-                track.re_activate(det, self.frame_id, new_id=False)
-                refind.append(track)
+        # stage 2: remaining *tracked* pool rows vs low-score dets, plain IoU
+        r_rows = pool_rows[list(u_track)]
+        r_rows = r_rows[self.state[r_rows] == TRACKED]
+        matches2, u_track2, _ = self._match_rows(
+            r_rows, dets_low, s_low, 0.5, fuse=False)
+        self._record(2, r_rows, matches2, np.flatnonzero(low))
+        self._apply_matches(r_rows, matches2, dets_low, s_low)
+        self.state[r_rows[list(u_track2)]] = LOST  # unmatched tracked -> lost
 
-        # association 2: low-score rescue on remaining tracked
-        detections_second = [STrack(STrack.tlbr_to_tlwh(b), s)
-                             for b, s in zip(dets_second, scores_second)]
-        r_tracked = [strack_pool[i] for i in u_track
-                     if strack_pool[i].state == TrackState.Tracked]
-        dists = matching.iou_distance(r_tracked, detections_second)
-        matches, u_track, _ = matching.linear_assignment(dists, thresh=0.5)
-        for itracked, idet in matches:
-            track, det = r_tracked[itracked], detections_second[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
-            else:
-                track.re_activate(det, self.frame_id, new_id=False)
-                refind.append(track)
-        for it in u_track:
-            track = r_tracked[it]
-            if track.state != TrackState.Lost:
-                track.mark_lost()
-                lost.append(track)
+        # stage 3: unconfirmed rows vs leftover high-score dets
+        u_det = np.asarray(u_det, int)
+        unconf_rows = np.flatnonzero(is_unconf)
+        matches3, u_unconf, u_det3 = self._match_rows(
+            unconf_rows, dets_high[u_det], s_high[u_det],
+            0.7, fuse=True)
+        self._record(3, unconf_rows, matches3, np.flatnonzero(high)[u_det])
+        self._apply_matches(unconf_rows, matches3, dets_high[u_det],
+                            s_high[u_det])
 
-        # unconfirmed tracks: one more chance against remaining dets
-        detections = [detections[i] for i in u_detection]
-        dists = matching.iou_distance(unconfirmed, detections)
-        if not self.mot20:
-            dists = matching.fuse_score(dists, detections)
-        matches, u_unconfirmed, u_detection = matching.linear_assignment(
-            dists, thresh=0.7)
-        for itracked, idet in matches:
-            unconfirmed[itracked].update(detections[idet], self.frame_id)
-            activated.append(unconfirmed[itracked])
-        for it in u_unconfirmed:
-            track = unconfirmed[it]
-            track.mark_removed()
-            removed.append(track)
+        # unmatched unconfirmed rows are removed outright
+        remove = np.zeros(len(self.state), bool)
+        remove[unconf_rows[list(u_unconf)]] = True
+        # lost rows past the buffer expire
+        remove |= (self.state == LOST) & \
+            (self.frame_id - self.last_frame > self.max_time_lost)
+        self._keep(~remove)
 
-        # new tracks
-        for inew in u_detection:
-            track = detections[inew]
-            if track.score < self.det_thresh:
-                continue
-            track.activate(self.kalman_filter, self.frame_id)
-            activated.append(track)
+        # new tracks from strong leftover detections (ascending det order)
+        leftover = u_det[list(u_det3)]
+        strong = leftover[s_high[leftover] >= self.det_thresh]
+        strong = np.sort(strong)
+        self._append_new(dets_high[strong], s_high[strong])
 
-        # expire lost
-        for track in self.lost_stracks:
-            if self.frame_id - track.end_frame > self.max_time_lost:
-                track.mark_removed()
-                removed.append(track)
+        # de-duplicate tracked vs lost (IoU > 0.85), keeping the longer-lived
+        self._remove_duplicates()
 
-        self.tracked_stracks = [t for t in self.tracked_stracks
-                                if t.state == TrackState.Tracked]
-        self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
-        self.tracked_stracks = joint_stracks(self.tracked_stracks, refind)
-        self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
-        self.lost_stracks.extend(lost)
-        self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)
-        self.removed_stracks.extend(removed)
-        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
-            self.tracked_stracks, self.lost_stracks)
-        return [t for t in self.tracked_stracks if t.is_activated]
+        out_rows = np.flatnonzero((self.state == TRACKED) & self.activated)
+        tlbr = _mean_to_tlbr(self.mean[out_rows])
+        views = []
+        for k, r in enumerate(out_rows):
+            b = tlbr[k]
+            views.append(TrackView(
+                track_id=int(self.track_id[r]), score=float(self.score[r]),
+                tlwh=np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]]),
+                tlbr=b.copy()))
+        return views
+
+    def _remove_duplicates(self) -> None:
+        """Drop whichever of an overlapping (tracked, lost) pair is younger."""
+        t_rows = np.flatnonzero(self.state == TRACKED)
+        l_rows = np.flatnonzero(self.state == LOST)
+        if len(t_rows) == 0 or len(l_rows) == 0:
+            return
+        dist = 1.0 - matching.inclusive_iou_np(
+            _mean_to_tlbr(self.mean[t_rows]).astype(np.float32),
+            _mean_to_tlbr(self.mean[l_rows]).astype(np.float32))
+        p, q = np.where(dist < 0.15)
+        age_t = self.last_frame[t_rows[p]] - self.start_frame[t_rows[p]]
+        age_l = self.last_frame[l_rows[q]] - self.start_frame[l_rows[q]]
+        remove = np.zeros(len(self.state), bool)
+        remove[t_rows[p[age_t <= age_l]]] = True
+        remove[l_rows[q[age_t > age_l]]] = True
+        self._keep(~remove)

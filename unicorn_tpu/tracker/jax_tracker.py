@@ -7,10 +7,10 @@ carry; one `tracker_step` call consumes one frame's (max_dets, 5) padded
 detections. No host round-trip per frame — the streaming driver fetches
 emitted track outputs in periodic batches (SURVEY.md §7 "inference driver").
 
-Association parity notes vs the reference lapjv matching: we use iterative
-greedy global-minimum assignment, which differs from Hungarian only on
-near-degenerate cost ties; two-stage BYTE logic (high/low split, unconfirmed
-handling, lost buffer) matches byte_tracker.py:161-296.
+Association uses a parallel auction (auction_assign) — the same
+cost-limit-optimal objective as the reference's lapjv — so device/host ID
+agreement holds even on crowded frames; two-stage BYTE logic (high/low split,
+unconfirmed handling, lost buffer) matches byte_tracker.py:161-296.
 """
 from __future__ import annotations
 
@@ -105,7 +105,73 @@ def xyxy_to_xyah(b):
     ], -1)
 
 
-# ---------------- greedy assignment ----------------------------------------
+# ---------------- assignment kernels ----------------------------------------
+
+def auction_assign(cost, row_valid, col_valid, thresh,
+                   eps: float = 2e-5, max_iter: int = 100000):
+    """Optimal assignment with cost-limit via parallel (Jacobi) auction.
+
+    Maximizes sum(thresh - cost) over the matching — the same objective as
+    lapjv(extend_cost=True, cost_limit=thresh) / the host Hungarian
+    (matching.linear_assignment): a pair is worth matching iff cost < thresh.
+    All unassigned rows bid simultaneously each round (two (R,C) reductions),
+    so rounds are parallel-friendly; the while_loop exits as soon as no row
+    can still improve, which on real association matrices (sparse IoU
+    structure) is a few tens of rounds. The result is within n*eps of optimal
+    — well below box-IoU cost resolution. Returns match_col (R,) int32
+    (-1 = unmatched).
+    """
+    NEG = -1e9
+    R, C = cost.shape
+    benefit = jnp.where(row_valid[:, None] & col_valid[None, :],
+                        thresh - cost, NEG)
+
+    def cond(state):
+        it, price, owner = state
+        value = benefit - price[None, :]
+        match = _owner_to_match(owner, R)
+        want = (match < 0) & row_valid & (jnp.max(value, axis=1) > 0)
+        return (it < max_iter) & jnp.any(want)
+
+    def body(state):
+        it, price, owner = state
+        value = benefit - price[None, :]                    # (R, C)
+        match = _owner_to_match(owner, R)
+        j1 = jnp.argmax(value, axis=1)                      # best column
+        v1 = jnp.take_along_axis(value, j1[:, None], 1)[:, 0]
+        # second-best alternative includes "stay unassigned" (value 0) — the
+        # cost-limit dummy; without it a row overbids past the point where
+        # its assignment is worth having at all.
+        v2 = jnp.maximum(
+            jnp.max(value.at[jnp.arange(R), j1].set(NEG), axis=1), 0.0)
+        bidder = (match < 0) & row_valid & (v1 > 0)
+        bid = price[j1] + (v1 - v2) + eps
+        # per-column best bid ((R,C) one-hot keeps it reduction-shaped)
+        bidmat = jnp.where(
+            bidder[:, None] & (j1[:, None] == jnp.arange(C)[None, :]),
+            bid[:, None], NEG)
+        col_best = jnp.max(bidmat, axis=0)                  # (C,)
+        winner = jnp.argmax(bidmat, axis=0).astype(jnp.int32)
+        has_bid = col_best > NEG / 2
+        price = jnp.where(has_bid, col_best, price)
+        owner = jnp.where(has_bid, winner, owner)           # loser is evicted
+        return it + 1, price, owner
+
+    owner0 = jnp.full((C,), -1, jnp.int32)
+    _, _, owner = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((C,)), owner0))
+    return _owner_to_match(owner, R)
+
+
+def _owner_to_match(owner, n_rows):
+    """owner (C,) row-per-column -> match (R,) column-per-row."""
+    C = owner.shape[0]
+    m = jnp.full((n_rows + 1,), -1, jnp.int32)
+    m = m.at[jnp.where(owner >= 0, owner, n_rows)].set(
+        jnp.arange(C, dtype=jnp.int32))
+    return m[:n_rows]
+
+
 
 def greedy_assign(cost, row_valid, col_valid, thresh, n_iter: int):
     """Global-min greedy assignment via parallel mutual-best elimination.
@@ -142,13 +208,19 @@ def greedy_assign(cost, row_valid, col_valid, thresh, n_iter: int):
     return match
 
 
-def iou_xyxy(a, b):
-    """(Ra, 4) x (Rb, 4) -> (Ra, Rb)."""
+def iou_xyxy(a, b, inclusive: bool = False):
+    """(Ra, 4) x (Rb, 4) -> (Ra, Rb).
+
+    inclusive=True uses the +1 inclusive-pixel convention of
+    cython_bbox.bbox_overlaps (the reference's association IoU), matching the
+    host tracker's matching.inclusive_iou_np.
+    """
+    off = 1.0 if inclusive else 0.0
     tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
     br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    inter = jnp.prod(jnp.clip(br - tl, 0, None), -1)
-    area_a = jnp.prod(jnp.clip(a[:, 2:] - a[:, :2], 0, None), -1)
-    area_b = jnp.prod(jnp.clip(b[:, 2:] - b[:, :2], 0, None), -1)
+    inter = jnp.prod(jnp.clip(br - tl + off, 0, None), -1)
+    area_a = jnp.prod(jnp.clip(a[:, 2:] - a[:, :2] + off, 0, None), -1)
+    area_b = jnp.prod(jnp.clip(b[:, 2:] - b[:, :2] + off, 0, None), -1)
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
 
 
@@ -176,8 +248,13 @@ def tracker_step(ts: TrackState, dets, det_valid,
                         ts.mean.at[:, 7].set(0.0), ts.mean)
     mean_p, cov_p = jax.vmap(kalman_predict)(mean_in, ts.cov)
     live = ts.state != S_EMPTY
-    mean_p = jnp.where(live[:, None], mean_p, ts.mean)
-    cov_p = jnp.where(live[:, None, None], cov_p, ts.cov)
+    # only the tracked+lost pool is predicted; unconfirmed slots keep their
+    # initiate-time mean/cov (reference predicts strack_pool only — an
+    # unconfirmed track matched in stage 3 must update from the *un-inflated*
+    # covariance or its posterior drifts from the host tracker's)
+    pool_pred = live & (ts.activated | (ts.state == S_LOST))
+    mean_p = jnp.where(pool_pred[:, None], mean_p, ts.mean)
+    cov_p = jnp.where(pool_pred[:, None, None], cov_p, ts.cov)
 
     scores = dets[:, 4]
     high = det_valid & (scores > track_thresh)
@@ -187,21 +264,21 @@ def tracker_step(ts: TrackState, dets, det_valid,
 
     # --- association 1: activated-or-lost slots vs high dets, fused score ---
     pool1 = live & (ts.activated | (ts.state == S_LOST))
-    iou1 = iou_xyxy(track_boxes, dets[:, :4])
+    iou1 = iou_xyxy(track_boxes, dets[:, :4], inclusive=True)
     cost1 = 1.0 - iou1 * scores[None, :]  # fuse_score (matching.py fuse_score)
-    match1 = greedy_assign(cost1, pool1, high, match_thresh, min(T, D))
+    match1 = auction_assign(cost1, pool1, high, match_thresh)
 
     # --- association 2: remaining TRACKED slots vs low dets, plain IoU ------
     pool2 = live & (ts.state == S_TRACKED) & ts.activated & (match1 < 0)
     cost2 = 1.0 - iou1
-    match2 = greedy_assign(cost2, pool2, low, 0.5, min(T, D))
+    match2 = auction_assign(cost2, pool2, low, 0.5)
 
     # --- association 3: unconfirmed (tracked, not activated) vs leftover ---
     det_used = jnp.zeros((D,), bool)
     det_used = det_used.at[jnp.where(match1 >= 0, match1, 0)].max(match1 >= 0)
     pool3 = live & (ts.state == S_TRACKED) & (~ts.activated)
     cost3 = 1.0 - iou1 * scores[None, :]
-    match3 = greedy_assign(cost3, pool3, high & (~det_used), 0.7, min(T, D))
+    match3 = auction_assign(cost3, pool3, high & (~det_used), 0.7)
 
     match = jnp.where(match1 >= 0, match1,
                       jnp.where(match2 >= 0, match2, match3))
@@ -265,6 +342,19 @@ def tracker_step(ts: TrackState, dets, det_valid,
     n_new = jnp.sum(place.astype(jnp.int32))
     new_ids = ts.next_id + det_rank.astype(jnp.int32)
     track_id = scatter(ts.track_id, new_ids, target_slot, place)
+
+    # --- de-duplicate tracked vs lost (byte_tracker remove_duplicate) -------
+    # overlapping (tracked, lost) slot pairs (IoU > 0.85): the younger of the
+    # pair is dropped, per-pair, matching the host _remove_duplicates marks.
+    boxes_now = mean_to_tlbr(new_mean)
+    is_t = new_state_v == S_TRACKED
+    is_l = new_state_v == S_LOST
+    dup_iou = iou_xyxy(boxes_now, boxes_now, inclusive=True)
+    dup = (dup_iou > 0.85) & is_t[:, None] & is_l[None, :]
+    age = (new_last - start).astype(jnp.int32)
+    drop_t = jnp.any(dup & (age[:, None] <= age[None, :]), axis=1)
+    drop_l = jnp.any(dup & (age[:, None] > age[None, :]), axis=0)
+    new_state_v = jnp.where(drop_t | drop_l, S_EMPTY, new_state_v)
 
     new_ts = TrackState(
         mean=new_mean, cov=new_cov, state=new_state_v,

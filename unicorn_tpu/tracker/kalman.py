@@ -90,6 +90,29 @@ class KalmanFilter:
         new_cov = covariance - kalman_gain @ projected_cov @ kalman_gain.T
         return new_mean, new_cov
 
+    def multi_update(self, means, covariances, measurements):
+        """Vectorized update for N tracks at once.
+
+        means (N,8), covariances (N,8,8), measurements (N,4) -> same shapes.
+        The update matrix is eye(4,8), so the projection is the top-left
+        4x4 block of the covariance and CH^T is its first four columns.
+        """
+        if len(means) == 0:
+            return means, covariances
+        h = means[:, 3]
+        wp = self._std_weight_position
+        std = np.stack([wp * h, wp * h, np.full_like(h, 1e-1), wp * h], axis=1)
+        R = np.zeros((len(means), 4, 4))
+        R[:, np.arange(4), np.arange(4)] = np.square(std)
+        S = covariances[:, :4, :4] + R                       # (N,4,4)
+        CHt = covariances[:, :, :4]                          # (N,8,4)
+        # K = CHt S^-1  via batched solve of S X = CHt^T
+        K = np.linalg.solve(S, CHt.transpose(0, 2, 1)).transpose(0, 2, 1)
+        innovation = measurements - means[:, :4]             # (N,4)
+        new_means = means + (K @ innovation[..., None])[..., 0]
+        new_covs = covariances - K @ S @ K.transpose(0, 2, 1)
+        return new_means, new_covs
+
     def gating_distance(self, mean, covariance, measurements,
                        only_position=False, metric="maha"):
         projected_mean, projected_cov = self.project(mean, covariance)
