@@ -1,0 +1,136 @@
+"""Whole-network numerical parity vs the reference PyTorch Unicorn.
+
+Builds the reference unicorn_track_tiny model (convnext_tiny + deformable
+interaction, GN-converted) on torch-cpu with its pure-torch MSDA
+(unicorn/models/ops/functions/ms_deform_attn_func.py:41-62), converts its
+state_dict through tools/convert_torch_weights.py, and asserts staged
+allclose: backbone/FPN -> pos-emb -> interaction -> upsample -> head (MOT and
+SOT modes, with prior fusion). This turns "parity by construction" into
+"parity by measurement": any drift in layer semantics or the converter fails
+here. (VERDICT r1 item 2.)
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+try:
+    from torch_ref import build_reference_tiny
+except ImportError:  # helper not on path (direct file invocation)
+    from tests.torch_ref import build_reference_tiny
+
+import jax
+import jax.numpy as jnp
+import scipy.special as ss
+
+from tools.convert_torch_weights import convert_state_dict, insert_into_tree
+from unicorn_tpu.models.heads import flatten_raw_outputs
+from unicorn_tpu.models.unicorn import Unicorn
+
+H, W = 96, 160
+STRIDES = (8, 16, 32)
+ATOL = 1e-4   # observed staged diffs are <= ~2e-5 at ref |max| ~4 (fp32 noise)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(torch model, flax model, converted params, np images)."""
+    try:
+        tm = build_reference_tiny(num_classes=8, seed=0)
+    except ImportError as e:
+        pytest.skip(f"reference tree unavailable: {e}")
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    jm = Unicorn(num_classes=8, backbone_name="convnext_tiny",
+                 in_channels=(192, 384, 768), interact_mode="deform",
+                 n_layer_att=3)
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(2, H, W, 3) * 255).astype(np.float32)
+    params = jm.init(jax.random.PRNGKey(0), jnp.asarray(imgs[:1]),
+                     method=Unicorn.init_all)
+
+    mapped, missed = convert_state_dict(sd, depth=1.0)
+    assert not missed, f"unmapped torch keys: {missed[:10]}"
+    params["params"], n_ok, mism = insert_into_tree(params["params"], mapped)
+    assert not mism, f"placement issues: {mism[:10]}"
+    assert n_ok == len(sd)
+    # every flax leaf must be covered (converter is a bijection)
+    flat = jax.tree_util.tree_leaves_with_path(params["params"])
+    paths = {"/".join(str(p.key) for p in path) for path, _ in flat}
+    uncovered = paths - set(mapped)
+    assert not uncovered, f"flax leaves not covered: {sorted(uncovered)[:10]}"
+    return tm, jm, params, imgs
+
+
+def _nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def test_staged_forward_parity(pair):
+    tm, jm, params, imgs = pair
+    tx = [torch.from_numpy(im.transpose(2, 0, 1)[None].copy()) for im in imgs]
+
+    with torch.no_grad():
+        t_fpn0, t_seq0 = tm.forward_backbone(tx[0])
+        _, t_seq1 = tm.forward_backbone(tx[1])
+
+    j_fpn0, j_f16_0 = jm.apply(params, jnp.asarray(imgs[:1]),
+                               method=Unicorn.forward_backbone)
+    _, j_f16_1 = jm.apply(params, jnp.asarray(imgs[1:]),
+                          method=Unicorn.forward_backbone)
+
+    # backbone + FPN
+    for i, (tf, jf) in enumerate(zip(t_fpn0, j_fpn0)):
+        np.testing.assert_allclose(np.asarray(jf), _nhwc(tf),
+                                   atol=ATOL, rtol=1e-3,
+                                   err_msg=f"fpn level {i}")
+    np.testing.assert_allclose(np.asarray(j_f16_0), _nhwc(t_seq0["feat"]),
+                               atol=ATOL, rtol=1e-3, err_msg="feat_s16")
+
+    # learned positional embedding (row/col embed + bilinear resize)
+    j_pos = jm.apply(params, 1, H // 16, W // 16,
+                     method=lambda m, b, h, w: m.pos_emb(b, h, w))
+    np.testing.assert_allclose(np.asarray(j_pos), _nhwc(t_seq0["pos"]),
+                               atol=ATOL, rtol=1e-3, err_msg="pos_emb")
+
+    # deformable interaction (XLA gather vs reference grid_sample MSDA)
+    with torch.no_grad():
+        t_new0, t_new1 = tm.forward_deform_interact(t_seq0, t_seq1)
+    j_new0, j_new1 = jm.apply(params, j_f16_0, j_f16_1,
+                              method=Unicorn.forward_interaction)
+    np.testing.assert_allclose(np.asarray(j_new0), _nhwc(t_new0),
+                               atol=ATOL, rtol=1e-3, err_msg="interact frame0")
+    np.testing.assert_allclose(np.asarray(j_new1), _nhwc(t_new1),
+                               atol=ATOL, rtol=1e-3, err_msg="interact frame1")
+
+    # upsample to the stride-8 embedding map (PixelShuffle path)
+    with torch.no_grad():
+        t_emb = tm.forward_upsample(t_new0)
+    j_emb = jm.apply(params, j_new0, method=Unicorn.forward_upsample)
+    np.testing.assert_allclose(np.asarray(j_emb), _nhwc(t_emb),
+                               atol=ATOL, rtol=1e-3, err_msg="embedding")
+
+    # head: MOT (zero prior) and SOT (random prior pyramid, fused via beta)
+    tm.head.decode_in_inference = False
+    rng = np.random.RandomState(7)
+    priors = [rng.rand(1, 1, H // s, W // s).astype(np.float32)
+              for s in STRIDES]
+    with torch.no_grad():
+        t_mot = tm.head(t_fpn0, [torch.zeros(1, 1, H // s, W // s)
+                                 for s in STRIDES], mode="mot").numpy()
+        t_sot = tm.head(t_fpn0, [torch.from_numpy(p) for p in priors],
+                        mode="sot").numpy()
+
+    j_zero = tuple(jnp.zeros((1, H // s, W // s, 1)) for s in STRIDES)
+    j_rand = tuple(jnp.asarray(p.transpose(0, 2, 3, 1)) for p in priors)
+    for mode, t_out, pri in (("mot", t_mot, j_zero), ("sot", t_sot, j_rand)):
+        raw = jm.apply(params, j_fpn0, pri, method=Unicorn.forward_head)
+        fl = flatten_raw_outputs(raw, mode)
+        j_out = np.concatenate([
+            np.asarray(fl["reg_raw"]),
+            ss.expit(np.asarray(fl["obj_logits"])),
+            ss.expit(np.asarray(fl["cls_logits"])),
+        ], axis=-1)
+        assert j_out.shape == t_out.shape
+        np.testing.assert_allclose(j_out, t_out, atol=ATOL, rtol=1e-3,
+                                   err_msg=f"head {mode}")

@@ -1,0 +1,226 @@
+"""Load the reference PyTorch Unicorn (from /root/reference) on torch-cpu as a
+parity oracle.
+
+The reference package top-level __init__ pulls GPU/eval-only deps (loguru,
+torchvision, timm, easydict, compiled MSDA). We import only the model modules
+through a parent-package shim and stub those deps with minimal equivalents;
+the CUDA deformable-attention op is replaced by the reference's own pure-torch
+`ms_deform_attn_core_pytorch` (unicorn/models/ops/functions/
+ms_deform_attn_func.py:41-62), exactly as its ops test does
+(unicorn/models/ops/test.py:31-61).
+
+Nothing here is imported by the production package; it exists so
+tests/test_torch_parity.py can assert whole-network numerical parity.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+_loaded = {}
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules.setdefault(name, m)
+    return sys.modules[name]
+
+
+def load_reference():
+    """Returns a namespace of reference model classes/builders, or raises
+    ImportError if the reference tree is unavailable."""
+    if _loaded:
+        return _loaded["ns"]
+
+    import os
+
+    if not os.path.isdir(REF_ROOT):
+        raise ImportError(f"reference tree not found at {REF_ROOT}")
+
+    import torch
+
+    # ---- dependency stubs (minimal, eval-time-equivalent) ----
+    class _FakeLogger:
+        def __getattr__(self, k):
+            return lambda *a, **kw: None
+
+    _stub("loguru", logger=_FakeLogger())
+    _stub("MultiScaleDeformableAttention")
+
+    class _DropPath(torch.nn.Module):  # identity at eval / drop_prob=0
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def _to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def _trunc_normal_(t, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            return t.normal_(mean, std).clamp_(a * std, b * std)
+
+    timm = _stub("timm")
+    timm_models = _stub("timm.models")
+    timm_layers = _stub("timm.models.layers", DropPath=_DropPath,
+                        to_2tuple=_to_2tuple, trunc_normal_=_trunc_normal_)
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+
+    class _EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    _stub("easydict", EasyDict=_EasyDict)
+
+    import copy as _copy
+
+    class _CfgNode(dict):  # yacs stand-in (swin config is built but unused)
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            return _copy.deepcopy(self)
+
+        def freeze(self, *a, **kw):
+            pass
+
+        defrost = merge_from_list = merge_from_other_cfg = freeze
+
+    yacs = _stub("yacs")
+    yacs_config = _stub("yacs.config", CfgNode=_CfgNode)
+    yacs.config = yacs_config
+
+    # parent-package shim: unicorn/__init__ pulls torchvision etc.; models/*
+    # only needs unicorn.utils.bboxes_iou (loss path — unused at eval)
+    pkg = types.ModuleType("unicorn")
+    pkg.__path__ = [os.path.join(REF_ROOT, "unicorn")]
+    sys.modules.setdefault("unicorn", pkg)
+    _stub("unicorn.utils", bboxes_iou=None)
+
+    from unicorn.models.ops.functions import ms_deform_attn_func as _f
+    from unicorn.models.ops.modules import ms_deform_attn as _m
+
+    class _PurePyMSDA:
+        """Drop-in for the compiled MSDA autograd Function (forward only)."""
+
+        @staticmethod
+        def apply(value, shapes, start_index, loc, weights, step):
+            return _f.ms_deform_attn_core_pytorch(value, shapes, loc, weights)
+
+    _m.MSDeformAttnFunction = _PurePyMSDA
+
+    # deformable_transformer.py:71 hardcodes device="cuda" for its zero mask;
+    # shim the module's torch binding to redirect that to cpu
+    import unicorn.models.deformable_transformer as _dt
+
+    class _TorchShim:
+        def __getattr__(self, k):
+            return getattr(torch, k)
+
+        @staticmethod
+        def zeros(*a, **kw):
+            if kw.get("device") == "cuda":
+                kw["device"] = "cpu"
+            return torch.zeros(*a, **kw)
+
+    _dt.torch = _TorchShim()
+
+    from unicorn.models.unicorn import Unicorn
+    from unicorn.models.backbone.yolo_pafpn_new import YOLOPAFPNNEW
+    from unicorn.models.unicorn_head import UnicornHead
+    from unicorn.models.deformable_transformer import (
+        build_deforamble_transformer,
+    )
+    from unicorn.models.position_encoding import build_position_encoding
+
+    ns = types.SimpleNamespace(
+        torch=torch,
+        Unicorn=Unicorn,
+        YOLOPAFPNNEW=YOLOPAFPNNEW,
+        UnicornHead=UnicornHead,
+        build_deforamble_transformer=build_deforamble_transformer,
+        build_position_encoding=build_position_encoding,
+    )
+    _loaded["ns"] = ns
+    return ns
+
+
+def convert_bn_to_gn(module, num_groups=16):
+    """Reference exp/unicorn_track.py:450-470 semantics: every BatchNorm2d
+    becomes GroupNorm(num_groups, C, eps=bn.eps) carrying over affine params."""
+    import torch.nn as nn
+
+    mod = module
+    if isinstance(module, nn.modules.batchnorm._BatchNorm):
+        mod = nn.GroupNorm(num_groups, module.num_features,
+                           eps=module.eps, affine=module.affine)
+        if module.affine:
+            mod.weight.data = module.weight.data.clone().detach()
+            mod.bias.data = module.bias.data.clone().detach()
+    for name, child in module.named_children():
+        mod.add_module(name, convert_bn_to_gn(child, num_groups=num_groups))
+    return mod
+
+
+def build_reference_tiny(num_classes=8, seed=0):
+    """Build the reference unicorn_track_tiny model (convnext_tiny, deform
+    interaction) on CPU, GN-converted, eval mode, deterministic weights.
+
+    Mirrors unicorn/exp/unicorn_track.py:115-193 minus checkpoint loading.
+    """
+    ns = load_reference()
+    torch = ns.torch
+    torch.manual_seed(seed)
+    backbone = ns.YOLOPAFPNNEW(
+        1.0, 1.0, in_channels=[192, 384, 768], act="silu",
+        backbone_name="convnext", use_checkpoint=False)
+    head = ns.UnicornHead(
+        num_classes, 1.0, in_channels=[192, 384, 768], act="silu",
+        use_l1=False, use_attention=True, n_layer_att=3,
+        unshared_obj=True, unshared_reg=True, mot_weight=3,
+        scale_all_mot=True, fuse_method="sum", learnable_fuse=True)
+    transformer = ns.build_deforamble_transformer()
+    pos_embed = ns.build_position_encoding()
+    model = ns.Unicorn(backbone, head, pos_embed, transformer,
+                       bidirect=True, grid_sample=True, mhs=True,
+                       embed_dim=128, scale_all_mot=True, mot_weight=3,
+                       interact_mode="deform")
+
+    import torch.nn as nn
+
+    def init_yolo(M):
+        for m in M.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.eps = 1e-3
+                m.momentum = 0.03
+
+    model.apply(init_yolo)
+    model.head.initialize_biases(1e-2)
+    # randomize every parameter so parity is non-trivial (fresh init leaves
+    # many zeros/constants that would mask transposition bugs)
+    g = torch.Generator().manual_seed(seed + 1)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.add_(0.02 * torch.randn(p.shape, generator=g))
+    model = convert_bn_to_gn(model, num_groups=16)
+    model.eval()
+    return model

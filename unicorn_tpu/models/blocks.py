@@ -26,7 +26,7 @@ def get_activation(name: str = "silu"):
     if name == "lrelu":
         return lambda x: nn.leaky_relu(x, negative_slope=0.1)
     if name == "gelu":
-        return nn.gelu
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(f"Unsupported act type: {name}")
 
 
@@ -40,7 +40,10 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         y = nn.GroupNorm(
             num_groups=min(self.num_groups, x.shape[-1]),
-            epsilon=1e-5,
+            # the reference uni model's GNs come from BN conversion with
+            # bn.eps=1e-3 (exp/unicorn_track.py:121-156) — keep eps identical
+            # for checkpoint parity
+            epsilon=1e-3,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
@@ -225,7 +228,8 @@ class ConvNeXtBlock(nn.Module):
             x.astype(jnp.float32)
         ).astype(self.dtype)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: torch nn.GELU default, needed for checkpoint parity
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

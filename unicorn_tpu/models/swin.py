@@ -131,7 +131,7 @@ class SwinBlock(nn.Module):
                          name="norm2")(x.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(y)
         return x + y
