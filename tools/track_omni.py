@@ -15,6 +15,9 @@ def make_parser():
     p.add_argument("-n", "--name", default=None)
     p.add_argument("-c", "--ckpt", default=None)
     p.add_argument("--mots", action="store_true")
+    p.add_argument("--dataset", default="motchallenge",
+                   choices=["motchallenge", "bdd"],
+                   help="eval set: MOT17-style COCO json or BDD100K scalabel")
     p.add_argument("--mask_thres", type=float, default=0.3)
     p.add_argument("--result-dir", default="track_omni_results")
     p.add_argument("--max-frames", type=int, default=None)
@@ -48,15 +51,44 @@ def main():
         params = model.init(jax.random.PRNGKey(0), dummy,
                             method=Unicorn.init_all)
 
-    dataset = MOTEvalDataset(
-        data_dir=os.path.join(get_unicorn_datadir(), "mot"),
-        json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
-    )
     driver = MOTOmniDriver(model, params, exp.test_size,
                            num_classes=exp.num_classes,
                            conf_thre=exp.test_conf, nms_thre=exp.nmsthre,
                            with_mask=args.mots, mask_thres=args.mask_thres)
 
+    if args.dataset == "bdd":
+        import json
+
+        from unicorn_tpu.data.datasets.bdd import BDDEvalDataset
+        from unicorn_tpu.evaluators.bdd_evaluator import (
+            BDDEvaluator, score_scalabel,
+        )
+
+        dataset = BDDEvalDataset(
+            data_dir=os.path.join(get_unicorn_datadir(), "bdd100k"),
+            split=exp.test_name if exp.test_name != "test" else "val",
+            img_size=exp.test_size)
+        evaluator = BDDEvaluator(dataset, exp.test_size,
+                                 conf_thre=exp.test_conf,
+                                 nms_thre=exp.nmsthre)
+        results, pred_frames = evaluator.evaluate_mot(
+            driver, out_dir=args.result_dir, max_frames=args.max_frames)
+        gt = dataset.gt_frames()
+        if args.max_frames is not None:
+            gt = gt[:args.max_frames]
+        scores = score_scalabel(pred_frames, gt)
+        os.makedirs(args.result_dir, exist_ok=True)
+        json.dump(scores, open(os.path.join(args.result_dir, "scores.json"),
+                               "w"), default=float, indent=1)
+        print(f"BDD {args.dataset}: mMOTA={scores['mMOTA']:.4f} "
+              f"mIDF1={scores['mIDF1']:.4f} over "
+              f"{len(scores['per_class'])} classes")
+        return
+
+    dataset = MOTEvalDataset(
+        data_dir=os.path.join(get_unicorn_datadir(), "mot"),
+        json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
+    )
     results = defaultdict(list)
     cur_video = None
     n = len(dataset) if args.max_frames is None else min(args.max_frames,

@@ -1,10 +1,12 @@
-"""BDD100K evaluator: detection-style inference + scalabel-format dump and
-MOT scoring via the QDTrack driver.
+"""BDD100K evaluator: detection-style inference, scalabel-format dump, MOT
+scoring via the QDTrack driver, and scalabel-protocol mMOTA/mIDF1 scoring.
 
 Reference: unicorn/evaluators/bdd_evaluator.py:30-165 (mmcv bbox.pkl dump)
-and the qdtrack harness (external/qdtrack). Here results are written as
-scalabel-style json (BDD's native format) and CLEAR-MOT is computed with our
-own accumulators when gt is present.
+and the qdtrack harness (external/qdtrack + bdd100k scalabel eval). Here
+results are written as scalabel-style json (BDD's native format) and scored
+with our own CLEAR-MOT accumulators: per-class accumulation across videos,
+mMOTA/mIDF1 = mean over the 8 scored classes (the scalabel `evalMOT`
+protocol), with crowd boxes and unscored categories as ignore regions.
 """
 from __future__ import annotations
 
@@ -16,6 +18,104 @@ import numpy as np
 
 BDD_CLASSES = ("pedestrian", "rider", "car", "truck", "bus", "train",
                "motorcycle", "bicycle")
+_CLS_INDEX = {c: i for i, c in enumerate(BDD_CLASSES)}
+_IGNORE_CATS = ("other person", "other vehicle", "trailer")
+
+
+def _frame_key(frame):
+    return (frame.get("videoName"), frame.get("frameIndex", 0))
+
+
+def _split_gt(frame):
+    """gt scalabel frame -> (per-class {cls: (ids, boxes)}, ignore_boxes)."""
+    per_cls = defaultdict(lambda: ([], []))
+    ignore = []
+    for lab in frame.get("labels") or []:
+        cat = lab.get("category")
+        box = lab.get("box2d")
+        if box is None:
+            continue
+        b = [box["x1"], box["y1"], box["x2"], box["y2"]]
+        crowd = (lab.get("attributes") or {}).get("crowd", False)
+        if cat in _IGNORE_CATS or crowd:
+            ignore.append(b)
+            continue
+        if cat not in _CLS_INDEX:
+            continue
+        ids, boxes = per_cls[_CLS_INDEX[cat]]
+        ids.append(int(lab["id"]))
+        boxes.append(b)
+    return per_cls, np.asarray(ignore, np.float32).reshape(-1, 4)
+
+
+def _drop_ignored(ids, boxes, ignore, iof_thr=0.5):
+    """Remove predictions mostly inside an ignore region (scalabel protocol:
+    intersection-over-foreground > 0.5 vs crowd/unscored boxes)."""
+    if len(boxes) == 0 or len(ignore) == 0:
+        return ids, boxes
+    b = np.asarray(boxes, np.float32).reshape(-1, 4)
+    tl = np.maximum(b[:, None, :2], ignore[None, :, :2])
+    br = np.minimum(b[:, None, 2:], ignore[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), -1)
+    area = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), -1)
+    iof = inter / np.maximum(area[:, None], 1e-9)
+    keep = iof.max(axis=1) <= iof_thr
+    return [i for i, k in zip(ids, keep) if k], [x for x, k in zip(boxes, keep) if k]
+
+
+def score_scalabel(pred_frames, gt_frames, iou_thr=0.5):
+    """Scalabel MOT scoring (bdd100k evalMOT protocol).
+
+    pred_frames/gt_frames: lists of scalabel frame dicts (videoName,
+    frameIndex, labels with id/category/box2d). Returns a dict with mMOTA,
+    mIDF1, per-class metrics, and the all-class aggregate.
+    """
+    from .mot_metrics import MOTAccumulator, aggregate_metrics
+
+    preds = {_frame_key(f): f for f in pred_frames}
+    accs = defaultdict(dict)  # cls -> {video: MOTAccumulator}
+    gt_by_video = defaultdict(list)
+    for f in gt_frames:
+        gt_by_video[f.get("videoName")].append(f)
+    for v in gt_by_video.values():
+        v.sort(key=lambda f: f.get("frameIndex", 0))
+
+    cls_has_gt = set()
+    for video, frames in gt_by_video.items():
+        for frame in frames:
+            gt_per_cls, ignore = _split_gt(frame)
+            pf = preds.get(_frame_key(frame), {})
+            hyp_per_cls = defaultdict(lambda: ([], []))
+            for lab in pf.get("labels") or []:
+                cat = lab.get("category")
+                if cat not in _CLS_INDEX or lab.get("box2d") is None:
+                    continue
+                b = lab["box2d"]
+                ids, boxes = hyp_per_cls[_CLS_INDEX[cat]]
+                ids.append(int(lab["id"]))
+                boxes.append([b["x1"], b["y1"], b["x2"], b["y2"]])
+            for c in range(len(BDD_CLASSES)):
+                g_ids, g_boxes = gt_per_cls.get(c, ([], []))
+                h_ids, h_boxes = hyp_per_cls.get(c, ([], []))
+                h_ids, h_boxes = _drop_ignored(h_ids, h_boxes, ignore)
+                if g_ids:
+                    cls_has_gt.add(c)
+                if c not in accs or video not in accs[c]:
+                    accs[c][video] = MOTAccumulator(iou_thr=iou_thr)
+                accs[c][video].update(g_ids, g_boxes, h_ids, h_boxes)
+
+    per_class = {}
+    for c in sorted(cls_has_gt):
+        per_class[BDD_CLASSES[c]] = aggregate_metrics(list(accs[c].values()))
+    scored = list(per_class.values())
+    all_acc = [a for c in cls_has_gt for a in accs[c].values()]
+    out = {
+        "mMOTA": float(np.mean([m["MOTA"] for m in scored])) if scored else 0.0,
+        "mIDF1": float(np.mean([m["IDF1"] for m in scored])) if scored else 0.0,
+        "per_class": per_class,
+        "overall": aggregate_metrics(all_acc) if all_acc else {},
+    }
+    return out
 
 
 class BDDEvaluator:
@@ -62,7 +162,8 @@ class BDDEvaluator:
 
     def evaluate_mot(self, driver, out_dir=None, max_frames=None):
         """Streams frames through a MOTOmniDriver; returns
-        {video: [(frame_id, ids, tlwhs, scores)]} + scalabel track json."""
+        ({video: [(frame_id, ids, tlwhs, scores)]}, scalabel track frames).
+        The scalabel frames feed score_scalabel for mMOTA/mIDF1."""
         results = defaultdict(list)
         cur_video = None
         n = len(self.dataset) if max_frames is None else min(
@@ -92,4 +193,4 @@ class BDDEvaluator:
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             json.dump(frames_out, open(os.path.join(out_dir, "track.json"), "w"))
-        return dict(results)
+        return dict(results), frames_out

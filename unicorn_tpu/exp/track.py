@@ -163,13 +163,25 @@ class ExpTrack(BaseExp):
                     pass
         if mot_datasets is None:
             mot_datasets = []
-            mot_dir = os.path.join(root, "mot")
-            try:
-                ds = MOTOmniDataset(mot_dir, "train_omni.json", "train")
-                if len(ds):
-                    mot_datasets.append(ds)
-            except Exception:
-                pass
+            if self.mot_test_name == "bdd100k":
+                # BDD group (unicorn_track.py:301-311): native scalabel loader
+                from ..data.datasets.bdd import BDDOmniDataset
+
+                try:
+                    ds = BDDOmniDataset(os.path.join(root, "bdd100k"), "train")
+                    if len(ds):
+                        mot_datasets.append(ds)
+                except Exception:
+                    pass
+            else:
+                # MOT-Challenge group: MOT17+CrowdHuman+... merged omni json
+                mot_dir = os.path.join(root, "mot")
+                try:
+                    ds = MOTOmniDataset(mot_dir, "train_omni.json", "train")
+                    if len(ds):
+                        mot_datasets.append(ds)
+                except Exception:
+                    pass
         if self.mot_only:
             sot_datasets = []
         if self.sot_only:
