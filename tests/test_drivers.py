@@ -53,6 +53,36 @@ def test_vos_driver_masks():
     assert set(np.unique(out_mask)) <= {0, 1, 2}
 
 
+def test_vos_driver_mid_video_object_entry():
+    """Object 3 enters at frame 2 (YouTube-VOS case, reference
+    unicorn_vos.py:86-101): add_objects gives it a slot whose reference is
+    the entry frame, and subsequent tracking emits all three ids."""
+    model, params = _model_params(use_mask=True)
+    driver = VOSDriver(model, params, input_size=(H, W), max_objects=3,
+                       conf_thre=0.0)
+    rng = np.random.RandomState(5)
+    imgs = [(rng.rand(48, 56, 3) * 255).astype(np.uint8) for _ in range(5)]
+    mask0 = np.zeros((48, 56), np.uint8)
+    mask0[5:20, 5:20] = 1
+    mask0[25:40, 30:50] = 2
+    driver.initialize(imgs[0], mask0)
+    out1, _ = driver.track(imgs[1])
+    assert set(np.unique(out1)) <= {0, 1, 2}
+
+    mask2 = np.zeros((48, 56), np.uint8)
+    mask2[30:44, 2:18] = 7  # new object with a non-contiguous id
+    driver.add_objects(imgs[2], mask2)
+    assert driver.obj_ids == [1, 2, 7]
+    assert driver.obj_valid.sum() == 3
+    # re-adding known ids is a no-op
+    driver.add_objects(imgs[2], mask2)
+    assert driver.obj_ids == [1, 2, 7]
+
+    out3, boxes = driver.track(imgs[3])
+    assert out3 is not None
+    assert set(np.unique(out3)) <= {0, 1, 2, 7}
+
+
 def test_sot_track_window_matches_sequential():
     model, params = _model_params()
     rng = np.random.RandomState(2)

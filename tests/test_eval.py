@@ -105,3 +105,30 @@ def test_davis_jf_metrics():
         seq.append(ann)
     res = evaluate_davis({"s": [a.copy() for a in seq]}, {"s": seq})
     assert res["J&F"] == 1.0 and res["n_objects"] == 2
+
+
+def test_davis_mid_video_object_entry():
+    """YouTube-VOS style: object 2 first appears at frame 2 and must still be
+    scored (from the frame after its entry), not silently dropped."""
+    from unicorn_tpu.harness.davis_metrics import evaluate_davis
+
+    gts, preds_good, preds_missing2 = [], [], []
+    for t in range(6):
+        ann = np.zeros((40, 50), np.uint8)
+        ann[5:15, 5:20] = 1
+        if t >= 2:
+            ann[25:35, 30:45] = 2
+        gts.append(ann)
+        preds_good.append(ann.copy())
+        p = ann.copy()
+        p[p == 2] = 0  # object 2 never predicted
+        preds_missing2.append(p)
+
+    res = evaluate_davis({"s": preds_good}, {"s": gts})
+    assert res["n_objects"] == 2, "mid-video object must be scored"
+    assert res["J&F"] == 1.0
+
+    res2 = evaluate_davis({"s": preds_missing2}, {"s": gts})
+    assert res2["n_objects"] == 2
+    # object 1 perfect, object 2 all-miss -> mean J&F = 0.5
+    assert abs(res2["J&F"] - 0.5) < 1e-9

@@ -43,27 +43,32 @@ class VOSDriver:
 
         def init_fn(params, frame, obj_masks):
             """obj_masks: (K, H, W) binary per-object masks (zero = empty slot).
-            Returns (feat16_ref, lbs_ref (1, K, H8*W8))."""
+            Returns (feat16_ref (1, H16, W16, C), lbs_ref (K, 1, H8*W8))."""
             feat16 = model.apply(params, frame, run_fpn=False,
                                  method=Unicorn.forward_backbone)
             lbs = resize_bilinear_torch(obj_masks[..., None], H8, W8)
-            return feat16, lbs.reshape(1, K, H8 * W8)
+            return feat16, lbs.reshape(K, 1, H8 * W8)
 
         def track_fn(params, feat_ref, lbs_ref, frame):
+            """feat_ref: (K, H16, W16, C) per-slot reference features (objects
+            entering mid-video carry their own entry frame, reference
+            unicorn_vos.py:86-101); lbs_ref: (K, 1, N8) per-slot label maps.
+            Interaction runs batched over the K (ref, cur) pairs."""
             from ..ops.pallas_correlation import correlation_propagate_auto
 
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
+            cur_k = jnp.broadcast_to(feat_cur, (K,) + feat_cur.shape[1:])
             new_ref, new_cur = model.apply(
                 params, feat_ref.astype(jnp.float32),
-                feat_cur.astype(jnp.float32),
+                cur_k.astype(jnp.float32),
                 method=Unicorn.forward_interaction)
             emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
             emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
-            b, h8, w8, c = emb_cur.shape
+            _, h8, w8, c = emb_cur.shape
             priors_k = correlation_propagate_auto(
-                emb_ref.reshape(1, h8 * w8, c).astype(jnp.float32),
-                emb_cur.reshape(1, h8 * w8, c).astype(jnp.float32),
+                emb_ref.reshape(K, h8 * w8, c).astype(jnp.float32),
+                emb_cur.reshape(K, h8 * w8, c).astype(jnp.float32),
                 lbs_ref,
             ).reshape(K, h8, w8, 1)  # one prior map per object slot
 
@@ -123,10 +128,10 @@ class VOSDriver:
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
         self._aggregate = jax.jit(aggregate_fn)
-        self.feat_ref = None
-        self.lbs_ref = None
+        self.feat_ref = None   # (K, H16, W16, C) per-slot reference features
+        self.lbs_ref = None    # (K, 1, N8) per-slot label maps
         self.obj_valid = np.zeros((K,), np.float32)
-        self.obj_ids: list = []
+        self.obj_ids: list = []  # slot -> original object id
 
     def _preproc(self, image):
         img, r = letterbox(image, self.input_size)
@@ -147,10 +152,41 @@ class VOSDriver:
         ])
         self.obj_valid = np.zeros((K,), np.float32)
         self.obj_valid[: len(self.obj_ids)] = 1.0
-        self.feat_ref, self.lbs_ref = self._init_fn(
+        feat16, self.lbs_ref = self._init_fn(
             self.params, frame, self._jnp.asarray(lb))
+        self.feat_ref = self._jnp.broadcast_to(
+            feat16, (K,) + feat16.shape[1:])
         self.scale = r
         self.orig_shape = mask.shape
+
+    def add_objects(self, image, mask):
+        """Register objects that enter mid-video (unicorn_vos.py:86-101):
+        ids in `mask` not yet tracked get a free slot whose reference is THIS
+        frame. mask: (H, W) int labels (0 = bg)."""
+        new_ids = [int(i) for i in np.unique(mask)
+                   if i != 0 and int(i) not in self.obj_ids]
+        if not new_ids:
+            return
+        frame, _ = self._preproc(image)
+        K = self.K
+        lb = np.zeros((K,) + self.input_size, np.float32)
+        slots = []
+        for oid in new_ids:
+            if len(self.obj_ids) >= K:
+                break  # out of slots; extra objects are dropped
+            slot = len(self.obj_ids)
+            m = (mask == oid).astype(np.float32)
+            lb[slot] = letterbox_mask(m[..., None], self.input_size)[0][..., 0]
+            slots.append((slot, oid))
+        if not slots:
+            return
+        feat16, lbs_new = self._init_fn(self.params, frame,
+                                        self._jnp.asarray(lb))
+        for slot, oid in slots:
+            self.feat_ref = self.feat_ref.at[slot].set(feat16[0])
+            self.lbs_ref = self.lbs_ref.at[slot].set(lbs_new[slot])
+            self.obj_valid[slot] = 1.0
+            self.obj_ids.append(oid)
 
     def track(self, image):
         """Returns (indexed mask (H_orig, W_orig) with original object ids,

@@ -44,29 +44,33 @@ def _load_txt(path):
     raise ValueError(f"cannot parse {path}")
 
 
-def load_lasot(root=None, split="test"):
-    """LaSOT test split (lasotdataset.py). root/<cls>/<cls>-<k>/"""
+def lasot_test_names():
+    """The authoritative 280-sequence LaSOT test split
+    (external/lib/test/evaluation/lasotdataset.py:61)."""
+    split_file = os.path.join(os.path.dirname(__file__),
+                              "lasot_test_split.txt")
+    names = [l.strip() for l in open(split_file) if l.strip()]
+    assert len(names) == 280, f"corrupt split file: {len(names)} entries"
+    return names
+
+
+def load_lasot(root=None, split="test", names=None):
+    """LaSOT test split (lasotdataset.py). root/<cls>/<cls>-<k>/.
+
+    Raises FileNotFoundError on a missing root or a missing listed sequence —
+    a silently smaller eval set would report a wrong AUC."""
     root = root or os.path.join(env_data_root(), "LaSOT")
-    seqs = []
     if not os.path.isdir(root):
-        return seqs
-    split_file = os.path.join(os.path.dirname(__file__), "lasot_test_split.txt")
-    names = None
-    if os.path.exists(split_file):
-        names = [l.strip() for l in open(split_file) if l.strip()]
-    if names is None:
-        names = []
-        for cls in sorted(os.listdir(root)):
-            cdir = os.path.join(root, cls)
-            if os.path.isdir(cdir):
-                names += [s for s in sorted(os.listdir(cdir))
-                          if s.startswith(cls + "-")]
+        raise FileNotFoundError(f"LaSOT root not found: {root}")
+    names = names if names is not None else lasot_test_names()
+    seqs = []
     for name in names:
         cls = name.split("-")[0]
         sdir = os.path.join(root, cls, name)
         gt_path = os.path.join(sdir, "groundtruth.txt")
         if not os.path.exists(gt_path):
-            continue
+            raise FileNotFoundError(
+                f"LaSOT test sequence missing: {name} ({gt_path})")
         gt = _load_txt(gt_path)
         frames = [os.path.join(sdir, "img", f"{i + 1:08d}.jpg")
                   for i in range(len(gt))]
@@ -75,12 +79,18 @@ def load_lasot(root=None, split="test"):
 
 
 def load_got10k(root=None, split="test"):
+    """GOT-10k: sequence order comes from the dataset's own list.txt
+    (got10kdataset.py:48); raises on missing root/list/sequence."""
     root = root or os.path.join(env_data_root(), "GOT10K", split)
-    seqs = []
     if not os.path.isdir(root):
-        return seqs
-    names = [d for d in sorted(os.listdir(root))
-             if os.path.isdir(os.path.join(root, d))]
+        raise FileNotFoundError(f"GOT10K {split} root not found: {root}")
+    seqs = []
+    list_file = os.path.join(root, "list.txt")
+    if os.path.exists(list_file):
+        names = [l.strip() for l in open(list_file) if l.strip()]
+    else:
+        names = [d for d in sorted(os.listdir(root))
+                 if os.path.isdir(os.path.join(root, d))]
     for name in names:
         sdir = os.path.join(root, name)
         gt = _load_txt(os.path.join(sdir, "groundtruth.txt"))
@@ -95,7 +105,7 @@ def load_trackingnet(root=None):
     seqs = []
     tdir = os.path.join(root, "TEST")
     if not os.path.isdir(tdir):
-        return seqs
+        raise FileNotFoundError(f"TrackingNet TEST root not found: {tdir}")
     anno = os.path.join(tdir, "anno")
     for f in sorted(os.listdir(anno)):
         if not f.endswith(".txt"):
@@ -114,7 +124,7 @@ def load_otb(root=None):
     root = root or os.path.join(env_data_root(), "OTB100")
     seqs = []
     if not os.path.isdir(root):
-        return seqs
+        raise FileNotFoundError(f"OTB root not found: {root}")
     for name in sorted(os.listdir(root)):
         sdir = os.path.join(root, name)
         gt_path = os.path.join(sdir, "groundtruth_rect.txt")
@@ -134,7 +144,7 @@ def load_davis(root=None, year="2017", split="val"):
     seqs = []
     set_file = os.path.join(root, "ImageSets", year, f"{split}.txt")
     if not os.path.exists(set_file):
-        return seqs
+        raise FileNotFoundError(f"DAVIS split file not found: {set_file}")
     names = [l.strip() for l in open(set_file) if l.strip()]
     for name in names:
         jdir = os.path.join(root, "JPEGImages", "480p", name)

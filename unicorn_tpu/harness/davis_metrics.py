@@ -64,18 +64,29 @@ def boundary_f(pred: np.ndarray, gt: np.ndarray,
 def evaluate_davis(pred_masks: dict, gt_masks: dict, skip_first_last=True):
     """pred/gt: {seq: list of (H, W) indexed masks}. Per-object J & F,
     averaged DAVIS-style (mean over objects of per-sequence means;
-    frames 1..N-2 by convention)."""
+    frames 1..N-2 by convention).
+
+    Object ids are collected over ALL frames, not just frame 0: YouTube-VOS
+    objects can enter mid-video (reference handles this at
+    external/lib/test/tracker/unicorn_vos.py:86-101). Each object is scored
+    from the frame after its first gt appearance (its reference frame is
+    given, like DAVIS frame 0)."""
     j_means, f_means = [], []
     for seq, gts in gt_masks.items():
         if seq not in pred_masks:
             continue
         preds = pred_masks[seq]
-        obj_ids = sorted(set(np.unique(gts[0])) - {0})
+        obj_first: dict = {}
+        for t, g in enumerate(gts):
+            for oid in np.unique(g):
+                if oid != 0 and int(oid) not in obj_first:
+                    obj_first[int(oid)] = t
         lo = 1 if skip_first_last else 0
         hi = len(gts) - 1 if skip_first_last else len(gts)
-        for oid in obj_ids:
+        for oid in sorted(obj_first):
+            start = obj_first[oid] + (1 if skip_first_last else 0)
             js, fs = [], []
-            for t in range(lo, hi):
+            for t in range(max(lo, start), hi):
                 p = preds[t] == oid
                 g = gts[t] == oid
                 js.append(jaccard(p, g))

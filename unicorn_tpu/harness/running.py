@@ -63,13 +63,26 @@ def run_dataset_sot(driver_factory, sequences, result_dir=None, max_seqs=None,
 
 def run_sequence_vos(driver, seq: Sequence, result_dir: str | None = None):
     """Run one VOS sequence from its first-frame annotation; writes indexed
-    PNGs (the DAVIS submission format) when result_dir is given."""
+    PNGs (the DAVIS submission format) when result_dir is given.
+
+    YouTube-VOS style mid-video entries: when a later annotated frame
+    (seq.masks beyond index 0, aligned to seq.frames by name) introduces new
+    object ids, they are registered via driver.add_objects with that frame as
+    their reference (reference unicorn_vos.py:86-101)."""
     img0 = cv2.imread(seq.frames[0])
     mask0 = cv2.imread(seq.masks[0], cv2.IMREAD_GRAYSCALE)
     driver.initialize(img0, mask0)
+    # annotated frames after the first may introduce new objects
+    anno_by_name = {}
+    for mp in (seq.masks or [])[1:]:
+        anno_by_name[os.path.splitext(os.path.basename(mp))[0]] = mp
     masks = [mask0]
     for path in seq.frames[1:]:
         img = cv2.imread(path)
+        name = os.path.splitext(os.path.basename(path))[0]
+        if name in anno_by_name and hasattr(driver, "add_objects"):
+            anno = cv2.imread(anno_by_name[name], cv2.IMREAD_GRAYSCALE)
+            driver.add_objects(img, anno)
         mask, _ = driver.track(img)
         masks.append(mask if mask is not None else np.zeros_like(mask0))
     if result_dir:
