@@ -109,6 +109,18 @@ def load_reference():
     yacs_config = _stub("yacs.config", CfgNode=_CfgNode)
     yacs.config = yacs_config
 
+    def _box_iou(a, b):  # torchvision.ops.box_iou (xyxy, exclusive)
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        tl = torch.maximum(a[:, None, :2], b[None, :, :2])
+        br = torch.minimum(a[:, None, 2:], b[None, :, 2:])
+        inter = (br - tl).clamp(min=0).prod(-1)
+        return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+    tv = _stub("torchvision")
+    tv_ops = _stub("torchvision.ops", box_iou=_box_iou)
+    tv.ops = tv_ops
+
     # parent-package shim: unicorn/__init__ pulls torchvision etc.; models/*
     # only needs unicorn.utils.bboxes_iou (loss path — unused at eval)
     pkg = types.ModuleType("unicorn")
@@ -152,6 +164,10 @@ def load_reference():
     )
     from unicorn.models.position_encoding import build_position_encoding
 
+    from unicorn.tracker.quasi_dense_embed_tracker import (
+        QuasiDenseEmbedTracker,
+    )
+
     ns = types.SimpleNamespace(
         torch=torch,
         Unicorn=Unicorn,
@@ -159,6 +175,7 @@ def load_reference():
         UnicornHead=UnicornHead,
         build_deforamble_transformer=build_deforamble_transformer,
         build_position_encoding=build_position_encoding,
+        QuasiDenseEmbedTracker=QuasiDenseEmbedTracker,
     )
     _loaded["ns"] = ns
     return ns
