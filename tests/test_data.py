@@ -93,3 +93,97 @@ def test_letterbox_device_matches_host():
     np.testing.assert_allclose(np.asarray(dev)[70:], host[70:])
     diff = np.abs(np.asarray(dev)[:64] - host[:64])
     assert diff.mean() < 1.0 and diff.max() <= 2.0
+
+
+def test_voc_dataset_loader(tmp_path):
+    """Native VOC XML parser + loud-fail split (reference voc.py:24-366)."""
+    import cv2
+    from unicorn_tpu.data.datasets.voc import VOCDetection, parse_voc_xml
+
+    root = tmp_path / "VOC2007"
+    (root / "Annotations").mkdir(parents=True)
+    (root / "JPEGImages").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    xml = """<annotation><size><width>100</width><height>80</height>
+    <depth>3</depth></size>
+    <object><name>dog</name><difficult>0</difficult>
+      <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>50</xmax><ymax>60</ymax></bndbox>
+    </object>
+    <object><name>person</name><difficult>1</difficult>
+      <bndbox><xmin>60</xmin><ymin>5</ymin><xmax>90</xmax><ymax>40</ymax></bndbox>
+    </object></annotation>"""
+    (root / "Annotations" / "000001.xml").write_text(xml)
+    cv2.imwrite(str(root / "JPEGImages" / "000001.jpg"),
+                np.zeros((80, 100, 3), np.uint8))
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text("000001\n")
+
+    res, (h, w) = parse_voc_xml(str(root / "Annotations" / "000001.xml"))
+    assert (h, w) == (80, 100) and res.shape == (2, 5)
+    # 1-based xmin/ymin shifted to 0-based; xmax/ymax unchanged
+    np.testing.assert_allclose(res[0, :4], [9, 19, 50, 60])
+    assert res[0, 4] == 11  # dog
+    assert res[1, 4] == 14  # person (difficult kept by default)
+
+    ds = VOCDetection(str(tmp_path), image_sets=(("2007", "trainval"),))
+    assert len(ds) == 1
+    img, tgt, info, _ = ds.pull_item(0)
+    assert img.shape == (80, 100, 3) and tgt.shape == (2, 5)
+
+    res2, _ = parse_voc_xml(str(root / "Annotations" / "000001.xml"),
+                            keep_difficult=False)
+    assert res2.shape == (1, 5)
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        VOCDetection(str(tmp_path), image_sets=(("2012", "trainval"),))
+
+
+def test_train_transform_4tasks_dispatch():
+    from unicorn_tpu.data.transforms import TrainTransform4Tasks
+
+    tr = TrainTransform4Tasks(max_labels=10, flip_prob=0.0, hsv_prob=0.0)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+    targets = np.array([[10, 10, 40, 40, 0, 3]], np.float32)
+    # box task: no masks
+    img_t, labels, m = tr(img.copy(), targets.copy(), None, (64, 64))
+    assert m is None and labels.shape == (10, 6)
+    assert labels[0, 0] == 0 and labels[0, 5] == 3
+    # mask task
+    masks = np.zeros((60, 80, 1), np.uint8)
+    masks[10:40, 10:40, 0] = 1
+    img_t, labels, m = tr(img.copy(), targets.copy(), masks, (64, 64))
+    assert m is not None and labels.shape == (10, 6)
+
+
+def test_convert_mot17_to_omni(tmp_path):
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    from convert_datasets import convert_mot17_to_omni
+
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    coco = {
+        "images": [
+            {"id": 1, "video_id": 7, "frame_id": 1, "height": 80,
+             "width": 100, "file_name": "v7/000001.jpg"},
+            {"id": 2, "video_id": 7, "frame_id": 2, "height": 80,
+             "width": 100, "file_name": "v7/000002.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 1, "bbox": [10, 10, 20, 20], "category_id": 1,
+             "track_id": 5, "iscrowd": 0},
+            {"image_id": 2, "bbox": [12, 11, 20, 20], "category_id": 1,
+             "track_id": 5, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "pedestrian"}],
+    }
+    json.dump(coco, open(ann_dir / "train.json", "w"))
+    convert_mot17_to_omni(str(tmp_path))
+    omni = json.load(open(ann_dir / "train_omni.json"))
+    assert set(omni) == {"7"}
+    assert set(omni["7"]) == {"1", "2"}
+    rec = omni["7"]["1"]
+    assert rec["res"] == [[10, 10, 30, 30, 0, 5]]
+    assert rec["img_info"][:2] == [80, 100]

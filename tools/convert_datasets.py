@@ -161,16 +161,90 @@ def convert_cityscapes_like(root, ann_json, split="train"):
     print(f"wrote {out_path}")
 
 
+def convert_mot17_to_omni(root, ori_json="train.json",
+                          new_json="train_omni.json"):
+    """COCO-video json -> omni json keyed by video/frame
+    (reference tools/convert_mot17_to_omni.py): {video_id: {frame_id:
+    {res (N,6), img_info, file_name}}} for random 2-frame access."""
+    ann_dir = os.path.join(root, "annotations")
+    coco = json.load(open(os.path.join(ann_dir, ori_json)))
+    anns_by_img = {}
+    for a in coco.get("annotations", []):
+        anns_by_img.setdefault(a["image_id"], []).append(a)
+    cat_ids = sorted(c["id"] for c in coco.get("categories", []))
+    omni = {}
+    for im in coco["images"]:
+        vid = im.get("video_id", -1)
+        fid = im.get("frame_id", 0)
+        res = []
+        for a in anns_by_img.get(im["id"], []):
+            if a.get("iscrowd", 0):
+                continue
+            x, y, w, h = a["bbox"]
+            res.append([x, y, x + w, y + h, cat_ids.index(a["category_id"]),
+                        a.get("track_id", -1)])
+        omni.setdefault(str(vid), {})[str(fid)] = {
+            "res": res,
+            "img_info": [im["height"], im["width"], fid, vid,
+                         im["file_name"]],
+            "file_name": im["file_name"],
+        }
+    out = os.path.join(ann_dir, new_json)
+    json.dump(omni, open(out, "w"))
+    print(f"wrote {out}: {len(omni)} videos")
+
+
+def process_trackingnet(root, n_chunks=4):
+    """Unpack TRAIN_{0..n}.zip chunks into the TrackingNet layout
+    (reference tools/process_trackingnet.py) using zipfile, no shell."""
+    import zipfile
+
+    for i in range(n_chunks):
+        zp = os.path.join(root, f"TRAIN_{i}.zip")
+        chunk = os.path.join(root, f"TRAIN_{i}")
+        if not os.path.exists(zp):
+            print(f"skip missing {zp}")
+            continue
+        os.makedirs(chunk, exist_ok=True)
+        with zipfile.ZipFile(zp) as z:
+            z.extractall(chunk)
+        zdir = os.path.join(chunk, "zips")
+        frames = os.path.join(chunk, "frames")
+        os.makedirs(frames, exist_ok=True)
+        if os.path.isdir(zdir):
+            for sub in sorted(os.listdir(zdir)):
+                if not sub.endswith(".zip"):
+                    continue
+                seq = sub[:-4]
+                with zipfile.ZipFile(os.path.join(zdir, sub)) as z:
+                    z.extractall(os.path.join(frames, seq))
+            import shutil
+
+            shutil.rmtree(zdir)
+        print(f"TRAIN_{i} done")
+    tn = os.path.join(root, "TrackingNet")
+    os.makedirs(tn, exist_ok=True)
+    for i in range(n_chunks):
+        chunk = os.path.join(root, f"TRAIN_{i}")
+        if os.path.isdir(chunk):
+            os.rename(chunk, os.path.join(tn, f"TRAIN_{i}"))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("dataset", choices=["mot17", "mot20", "crowdhuman", "mots",
-                                       "cityperson", "ethz"])
+                                       "cityperson", "ethz", "mot17-omni",
+                                       "trackingnet"])
     p.add_argument("--root", required=True)
     p.add_argument("--split", default="train")
     p.add_argument("--ann-json", default=None)
     args = p.parse_args()
     if args.dataset in ("mot17", "mot20"):
         convert_mot(args.root, args.split, mot20=args.dataset == "mot20")
+    elif args.dataset == "mot17-omni":
+        convert_mot17_to_omni(args.root, args.ann_json or "train.json")
+    elif args.dataset == "trackingnet":
+        process_trackingnet(args.root)
     elif args.dataset == "mots":
         convert_mots(args.root, args.split)
     elif args.dataset in ("cityperson", "ethz"):

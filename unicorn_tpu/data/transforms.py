@@ -236,6 +236,30 @@ class TrainTransformOmni:
         return image_t, padded
 
 
+class TrainTransform4Tasks:
+    """Joint 4-task transform (data_augment.py:792-806): dispatch by whether
+    the sample carries masks — box tasks (SOT/MOT) go through
+    TrainTransformOmni, mask tasks (VOS/MOTS) through TrainTransformIns.
+    Returns (image, labels (max_labels, 6), masks|None)."""
+
+    def __init__(self, max_labels=100, flip_prob=0.5, hsv_prob=1.0,
+                 d_rate=4):
+        # d_rate is the integer mask-downsampling divisor (reference's
+        # d_rate=1/4 fraction == our //4)
+        self.trans_omni = TrainTransformOmni(max_labels, flip_prob, hsv_prob)
+        self.trans_inst = TrainTransformIns(max_labels, flip_prob, hsv_prob,
+                                            d_rate=d_rate)
+
+    def __call__(self, image, targets, masks, input_dim, joint=False,
+                 flip=False):
+        if masks is None:
+            img_t, labels = self.trans_omni(image, targets, input_dim,
+                                            joint=joint, flip=flip)
+            return img_t, labels, None
+        return self.trans_inst(image, targets, masks, input_dim,
+                               joint=joint, flip=flip)
+
+
 class TrainTransformIns:
     """Instance-seg transform: TrainTransformOmni + masks downsampled by
     d_rate (data_augment.py:691-791)."""
