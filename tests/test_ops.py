@@ -54,9 +54,32 @@ def test_ms_deform_attn_matches_oracle():
     attw = rng.rand(B, Lq, M, L, P).astype(np.float32)
     attw /= attw.reshape(B, Lq, M, -1).sum(-1)[..., None].reshape(B, Lq, M, 1, 1)
 
-    out = ms_deform_attn(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attw))
     ref = ms_deform_attn_reference(value, locs, attw)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    for method in ("gather", "onehot"):
+        out = ms_deform_attn(jnp.asarray(value), jnp.asarray(locs),
+                             jnp.asarray(attw), method=method, q_chunk=4)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=method)
+
+
+def test_ms_deform_attn_onehot_grads_match_gather():
+    rng = np.random.RandomState(1)
+    B, L, H, W, M, D = 1, 2, 5, 6, 2, 4
+    Lq, P = 8, 4
+    value = jnp.asarray(rng.randn(B, L, H, W, M, D).astype(np.float32))
+    locs = jnp.asarray(rng.rand(B, Lq, M, L, P, 2).astype(np.float32))
+    attw = jnp.asarray(
+        jax.nn.softmax(rng.randn(B, Lq, M, L * P).astype(np.float32), -1)
+        .reshape(B, Lq, M, L, P))
+    def loss(method):
+        return jax.grad(
+            lambda v, l, w: jnp.sum(ms_deform_attn(v, l, w, method=method,
+                                                   q_chunk=4) ** 2),
+            argnums=(0, 1, 2))(value, locs, attw)
+    g1, g2 = loss("gather"), loss("onehot")
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_ms_deform_attn_grad_finite():

@@ -18,6 +18,7 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     layer_scale_init_value: float = 1e-6
     dtype: Any = jnp.float32
+    exact_gelu: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -43,7 +44,7 @@ class ConvNeXt(nn.Module):
             for j in range(self.depths[i]):
                 x = ConvNeXtBlock(
                     self.dims[i], self.layer_scale_init_value, dtype=self.dtype,
-                    name=f"stage{i}_block{j}",
+                    exact_gelu=self.exact_gelu, name=f"stage{i}_block{j}",
                 )(x)
             if i >= 1:
                 out = nn.LayerNorm(
@@ -54,16 +55,19 @@ class ConvNeXt(nn.Module):
         return tuple(outs)  # strides 8, 16, 32
 
 
-def convnext_tiny(dtype=jnp.float32):
-    return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), dtype=dtype)
+def convnext_tiny(dtype=jnp.float32, exact_gelu=True):
+    return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), dtype=dtype,
+                    exact_gelu=exact_gelu)
 
 
-def convnext_base(dtype=jnp.float32):
-    return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), dtype=dtype)
+def convnext_base(dtype=jnp.float32, exact_gelu=True):
+    return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), dtype=dtype,
+                    exact_gelu=exact_gelu)
 
 
-def convnext_large(dtype=jnp.float32):
-    return ConvNeXt(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), dtype=dtype)
+def convnext_large(dtype=jnp.float32, exact_gelu=True):
+    return ConvNeXt(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), dtype=dtype,
+                    exact_gelu=exact_gelu)
 
 
 CONVNEXT_OUT_CHANNELS = {

@@ -65,6 +65,7 @@ class UnicornHead(nn.Module):
     unshared_reg: bool = True
     fuse_method: str = "sum"         # "sum" | "mul"
     learnable_fuse: bool = True
+    exact_gelu: bool = True
     num_classes_sot: int = 1
     with_mask: bool = False          # adds CondInst controllers per level
     dtype: Any = jnp.float32
@@ -103,7 +104,7 @@ class UnicornHead(nn.Module):
                 for n in range(self.n_layer_att):
                     x = ConvNeXtBlock(
                         hidden, layer_scale_init_value=1.0, dtype=dt,
-                        name=f"att{k}_{n}",
+                        exact_gelu=self.exact_gelu, name=f"att{k}_{n}",
                     )(x)
 
             cls_feat = x

@@ -17,7 +17,8 @@ from .csp_darknet import CSPDarknet
 from .resnet import ResNet50
 
 
-def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32):
+def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
+                   exact_gelu: bool = True):
     """Build the raw feature extractor producing stride-8/16/32 features.
 
     Returns (module, out_channels) where out_channels are the raw stride-8/16/32
@@ -30,7 +31,7 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32):
             "convnext_base": convnext_base,
             "convnext_large": convnext_large,
         }[name]
-        return fn(dtype=dtype), CONVNEXT_OUT_CHANNELS[name]
+        return fn(dtype=dtype, exact_gelu=exact_gelu), CONVNEXT_OUT_CHANNELS[name]
     if name.startswith("swin"):
         from .swin import SWIN_OUT_CHANNELS, swin_tiny
 
@@ -53,6 +54,7 @@ class YOLOPAFPN(nn.Module):
     act: str = "silu"
     backbone_name: str = "convnext_tiny"
     dtype: Any = jnp.float32
+    exact_gelu: bool = True
 
     @nn.compact
     def __call__(self, x, return_base_feat: bool = False, run_fpn: bool = True):
@@ -61,7 +63,8 @@ class YOLOPAFPN(nn.Module):
         dt = self.dtype
 
         backbone, raw_ch = build_backbone(
-            self.backbone_name, self.depth, self.width, dtype=dt
+            self.backbone_name, self.depth, self.width, dtype=dt,
+            exact_gelu=self.exact_gelu,
         )
         x2, x1, x0 = backbone(x)  # strides 8, 16, 32
 

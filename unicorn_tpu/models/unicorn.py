@@ -45,6 +45,7 @@ class Unicorn(nn.Module):
     fuse_method: str = "sum"
     learnable_fuse: bool = True
     use_mask: bool = False          # CondInst controllers + mask branch
+    exact_gelu: bool = True         # erf GELU (torch parity) vs tanh (serving)
     use_raft: bool = False          # RAFT convex upsampling of masks
     dtype: Any = jnp.float32
     # interaction/embedding stages run fp32 by default, matching the
@@ -55,6 +56,7 @@ class Unicorn(nn.Module):
         self.backbone = YOLOPAFPN(
             depth=self.depth, width=self.width, in_channels=self.in_channels,
             act=self.act, backbone_name=self.backbone_name, dtype=self.dtype,
+            exact_gelu=self.exact_gelu,
         )
         self.head = UnicornHead(
             num_classes=self.num_classes, width=self.width,
@@ -62,6 +64,7 @@ class Unicorn(nn.Module):
             use_attention=self.use_attention, n_layer_att=self.n_layer_att,
             unshared_obj=self.unshared_obj, unshared_reg=self.unshared_reg,
             fuse_method=self.fuse_method, learnable_fuse=self.learnable_fuse,
+            exact_gelu=self.exact_gelu,
             with_mask=self.use_mask, dtype=self.dtype,
         )
         if self.use_mask:
@@ -180,6 +183,7 @@ class YOLOXDet(nn.Module):
         self.backbone = YOLOPAFPN(
             depth=self.depth, width=self.width, in_channels=self.in_channels,
             act=self.act, backbone_name=self.backbone_name, dtype=self.dtype,
+            exact_gelu=self.exact_gelu,
         )
         self.head = UnicornHead(
             num_classes=self.num_classes, width=self.width,

@@ -3,9 +3,19 @@
 The reference implements this as a CUDA im2col kernel
 (unicorn/models/ops/src/cuda/ms_deform_im2col_cuda.cuh) with a pure-PyTorch
 grid_sample oracle (unicorn/models/ops/functions/ms_deform_attn_func.py:41-62).
-Here the baseline implementation is pure XLA (static-shape gathers + bilinear
-weights, differentiable for free via JAX autodiff); a fused Pallas kernel can
-swap in underneath without changing the interface.
+
+Two XLA formulations, same semantics, same interface:
+  * "gather": static-shape take_along_axis + bilinear weights — exact,
+    fast on CPU, but TPU gathers of 2M 32-float rows are slow (~18 ms at
+    Lq=8000, the SOT hot shape).
+  * "onehot": each query row is a 16-tap sparse row over the flattened
+    spatial dim; materialize it chunk-wise via iota-compare accumulation and
+    contract on the MXU (a matmul instead of a gather; 3x faster on TPU).
+    In f32 it is bit-equivalent selection; in bf16 only the tap weights
+    round.
+"auto" picks onehot on TPU backends, gather elsewhere. Both differentiate
+correctly (grads flow through the bilinear tap weights and the value rows —
+the tap indices are piecewise constant, as in the CUDA backward).
 
 Semantics match F.grid_sample(mode='bilinear', padding_mode='zeros',
 align_corners=False): pixel coordinate x_pix = loc * W - 0.5, out-of-range
@@ -13,50 +23,99 @@ corners contribute zero.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def ms_deform_attn(value, sampling_locations, attention_weights):
+def _bilinear_taps(sampling_locations, attention_weights, H, W):
+    """(B,Lq,M,L,P,2) locs -> 16-tap (idx, weight), both (B, Lq, M, L, P*4)."""
+    x = sampling_locations[..., 0] * W - 0.5
+    y = sampling_locations[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    idxs, wts = [], []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        cx = x0 + dx
+        cy = y0 + dy
+        w_c = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
+        in_range = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        wts.append(jnp.where(in_range, w_c, 0.0) * attention_weights)
+        idxs.append((jnp.clip(cy, 0, H - 1) * W
+                     + jnp.clip(cx, 0, W - 1)).astype(jnp.int32))
+    B, Lq, M, L, P = attention_weights.shape
+    return (jnp.stack(idxs, -1).reshape(B, Lq, M, L, P * 4),
+            jnp.stack(wts, -1).reshape(B, Lq, M, L, P * 4))
+
+
+def ms_deform_attn(value, sampling_locations, attention_weights,
+                   method: str = "auto", q_chunk: int = 1000):
     """Deformable attention aggregation over L equal-shape levels.
 
     Args:
       value: (B, L, H, W, M, D) per-level value maps split into M heads.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
+      method: "gather" | "onehot" | "auto" (onehot on TPU).
 
     Returns:
       (B, Lq, M * D)
     """
+    if method == "auto":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+    if method == "onehot":
+        return _msda_onehot(value, sampling_locations, attention_weights,
+                            q_chunk)
+    return _msda_gather(value, sampling_locations, attention_weights)
+
+
+def _msda_gather(value, sampling_locations, attention_weights):
     B, L, H, W, M, D = value.shape
     _, Lq, _, _, P, _ = sampling_locations.shape
-
-    # to pixel coords (grid_sample align_corners=False)
-    x = sampling_locations[..., 0] * W - 0.5  # (B, Lq, M, L, P)
-    y = sampling_locations[..., 1] * H - 0.5
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
-
+    idx, wts = _bilinear_taps(sampling_locations, attention_weights, H, W)
     # value laid out for gathering along flattened spatial dim
-    # (B, L, M, H*W, D)
     v = value.transpose(0, 1, 4, 2, 3, 5).reshape(B, L, M, H * W, D)
+    idx_g = idx.transpose(0, 3, 2, 1, 4).reshape(B, L, M, Lq * P * 4)
+    gathered = jnp.take_along_axis(v, idx_g[..., None], axis=3)
+    gathered = gathered.reshape(B, L, M, Lq, P * 4, D)
+    w_g = wts.transpose(0, 3, 2, 1, 4)  # (B, L, M, Lq, P*4)
+    out = jnp.einsum("blmqkd,blmqk->bqmd", gathered, w_g.astype(value.dtype))
+    return out.reshape(B, Lq, M * D)
 
-    out = jnp.zeros((B, Lq, M, D), value.dtype)
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        cx = x0 + dx
-        cy = y0 + dy
-        w_corner = (lx if dx else (1.0 - lx)) * (ly if dy else (1.0 - ly))
-        in_range = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
-        w_corner = jnp.where(in_range, w_corner, 0.0) * attention_weights
-        idx = (jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)).astype(jnp.int32)
-        # idx: (B, Lq, M, L, P) -> (B, L, M, Lq*P)
-        idx_g = idx.transpose(0, 3, 2, 1, 4).reshape(B, L, M, Lq * P)
-        gathered = jnp.take_along_axis(v, idx_g[..., None], axis=3)  # (B, L, M, Lq*P, D)
-        gathered = gathered.reshape(B, L, M, Lq, P, D)
-        w_g = w_corner.transpose(0, 3, 2, 1, 4)  # (B, L, M, Lq, P)
-        out = out + jnp.einsum("blmqpd,blmqp->bqmd", gathered, w_g.astype(value.dtype))
+
+def _msda_onehot(value, sampling_locations, attention_weights, q_chunk):
+    B, L, H, W, M, D = value.shape
+    _, Lq, _, _, P, _ = sampling_locations.shape
+    HW = H * W
+    K = P * 4
+    dt = value.dtype
+    idx, wts = _bilinear_taps(sampling_locations, attention_weights, H, W)
+    v = value.transpose(0, 1, 4, 2, 3, 5).reshape(B, L, M, HW, D)
+    # pad Lq to a multiple of q_chunk (static shapes)
+    q_chunk = min(q_chunk, Lq)
+    n_pad = (-Lq) % q_chunk
+    if n_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0)))
+    nq = (Lq + n_pad) // q_chunk
+    idx = idx.transpose(1, 0, 3, 2, 4).reshape(nq, q_chunk, B, L, M, K)
+    wts = wts.transpose(1, 0, 3, 2, 4).reshape(nq, q_chunk, B, L, M, K)
+    iota = jnp.arange(HW, dtype=jnp.int32)
+
+    def chunk(carry, inp):
+        i_c, w_c = inp  # (q_chunk, B, L, M, K)
+        i_c = i_c.transpose(1, 2, 3, 0, 4)   # (B, L, M, qc, K)
+        w_c = w_c.transpose(1, 2, 3, 0, 4).astype(dt)
+        Wmat = jnp.zeros((B, L, M, i_c.shape[3], HW), dt)
+        for k in range(K):  # 16 iota-compare accumulate passes
+            oh = (i_c[..., k:k + 1] == iota).astype(dt)
+            Wmat = Wmat + w_c[..., k:k + 1] * oh
+        out = jnp.einsum("blmqh,blmhd->bqmd", Wmat, v)
+        return carry, out
+
+    _, outs = jax.lax.scan(chunk, 0, (idx, wts))
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Lq + n_pad, M, D)[:, :Lq]
     return out.reshape(B, Lq, M * D)
 
 

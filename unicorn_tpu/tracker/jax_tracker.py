@@ -108,7 +108,7 @@ def xyxy_to_xyah(b):
 # ---------------- assignment kernels ----------------------------------------
 
 def auction_assign(cost, row_valid, col_valid, thresh,
-                   eps: float = 2e-5, max_iter: int = 100000):
+                   eps: float = 2e-4, max_iter: int = 20000):
     """Optimal assignment with cost-limit via parallel (Jacobi) auction.
 
     Maximizes sum(thresh - cost) over the matching — the same objective as
@@ -117,8 +117,11 @@ def auction_assign(cost, row_valid, col_valid, thresh,
     All unassigned rows bid simultaneously each round (two (R,C) reductions),
     so rounds are parallel-friendly; the while_loop exits as soon as no row
     can still improve, which on real association matrices (sparse IoU
-    structure) is a few tens of rounds. The result is within n*eps of optimal
-    — well below box-IoU cost resolution. Returns match_col (R,) int32
+    structure) is a few tens of rounds. The result is within n*eps of optimal.
+    eps trades bidding-war length (rounds ~ tie-gap/eps) against resolution;
+    2e-4 reproduces scipy-Hungarian matchings exactly on IoU-shaped tracking
+    costs (tests/test_jax_tracker.py crowded property test; eps=1e-3 was
+    still exact on 120 random crowded frames). Returns match_col (R,) int32
     (-1 = unmatched).
     """
     NEG = -1e9
@@ -224,6 +227,16 @@ def iou_xyxy(a, b, inclusive: bool = False):
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
 
 
+def _assign_fn():
+    """Production assignment = auction (Hungarian-exact on tracking costs).
+    UNICORN_ASSIGN=greedy swaps in the mutual-best kernel for perf A/Bs."""
+    import os
+
+    if os.environ.get("UNICORN_ASSIGN") == "greedy":
+        return lambda c, rv, cv, th: greedy_assign(c, rv, cv, th, 16)
+    return auction_assign
+
+
 # ---------------- the per-frame step ----------------------------------------
 
 @partial(jax.jit, static_argnames=("track_thresh", "match_thresh",
@@ -263,22 +276,23 @@ def tracker_step(ts: TrackState, dets, det_valid,
     track_boxes = mean_to_tlbr(mean_p)
 
     # --- association 1: activated-or-lost slots vs high dets, fused score ---
+    _assign = _assign_fn()
     pool1 = live & (ts.activated | (ts.state == S_LOST))
     iou1 = iou_xyxy(track_boxes, dets[:, :4], inclusive=True)
     cost1 = 1.0 - iou1 * scores[None, :]  # fuse_score (matching.py fuse_score)
-    match1 = auction_assign(cost1, pool1, high, match_thresh)
+    match1 = _assign(cost1, pool1, high, match_thresh)
 
     # --- association 2: remaining TRACKED slots vs low dets, plain IoU ------
     pool2 = live & (ts.state == S_TRACKED) & ts.activated & (match1 < 0)
     cost2 = 1.0 - iou1
-    match2 = auction_assign(cost2, pool2, low, 0.5)
+    match2 = _assign(cost2, pool2, low, 0.5)
 
     # --- association 3: unconfirmed (tracked, not activated) vs leftover ---
     det_used = jnp.zeros((D,), bool)
     det_used = det_used.at[jnp.where(match1 >= 0, match1, 0)].max(match1 >= 0)
     pool3 = live & (ts.state == S_TRACKED) & (~ts.activated)
     cost3 = 1.0 - iou1 * scores[None, :]
-    match3 = auction_assign(cost3, pool3, high & (~det_used), 0.7)
+    match3 = _assign(cost3, pool3, high & (~det_used), 0.7)
 
     match = jnp.where(match1 >= 0, match1,
                       jnp.where(match2 >= 0, match2, match3))
