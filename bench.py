@@ -82,10 +82,13 @@ def main():
     params = model.init(jax.random.PRNGKey(0), frame0, method=Unicorn.init_all)
 
     # ---------------- primary: streaming MOT FPS ----------------
+    # frame_batch=4: detector forward batched over 4 frames inside the scan
+    # (association stays causal per frame) — better MXU utilization
+    FB = int(os.environ.get("BENCH_FRAME_BATCH", "4"))
     pipe = StreamingMOTPipeline(
         model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
         nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
-        match_thresh=0.9, n_cand=128,
+        match_thresh=0.9, n_cand=128, frame_batch=min(FB, CHUNK),
     )
     chunks = [
         jnp.asarray(rng.rand(CHUNK, H, W, 3).astype(np.float32) * 255.0)

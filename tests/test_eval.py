@@ -1,6 +1,7 @@
 """Golden-value tests for the self-contained COCO mAP and RLE codec
 (mirrors the reference's golden-value metric tests, SURVEY.md §4.3)."""
 import numpy as np
+import pytest
 
 from unicorn_tpu.evaluators.coco_map import COCOMeanAP
 from unicorn_tpu.evaluators import rle
@@ -132,3 +133,57 @@ def test_davis_mid_video_object_entry():
     assert res2["n_objects"] == 2
     # object 1 perfect, object 2 all-miss -> mean J&F = 0.5
     assert abs(res2["J&F"] - 0.5) < 1e-9
+
+
+def test_voc_evaluator_perfect_detections(tmp_path):
+    """VOCEvaluator e2e on a synthetic VOC fixture: a perfect mock detector
+    scores mAP 1.0; dropping one class halves it."""
+    import cv2
+
+    from unicorn_tpu.data.datasets.voc import VOC_CLASSES, VOCDetection
+    from unicorn_tpu.evaluators.voc_evaluator import VOCEvaluator
+
+    root = tmp_path / "VOC2007"
+    (root / "Annotations").mkdir(parents=True)
+    (root / "JPEGImages").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    objs = [("dog", (10, 20, 50, 60)), ("cat", (60, 5, 90, 40))]
+    xml = "<annotation><size><width>100</width><height>80</height>" \
+          "<depth>3</depth></size>"
+    for name, (a, b, c, d) in objs:
+        xml += (f"<object><name>{name}</name><difficult>0</difficult>"
+                f"<bndbox><xmin>{a}</xmin><ymin>{b}</ymin>"
+                f"<xmax>{c}</xmax><ymax>{d}</ymax></bndbox></object>")
+    xml += "</annotation>"
+    for i in range(2):
+        (root / "Annotations" / f"{i:06d}.xml").write_text(xml)
+        cv2.imwrite(str(root / "JPEGImages" / f"{i:06d}.jpg"),
+                    np.zeros((80, 100, 3), np.uint8))
+    (root / "ImageSets" / "Main" / "test.txt").write_text("000000\n000001\n")
+
+    ds = VOCDetection(str(tmp_path), image_sets=(("2007", "test"),),
+                      img_size=(64, 96))
+    ev = VOCEvaluator(ds, img_size=(64, 96))
+    r = min(64 / 80, 96 / 100)
+
+    gt_boxes = np.array([[9, 19, 50, 60], [59, 4, 90, 40]], np.float32)
+    cls_ids = [VOC_CLASSES.index("dog"), VOC_CLASSES.index("cat")]
+
+    def perfect(img):
+        out = np.zeros((2, 7), np.float32)
+        out[:, :4] = gt_boxes * r  # letterboxed coords
+        out[:, 4] = 1.0
+        out[:, 5] = 0.9
+        out[:, 6] = cls_ids
+        return out
+
+    res = ev.evaluate(perfect)
+    assert res["mAP"] == pytest.approx(1.0)
+
+    def dogs_only(img):
+        return perfect(img)[:1]
+
+    res2 = ev.evaluate(dogs_only)
+    assert res2["per_class"][VOC_CLASSES.index("dog")] == pytest.approx(1.0)
+    assert res2["per_class"][VOC_CLASSES.index("cat")] == 0.0
+    assert res2["mAP"] == pytest.approx(0.5)

@@ -52,3 +52,31 @@ def test_multistream_sharded():
     assert outs.shape == (8, 8, 7)
     assert np.all(np.asarray(ms.states.frame_id) == 2)
     assert np.all(np.isfinite(np.asarray(outs2)))
+
+
+def test_streaming_frame_batch_matches_unbatched():
+    """frame_batch=2 must produce the same tracks as frame_batch=1 (the
+    detector is frame-independent; only MXU batching changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unicorn_tpu.drivers.stream import StreamingMOTPipeline
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    H = W = 64
+    model = Unicorn(num_classes=1, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(0)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame0, method=Unicorn.init_all)
+    frames = jnp.asarray(rng.rand(4, H, W, 3).astype(np.float32) * 255)
+
+    kw = dict(input_size=(H, W), num_classes=1, conf_thre=0.0, nms_thre=0.8,
+              max_dets=16, max_tracks=32, n_cand=32)
+    p1 = StreamingMOTPipeline(model, params, frame_batch=1, **kw)
+    p2 = StreamingMOTPipeline(model, params, frame_batch=2, **kw)
+    o1 = np.asarray(p1.run_chunk(frames))
+    o2 = np.asarray(p2.run_chunk(frames))
+    assert o1.shape == o2.shape
+    np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-3)

@@ -25,7 +25,12 @@ class StreamingMOTPipeline:
                  nms_thre: float = 0.8, max_dets: int = 64,
                  max_tracks: int = 128, track_thresh: float = 0.6,
                  match_thresh: float = 0.9, chunk: int = 8,
-                 n_cand: int = 128):
+                 n_cand: int = 128, frame_batch: int = 1):
+        """frame_batch F > 1 batches the (frame-independent) detector forward
+        over F consecutive frames inside the chunk scan — better MXU
+        utilization at batch>1 — while the tracker still consumes frames
+        causally one by one. Throughput knob for offline eval; keep F=1 for
+        minimum per-frame latency. chunk length must divide by F."""
         import jax
         import jax.numpy as jnp
 
@@ -35,21 +40,21 @@ class StreamingMOTPipeline:
         self.chunk = chunk
         self._jnp = jnp
 
-        def detect(params, frame):
-            raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
+        def detect(params, frames):
+            """frames (F, H, W, 3) -> (dets5 (F, D, 5), valid (F, D))."""
+            raw, _ = model.apply(params, frames, method=Unicorn.forward_whole)
             dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
             dets, valid = postprocess_device(
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, class_agnostic=(num_classes == 1),
                 n_cand=n_cand, max_out=max_dets, cluster_iters=8,
             )
-            d = dets[0]
             dets5 = jnp.concatenate(
-                [d[:, :4], (d[:, 4] * d[:, 5])[:, None]], axis=1)
-            return dets5, valid[0]
+                [dets[..., :4], (dets[..., 4] * dets[..., 5])[..., None]],
+                axis=-1)
+            return dets5, valid
 
-        def frame_step(params, ts, frame):
-            dets5, valid = detect(params, frame)
+        def assoc(ts, dets5, valid):
             ts, out, out_valid = tracker_step(
                 ts, dets5, valid, track_thresh=track_thresh,
                 match_thresh=match_thresh)
@@ -57,13 +62,29 @@ class StreamingMOTPipeline:
                 [out, out_valid[:, None].astype(out.dtype)], axis=1)
             return ts, packed
 
+        def frame_step(params, ts, frame):
+            dets5, valid = detect(params, frame)
+            return assoc(ts, dets5[0], valid[0])
+
+        F = int(frame_batch)
+
         def chunk_step(params, ts, frames):
-            """frames (N, H, W, 3): scan N frames in one XLA program."""
-            def body(ts, frame):
-                return frame_step(params, ts, frame[None])
+            """frames (N, H, W, 3): scan N frames in one XLA program,
+            detecting F frames per scan iteration."""
+            N, H, W, C = frames.shape
+            assert N % F == 0, f"chunk {N} not divisible by frame_batch {F}"
+            frames = frames.reshape(N // F, F, H, W, C)
+
+            def body(ts, fbatch):
+                dets5, valid = detect(params, fbatch)
+                packs = []
+                for f in range(F):  # causal association, one frame at a time
+                    ts, packed = assoc(ts, dets5[f], valid[f])
+                    packs.append(packed)
+                return ts, jnp.stack(packs)
 
             ts, outs = jax.lax.scan(body, ts, frames)
-            return ts, outs  # (N, T, 7)
+            return ts, outs.reshape(N, *outs.shape[2:])  # (N, T, 7)
 
         self._frame_step_raw = frame_step
         self._frame_step = jax.jit(frame_step)

@@ -98,13 +98,26 @@ class ExpTrackMask(ExpTrack):
                     pass
         if mots_datasets is None:
             mots_datasets = []
-            try:
-                ds = COCOMOTSDataset(os.path.join(root, "coco"),
-                                     person_only=True)
-                if len(ds):
-                    mots_datasets.append(ds)
-            except Exception:
-                pass
+            if getattr(self, "mot_test_name", "") == "bdd100k":
+                # BDD group: seg_track_20 scalabel rles
+                # (reference bdd_omni_mots.py:15-143)
+                from ..data.datasets.bdd import BDDOmniMOTSDataset
+
+                try:
+                    ds = BDDOmniMOTSDataset(os.path.join(root, "bdd100k"),
+                                            "train")
+                    if len(ds):
+                        mots_datasets.append(ds)
+                except Exception:
+                    pass
+            else:
+                try:
+                    ds = COCOMOTSDataset(os.path.join(root, "coco"),
+                                         person_only=True)
+                    if len(ds):
+                        mots_datasets.append(ds)
+                except Exception:
+                    pass
         if self.mot_only:
             vos_datasets = []
         if self.sot_only:

@@ -103,16 +103,22 @@ def _msda_onehot(value, sampling_locations, attention_weights, q_chunk):
     wts = wts.transpose(1, 0, 3, 2, 4).reshape(nq, q_chunk, B, L, M, K)
     iota = jnp.arange(HW, dtype=jnp.int32)
 
-    def chunk(carry, inp):
-        i_c, w_c = inp  # (q_chunk, B, L, M, K)
+    # jax.checkpoint: the (B,L,M,qc,HW) one-hot matrix must be RECOMPUTED in
+    # the backward pass, not stored — storing it as a scan residual costs
+    # n_chunks x ~2 GB at the training shape (observed 39 GB HBM OOM)
+    @jax.checkpoint
+    def chunk_fn(i_c, w_c):
         i_c = i_c.transpose(1, 2, 3, 0, 4)   # (B, L, M, qc, K)
         w_c = w_c.transpose(1, 2, 3, 0, 4).astype(dt)
         Wmat = jnp.zeros((B, L, M, i_c.shape[3], HW), dt)
         for k in range(K):  # 16 iota-compare accumulate passes
             oh = (i_c[..., k:k + 1] == iota).astype(dt)
             Wmat = Wmat + w_c[..., k:k + 1] * oh
-        out = jnp.einsum("blmqh,blmhd->bqmd", Wmat, v)
-        return carry, out
+        return jnp.einsum("blmqh,blmhd->bqmd", Wmat, v)
+
+    def chunk(carry, inp):
+        i_c, w_c = inp  # (q_chunk, B, L, M, K)
+        return carry, chunk_fn(i_c, w_c)
 
     _, outs = jax.lax.scan(chunk, 0, (idx, wts))
     out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Lq + n_pad, M, D)[:, :Lq]
