@@ -177,6 +177,7 @@ class YOLOXDet(nn.Module):
     n_layer_att: int = 0
     use_mask: bool = False       # instance-seg stage (YOLOXMask, yolox.py:54-80)
     sem_loss_on: bool = False
+    exact_gelu: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
