@@ -134,3 +134,55 @@ def test_staged_forward_parity(pair):
         assert j_out.shape == t_out.shape
         np.testing.assert_allclose(j_out, t_out, atol=ATOL, rtol=1e-3,
                                    err_msg=f"head {mode}")
+
+
+def test_training_loss_parity(pair):
+    """Training glue parity: the reference head's get_losses (SimOTA
+    assignment + IoU/BCE/L1 weighting/normalization) vs yolox_losses on the
+    same converted weights, features, and labels (well-separated boxes so the
+    discrete dynamic-k matching is numerically stable)."""
+    from unicorn_tpu.losses.det import yolox_losses
+    from unicorn_tpu.models.heads import decode_boxes, level_grids
+
+    tm, jm, params, imgs = pair
+    tx0 = torch.from_numpy(imgs[0].transpose(2, 0, 1)[None].copy())
+    with torch.no_grad():
+        t_fpn, _ = tm.forward_backbone(tx0)
+
+    # two well-separated gt boxes [cls, cx, cy, w, h]
+    labels = np.zeros((1, 10, 5), np.float32)
+    labels[0, 0] = [2, 40.0, 30.0, 36.0, 28.0]
+    labels[0, 1] = [5, 120.0, 64.0, 40.0, 44.0]
+
+    tm.head.train()
+    tm.head.use_l1 = True
+    zero_masks = [torch.zeros(1, 1, H // s, W // s) for s in STRIDES]
+    t_loss = tm.head(t_fpn, zero_masks, labels=torch.from_numpy(labels),
+                     imgs=tx0, mode="mot")
+    tm.head.eval()
+    tm.head.use_l1 = False
+
+    j_fpn0, _ = jm.apply(params, jnp.asarray(imgs[:1]),
+                         method=Unicorn.forward_backbone)
+    j_zero = tuple(jnp.zeros((1, H // s, W // s, 1)) for s in STRIDES)
+    raw = jm.apply(params, j_fpn0, j_zero, method=Unicorn.forward_head)
+    fl = flatten_raw_outputs(raw, "mot")
+    pred_boxes = decode_boxes(fl["reg_raw"], fl["hw"], STRIDES)
+    xs, ys, sv = level_grids(fl["hw"], STRIDES)
+    j_loss, _ = yolox_losses(
+        jnp.asarray(labels), pred_boxes, fl["obj_logits"], fl["cls_logits"],
+        fl["reg_raw"], xs, ys, sv, (H, W), use_l1=True)
+
+    # reference returns a loss_dict in training mode (unicorn_head.py:395)
+    t_total = float(t_loss["total_loss"])
+    t_iou = float(t_loss["iou_loss"])
+    t_conf = float(t_loss["conf_loss"])
+    t_cls = float(t_loss["cls_loss"])
+    t_l1 = float(t_loss["l1_loss"])
+    t_nfg = float(t_loss["num_fg"])
+    assert float(j_loss["num_fg"]) == pytest.approx(t_nfg, rel=1e-6), \
+        "SimOTA foreground counts diverge"
+    for name, tv in (("iou_loss", t_iou), ("conf_loss", t_conf),
+                     ("cls_loss", t_cls), ("l1_loss", t_l1),
+                     ("total_loss", t_total)):
+        assert float(j_loss[name]) == pytest.approx(tv, rel=2e-3), name

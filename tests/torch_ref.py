@@ -126,7 +126,27 @@ def load_reference():
     pkg = types.ModuleType("unicorn")
     pkg.__path__ = [os.path.join(REF_ROOT, "unicorn")]
     sys.modules.setdefault("unicorn", pkg)
-    _stub("unicorn.utils", bboxes_iou=None)
+
+    def _bboxes_iou(a, b, xyxy=True):
+        """unicorn/utils/boxes.py bboxes_iou semantics (YOLOX): pairwise IoU;
+        xyxy=False means cxcywh boxes (the SimOTA call path)."""
+        if xyxy:
+            tl = torch.max(a[:, None, :2], b[None, :, :2])
+            br = torch.min(a[:, None, 2:], b[None, :, 2:])
+            area_a = torch.prod(a[:, 2:] - a[:, :2], 1)
+            area_b = torch.prod(b[:, 2:] - b[:, :2], 1)
+        else:
+            tl = torch.max(a[:, None, :2] - a[:, None, 2:] / 2,
+                           b[None, :, :2] - b[None, :, 2:] / 2)
+            br = torch.min(a[:, None, :2] + a[:, None, 2:] / 2,
+                           b[None, :, :2] + b[None, :, 2:] / 2)
+            area_a = torch.prod(a[:, 2:], 1)
+            area_b = torch.prod(b[:, 2:], 1)
+        en = (tl < br).type(tl.type()).prod(dim=2)
+        area_i = torch.prod(br - tl, 2) * en
+        return area_i / (area_a[:, None] + area_b[None, :] - area_i + 1e-16)
+
+    _stub("unicorn.utils", bboxes_iou=_bboxes_iou)
 
     from unicorn.models.ops.functions import ms_deform_attn_func as _f
     from unicorn.models.ops.modules import ms_deform_attn as _m
@@ -140,8 +160,8 @@ def load_reference():
 
     _m.MSDeformAttnFunction = _PurePyMSDA
 
-    # deformable_transformer.py:71 hardcodes device="cuda" for its zero mask;
-    # shim the module's torch binding to redirect that to cpu
+    # deformable_transformer.py:71 and unicorn_head.py's zero-grad trick
+    # hardcode device="cuda"; shim those modules' torch bindings to cpu
     import unicorn.models.deformable_transformer as _dt
 
     class _TorchShim:
@@ -154,7 +174,16 @@ def load_reference():
                 kw["device"] = "cpu"
             return torch.zeros(*a, **kw)
 
+        @staticmethod
+        def tensor(*a, **kw):
+            if kw.get("device") == "cuda":
+                kw["device"] = "cpu"
+            return torch.tensor(*a, **kw)
+
     _dt.torch = _TorchShim()
+    import unicorn.models.unicorn_head as _uh
+
+    _uh.torch = _TorchShim()
 
     from unicorn.models.unicorn import Unicorn
     from unicorn.models.backbone.yolo_pafpn_new import YOLOPAFPNNEW
