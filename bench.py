@@ -82,9 +82,11 @@ def main():
     params = model.init(jax.random.PRNGKey(0), frame0, method=Unicorn.init_all)
 
     # ---------------- primary: streaming MOT FPS ----------------
-    # frame_batch=4: detector forward batched over 4 frames inside the scan
-    # (association stays causal per frame) — better MXU utilization
-    FB = int(os.environ.get("BENCH_FRAME_BATCH", "4"))
+    # frame_batch: detector forward batched over F frames inside the scan
+    # (association stays causal). Measured on one v5e at 800x1280: F=4 LOWERS
+    # throughput (126 -> 87 FPS; batch-4 activations pressure HBM scheduling)
+    # so the default stays 1; the knob exists for smaller inputs/chips.
+    FB = int(os.environ.get("BENCH_FRAME_BATCH", "1"))
     pipe = StreamingMOTPipeline(
         model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
         nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
