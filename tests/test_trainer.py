@@ -82,3 +82,39 @@ def test_trainer_end_to_end(tmp_path):
     t2 = Trainer(exp2, {"batch_size": 2, "resume": True})
     t2.before_train()
     assert t2.start_epoch == 1
+
+
+def test_trainer_no_aug_transition(tmp_path):
+    """At max_epoch - no_aug_epochs the trainer closes mosaic, enables L1
+    (reference trainer.py before_epoch), and drops a checkpoint."""
+    exp = TinyExp(str(tmp_path))
+    exp.max_epoch = 2
+    exp.no_aug_epochs = 1
+    trainer = Trainer(exp, {"batch_size": 2})
+
+    closed = []
+
+    class _Loader:
+        dataset = None
+
+        def close_mosaic(self):
+            closed.append(True)
+
+    trainer.before_train()
+    trainer.loader = _Loader()
+    trainer.epoch = 0
+    trainer.before_epoch()
+    assert not trainer.no_aug and not closed  # too early
+
+    trainer.epoch = 1  # == max_epoch - no_aug_epochs
+    trainer._step_fns["sentinel"] = object()
+    trainer.before_epoch()
+    assert trainer.no_aug and closed == [True]
+    assert "sentinel" not in trainer._step_fns  # step fns rebuilt with L1
+    assert os.path.exists(tmp_path / "tiny_test" /
+                          "last_mosaic_epoch.ckpt.msgpack") or \
+        any("last_mosaic_epoch" in f
+            for f in os.listdir(tmp_path / "tiny_test"))
+    # idempotent
+    trainer.before_epoch()
+    assert closed == [True]

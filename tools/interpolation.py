@@ -44,17 +44,39 @@ def dti(txt_path, save_path, n_min=25, n_dti=20):
                if merged.shape[1] == 10 else "%.1f", delimiter=",")
 
 
+def copy_1to3(src_dir, des_dir):
+    """Duplicate MOT17 FRCNN result files as DPM/SDP variants (the MOT17
+    submission format expects all three detector splits; reference
+    tools/copy_1to3.py)."""
+    import shutil
+
+    os.makedirs(des_dir, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(src_dir)):
+        if "FRCNN" not in f:
+            continue
+        src = os.path.join(src_dir, f)
+        for det in ("FRCNN", "DPM", "SDP"):
+            shutil.copyfile(src, os.path.join(des_dir, f.replace("FRCNN", det)))
+            n += 1
+    print(f"copy_1to3: wrote {n} files to {des_dir}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--txt-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--n-dti", type=int, default=20)
+    p.add_argument("--copy-1to3", action="store_true",
+                   help="also expand FRCNN txts to DPM/SDP for submission")
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     for txt in glob.glob(os.path.join(args.txt_dir, "*.txt")):
         dti(txt, os.path.join(args.out_dir, os.path.basename(txt)),
             n_dti=args.n_dti)
         print("interpolated", os.path.basename(txt))
+    if args.copy_1to3:
+        copy_1to3(args.out_dir, args.out_dir + "_1to3")
 
 
 if __name__ == "__main__":

@@ -54,12 +54,14 @@ class Trainer:
         self.epoch = 0
         self.iter = 0
         self.best_ap = 0.0
+        self.no_aug = False  # flips at max_epoch - no_aug_epochs
 
     # ------------------------------------------------------------------
     def train(self):
         self.before_train()
         try:
             for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
                 self.train_in_epoch()
                 self.after_epoch()
         finally:
@@ -132,8 +134,28 @@ class Trainer:
                 from .train_step import make_det_train_step
 
                 self._step_fns[size] = make_det_train_step(
-                    self.model, size, use_l1=getattr(exp, "always_l1", False))
+                    self.model, size,
+                    use_l1=getattr(exp, "always_l1", False) or self.no_aug)
         return self._step_fns[size]
+
+    def before_epoch(self):
+        """No-aug transition (reference trainer.py before_epoch): at
+        max_epoch - no_aug_epochs, close mosaic/mixup and switch the det loss
+        to L1 for the remaining epochs."""
+        exp = self.exp
+        no_aug = int(getattr(exp, "no_aug_epochs", 0))
+        if self.no_aug or not no_aug or \
+                self.epoch < self.max_epoch - no_aug:
+            return
+        self.no_aug = True
+        self.logger.info("epoch %d: closing mosaic/mixup, enabling L1 "
+                         "(no-aug final epochs)", self.epoch)
+        for obj in (getattr(self.loader, "dataset", None), self.loader):
+            if hasattr(obj, "close_mosaic"):
+                obj.close_mosaic()
+                break
+        self._step_fns = {}  # rebuild step fns with use_l1=True
+        self.save_ckpt("last_mosaic_epoch")
 
     def train_in_epoch(self):
         t_data = t_step = 0.0
