@@ -80,3 +80,25 @@ def test_streaming_frame_batch_matches_unbatched():
     o2 = np.asarray(p2.run_chunk(frames))
     assert o1.shape == o2.shape
     np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_packed_input_matches_raw():
+    """Host space-to-depth ingest (pack_frames_np) == raw (N, H, W, 3) input
+    through the full streaming pipeline (ConvNeXt stem consumes both)."""
+    from unicorn_tpu.drivers.stream import pack_frames_np
+
+    model = Unicorn(num_classes=1, backbone_name="convnext_tiny",
+                    in_channels=(192, 384, 768), interact_mode="conv",
+                    n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(3)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame, method=Unicorn.init_all)
+
+    frames = rng.rand(4, H, W, 3).astype(np.float32) * 255
+    outs = []
+    for feed in (frames, pack_frames_np(frames)):
+        pipe = StreamingMOTPipeline(model, params, input_size=(H, W),
+                                    conf_thre=0.01, max_dets=8, max_tracks=8,
+                                    n_cand=16)
+        outs.append(np.asarray(pipe.run_chunk(jnp.asarray(feed))))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

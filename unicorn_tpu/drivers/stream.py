@@ -19,6 +19,21 @@ from ..ops.nms import postprocess_device
 from ..tracker.jax_tracker import init_state, tracker_step
 
 
+def pack_frames_np(frames: np.ndarray) -> np.ndarray:
+    """Host-side 4x4 space-to-depth: (N, H, W, 3) -> (N, H/4, W/4, 48).
+
+    The packed form is the preferred device ingest format for ConvNeXt-stem
+    models: the stem consumes it as one dense matmul (~0.05 ms/frame at
+    800x1280) whereas repacking the (H, W, 3) layout ON DEVICE costs
+    ~0.7 ms/frame (tiny-minor-dim relayout) no matter how it is phrased.
+    Patch-major (dy, dx, c) order matches models.convnext.space_to_depth_4x4.
+    """
+    n, h, w, c = frames.shape
+    xp = frames.reshape(n, h // 4, 4, w // 4, 4, c)
+    return np.ascontiguousarray(xp.transpose(0, 1, 3, 2, 4, 5)).reshape(
+        n, h // 4, w // 4, 16 * c)
+
+
 class StreamingMOTPipeline:
     def __init__(self, model: Unicorn, params, input_size=(800, 1280),
                  num_classes: int = 1, conf_thre: float = 0.1,
@@ -30,7 +45,11 @@ class StreamingMOTPipeline:
         over F consecutive frames inside the chunk scan — better MXU
         utilization at batch>1 — while the tracker still consumes frames
         causally one by one. Throughput knob for offline eval; keep F=1 for
-        minimum per-frame latency. chunk length must divide by F."""
+        minimum per-frame latency. chunk length must divide by F.
+
+        Frames may be fed either raw (N, H, W, 3) or host-packed
+        (N, H/4, W/4, 48) via `pack_frames_np` (ConvNeXt-stem models only);
+        the stem consumes both, the packed form ~0.65 ms/frame faster."""
         import jax
         import jax.numpy as jnp
 

