@@ -60,6 +60,12 @@ def test_ms_deform_attn_matches_oracle():
                              jnp.asarray(attw), method=method, q_chunk=4)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5,
                                    err_msg=method)
+    from unicorn_tpu.ops.deform_attn import _msda_onehot_factored
+
+    out_f = _msda_onehot_factored(jnp.asarray(value), jnp.asarray(locs),
+                                  jnp.asarray(attw), q_chunk=4)
+    np.testing.assert_allclose(np.asarray(out_f), ref, rtol=1e-4, atol=1e-5,
+                               err_msg="onehot_factored")
 
 
 def test_ms_deform_attn_onehot_grads_match_gather():
@@ -78,6 +84,11 @@ def test_ms_deform_attn_onehot_grads_match_gather():
             argnums=(0, 1, 2))(value, locs, attw)
     g1, g2 = loss("gather"), loss("onehot")
     for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # factored build (the TPU auto path) must differentiate identically too
+    g3 = loss("onehot_factored")
+    for a, b in zip(g1, g3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 

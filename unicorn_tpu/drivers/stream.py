@@ -67,6 +67,7 @@ class StreamingMOTPipeline:
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, class_agnostic=(num_classes == 1),
                 n_cand=n_cand, max_out=max_dets, cluster_iters=8,
+                approx_topk=True,
             )
             dets5 = jnp.concatenate(
                 [dets[..., :4], (dets[..., 4] * dets[..., 5])[..., None]],

@@ -63,17 +63,23 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
       (B, Lq, M * D)
     """
     if method == "auto":
-        # measured at the SOT shape (v5e, bf16): onehot 4.8 ms, pallas 10.0 ms
-        # — the fused kernel's dense compare-build is VPU-bound and loses to
-        # XLA's fused one-hot; without per-element VMEM gather support the
-        # dense Pallas formulation cannot win. Kept as an explicit method for
-        # future toolchains.
-        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+        # measured at the SOT shape (v5e, bf16): factored one-hot 4.2 ms
+        # (q_chunk 500), direct one-hot 4.8 ms, fused Pallas 10.0 ms (the
+        # dense compare-build is VPU-bound; without per-element VMEM gather
+        # support a dense Pallas formulation cannot win — kept as an explicit
+        # method for future toolchains), XLA gather ~18 ms.
+        if jax.default_backend() == "tpu":
+            method, q_chunk = "onehot_factored", min(q_chunk, 500)
+        else:
+            method = "gather"
     if method == "pallas":
         return _msda_pallas_vjp(value, sampling_locations, attention_weights)
     if method == "onehot":
         return _msda_onehot(value, sampling_locations, attention_weights,
                             q_chunk)
+    if method == "onehot_factored":
+        return _msda_onehot_factored(value, sampling_locations,
+                                     attention_weights, q_chunk)
     return _msda_gather(value, sampling_locations, attention_weights)
 
 
@@ -242,6 +248,82 @@ def _msda_pallas_bwd(res, g):
 
 
 _msda_pallas_vjp.defvjp(_msda_pallas_fwd, _msda_pallas_bwd)
+
+
+def _msda_onehot_factored(value, sampling_locations, attention_weights,
+                          q_chunk: int = 1000):
+    """One-hot formulation with a rank-1 (row x col) weight-matrix build.
+
+    The direct one-hot build costs ~16 taps x (compare+select+fma) per
+    (query, cell) — ~40 VPU ops/cell. Bilinear taps are separable:
+    W[q, y, x] = sum_p Ay_p[q, y] * Bx_p[q, x], where Ay/Bx have 2 taps each
+    over H resp. W (tiny to build). The (qc, H, W) matrix then costs 2 VPU
+    ops per cell per point (8 total) — ~5x less build work — and contracts
+    with the (H, W, D) value maps in one 2-dim-contraction einsum on the MXU.
+    Out-of-range corners follow grid_sample zero-padding: each axis tap is
+    zero-weighted when its row/col falls outside, so the corner weight
+    (the product) vanishes exactly as in _bilinear_taps.
+    """
+    B, L, H, W, M, D = value.shape
+    _, Lq, _, _, P, _ = sampling_locations.shape
+    dt = value.dtype
+
+    x = sampling_locations[..., 0] * W - 0.5
+    y = sampling_locations[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(dt)
+    ly = (y - y0).astype(dt)
+
+    # per-axis taps with zero weight when out of range
+    def taps(c0, frac, n):
+        in_lo = (c0 >= 0) & (c0 < n)
+        in_hi = (c0 + 1 >= 0) & (c0 + 1 < n)
+        w_lo = jnp.where(in_lo, 1.0 - frac, 0.0).astype(dt)
+        w_hi = jnp.where(in_hi, frac, 0.0).astype(dt)
+        i_lo = jnp.clip(c0, 0, n - 1).astype(jnp.int32)
+        i_hi = jnp.clip(c0 + 1, 0, n - 1).astype(jnp.int32)
+        return jnp.stack([i_lo, i_hi], -1), jnp.stack([w_lo, w_hi], -1)
+
+    yi, wy = taps(y0, ly, H)           # (B, Lq, M, L, P, 2)
+    xi, wx = taps(x0, lx, W)
+    wy = wy * attention_weights[..., None].astype(dt)  # fold attw into rows
+
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    # (B, L, M, Lq, P, H/W) one-hot-with-weights per axis
+    oh_y = jnp.sum(
+        (yi[..., None] == iota_h).astype(dt) * wy[..., None], axis=-2
+    ).transpose(0, 3, 2, 1, 4, 5)      # (B, L, M, Lq, P, H)
+    oh_x = jnp.sum(
+        (xi[..., None] == iota_w).astype(dt) * wx[..., None], axis=-2
+    ).transpose(0, 3, 2, 1, 4, 5)      # (B, L, M, Lq, P, W)
+
+    v3 = value.transpose(0, 1, 4, 2, 3, 5)  # (B, L, M, H, W, D)
+
+    q_chunk = min(q_chunk, Lq)
+    n_pad = (-Lq) % q_chunk
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, 0), (0, n_pad), (0, 0), (0, 0))
+        oh_y = jnp.pad(oh_y, pad)
+        oh_x = jnp.pad(oh_x, pad)
+    nq = (Lq + n_pad) // q_chunk
+    oh_y = oh_y.reshape(B, L, M, nq, q_chunk, P, H).transpose(3, 0, 1, 2, 4, 5, 6)
+    oh_x = oh_x.reshape(B, L, M, nq, q_chunk, P, W).transpose(3, 0, 1, 2, 4, 5, 6)
+
+    @jax.checkpoint
+    def chunk_fn(oy, ox):
+        # (B, L, M, qc, P, H) x (B, L, M, qc, P, W) -> (B, L, M, qc, H, W)
+        wmat = jnp.einsum("blmqph,blmqpw->blmqhw", oy, ox)
+        return jnp.einsum("blmqhw,blmhwd->bqmd", wmat, v3)
+
+    def chunk(carry, inp):
+        oy, ox = inp
+        return carry, chunk_fn(oy, ox)
+
+    _, outs = jax.lax.scan(chunk, 0, (oh_y, oh_x))
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Lq + n_pad, M, D)[:, :Lq]
+    return out.reshape(B, Lq, M * D)
 
 
 def ms_deform_attn_reference(value, sampling_locations, attention_weights):

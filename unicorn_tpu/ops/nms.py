@@ -27,7 +27,7 @@ def _iou_matrix_xyxy(boxes):
 
 
 def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int,
-              cluster_iters: int = 0):
+              cluster_iters: int = 0, approx_topk: bool = False):
     """Greedy NMS over the top-n_cand scoring boxes, static shapes.
 
     boxes (A, 4) xyxy, scores (A,). Returns (keep_mask (n_cand,), order
@@ -40,7 +40,14 @@ def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int,
     (usually < 5) — each iteration is one matmul-shaped reduction instead of
     n_cand sequential steps. Used by the streaming serving path.
     """
-    top_scores, order = jax.lax.top_k(scores, n_cand)
+    if approx_topk:
+        # TPU-optimized approximate candidate selection (recall >= 0.99 of
+        # the exact top-n_cand; measured free vs 0.1 ms exact at A=21k).
+        # Serving-path knob — eval tools keep the exact top_k default.
+        top_scores, order = jax.lax.approx_max_k(
+            scores, n_cand, recall_target=0.99)
+    else:
+        top_scores, order = jax.lax.top_k(scores, n_cand)
     cand = boxes[order]
     iou = _iou_matrix_xyxy(cand)
     upper = jnp.arange(n_cand)[:, None] < jnp.arange(n_cand)[None, :]
@@ -66,11 +73,11 @@ def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int,
 
 
 @partial(jax.jit, static_argnames=("num_classes", "class_agnostic", "n_cand",
-                                   "max_out", "cluster_iters"))
+                                   "max_out", "cluster_iters", "approx_topk"))
 def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
                        nms_thre: float = 0.45, class_agnostic: bool = False,
                        n_cand: int = 512, max_out: int = 128,
-                       cluster_iters: int = 0):
+                       cluster_iters: int = 0, approx_topk: bool = False):
     """Full decode-side postprocess on device (boxes.py:33-79 parity).
 
     prediction: (B, A, 5+C) [cxcywh, obj_sig, cls_sig...].
@@ -101,7 +108,8 @@ def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
             nms_boxes = boxes_xyxy + cls_id[:, None] * (max_coord + 1.0)
 
         keep, order = nms_fixed(nms_boxes, score_m, nms_thre, n_cand,
-                                cluster_iters=cluster_iters)
+                                cluster_iters=cluster_iters,
+                                approx_topk=approx_topk)
         keep = keep & (score_m[order] > -jnp.inf)
         # compact kept rows to the front, preserving score order
         rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
