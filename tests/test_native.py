@@ -56,6 +56,74 @@ def test_native_matches_python():
         np.testing.assert_array_equal(ig_n, ig_p)
 
 
+def _force_python_rle(monkeypatch):
+    """Disable every native RLE entry point so rle.py takes its fallbacks."""
+    from unicorn_tpu.evaluators import rle
+
+    for fn in ("rle_encode_native", "rle_decode_native", "rle_to_string_native",
+               "rle_from_string_native", "rle_iou_native",
+               "rle_merge_native"):
+        monkeypatch.setattr(rle._native, fn, lambda *a, **k: None)
+
+
+def _random_masks(rng, n, h, w):
+    masks = []
+    for _ in range(n):
+        m = np.zeros((h, w), np.uint8)
+        for _b in range(rng.randint(1, 4)):  # blocky + speckle structure
+            y, x = rng.randint(0, h), rng.randint(0, w)
+            dy, dx = rng.randint(1, h // 2 + 1), rng.randint(1, w // 2 + 1)
+            m[y:y + dy, x:x + dx] = 1
+        m ^= (rng.rand(h, w) < 0.02).astype(np.uint8)
+        masks.append(m)
+    return masks
+
+
+def test_rle_native_python_parity(monkeypatch):
+    """Native C++ RLE codec == pure-python forms on random masks, and both
+    round-trip exactly (encode -> compress -> decompress -> decode)."""
+    from unicorn_tpu.evaluators import rle
+
+    assert get_lib() is not None
+    rng = np.random.RandomState(1)
+    masks = _random_masks(rng, 6, 37, 53) + [
+        np.zeros((11, 7), np.uint8), np.ones((11, 7), np.uint8)]
+    native = [rle.encode(m) for m in masks]
+    native_dec = [rle.decode(r) for r in native]
+    native_area = [rle.area(r) for r in native]
+    native_iou = rle.iou_rle(native[:4], native[4:6],
+                             iscrowd=[False, True])
+    native_merge = rle.merge([rle.encode_counts(m) for m in masks[:3]])
+
+    _force_python_rle(monkeypatch)
+    for m, r, d, a in zip(masks, native, native_dec, native_area):
+        py = rle.encode(m)
+        assert py == r  # identical compressed string
+        np.testing.assert_array_equal(rle.decode(py), m)
+        np.testing.assert_array_equal(d, m)
+        assert a == int(m.sum())
+    py_iou = rle.iou_rle(native[:4], native[4:6],
+                         iscrowd=[False, True])
+    np.testing.assert_allclose(native_iou, py_iou, atol=1e-9)
+    py_merge = rle.merge([rle.encode_counts(m) for m in masks[:3]])
+    assert native_merge == py_merge
+    np.testing.assert_array_equal(
+        rle.decode_counts(native_merge),
+        (masks[0] | masks[1] | masks[2]).astype(np.uint8))
+
+
+def test_rle_merge_intersect():
+    from unicorn_tpu.evaluators import rle
+
+    a = np.zeros((9, 9), np.uint8)
+    a[2:7, 2:7] = 1
+    b = np.zeros((9, 9), np.uint8)
+    b[4:9, 4:9] = 1
+    out = rle.merge([rle.encode_counts(a), rle.encode_counts(b)],
+                    intersect=True)
+    np.testing.assert_array_equal(rle.decode_counts(out), a & b)
+
+
 def test_coco_map_with_native_same_results():
     """End-to-end: the evaluator (which now uses the native path) still
     produces the golden values from test_eval.py."""

@@ -28,7 +28,118 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
             ]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            _lib.rle_encode_flat.restype = ctypes.c_int64
+            _lib.rle_encode_flat.argtypes = [u8p, ctypes.c_int64, i64p]
+            _lib.rle_decode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, u8p]
+            _lib.rle_to_string.restype = ctypes.c_int64
+            _lib.rle_to_string.argtypes = [i64p, ctypes.c_int64, ctypes.c_char_p]
+            _lib.rle_from_string.restype = ctypes.c_int64
+            _lib.rle_from_string.argtypes = [ctypes.c_char_p, ctypes.c_int64, i64p]
+            _lib.rle_area.restype = ctypes.c_int64
+            _lib.rle_area.argtypes = [i64p, ctypes.c_int64]
+            _lib.rle_iou.argtypes = [i64p, i64p, ctypes.c_int64,
+                                     i64p, i64p, ctypes.c_int64,
+                                     u8p, ctypes.POINTER(ctypes.c_double)]
+            _lib.rle_merge.restype = ctypes.c_int64
+            _lib.rle_merge.argtypes = [i64p, i64p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, i64p]
     return _lib
+
+
+def _i64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def rle_encode_native(mask: np.ndarray):
+    """(H, W) 0/1 mask -> column-major counts (int64 array), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = mask.shape
+    flat = np.asfortranarray(mask, np.uint8).ravel(order="K")
+    out = np.empty(h * w + 2, np.int64)
+    n = lib.rle_encode_flat(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h * w, _i64(out))
+    return out[:n]
+
+
+def rle_decode_native(counts, h: int, w: int):
+    """counts -> row-major (H, W) uint8 mask, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.int64)
+    mask = np.zeros((h, w), np.uint8)
+    lib.rle_decode(_i64(counts), len(counts), h, w,
+                   mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return mask
+
+
+def rle_to_string_native(counts):
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.int64)
+    buf = ctypes.create_string_buffer(13 * max(len(counts), 1) + 1)
+    n = lib.rle_to_string(_i64(counts), len(counts), buf)
+    return buf.raw[:n].decode("ascii")
+
+
+def rle_from_string_native(s: str):
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = s.encode("ascii")
+    out = np.empty(max(len(raw), 1), np.int64)
+    n = lib.rle_from_string(raw, len(raw), _i64(out))
+    return out[:n]
+
+
+def _flatten_counts(rles):
+    counts = [np.ascontiguousarray(r, np.int64) for r in rles]
+    off = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum([len(c) for c in counts], out=off[1:])
+    flat = (np.concatenate(counts) if counts
+            else np.empty(0, np.int64))
+    return np.ascontiguousarray(flat), off
+
+
+def rle_iou_native(d_counts_list, g_counts_list, iscrowd=None):
+    """Lists of uncompressed counts -> (D, G) IoU matrix, or None.
+
+    RLE-domain interval intersection; never decodes to dense pixels."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    D, G = len(d_counts_list), len(g_counts_list)
+    if D == 0 or G == 0:
+        return np.zeros((D, G))
+    dflat, doff = _flatten_counts(d_counts_list)
+    gflat, goff = _flatten_counts(g_counts_list)
+    crowd = np.zeros(G, np.uint8) if iscrowd is None else \
+        np.ascontiguousarray(iscrowd, np.uint8)
+    out = np.zeros((D, G), np.float64)
+    lib.rle_iou(_i64(dflat), _i64(doff), D, _i64(gflat), _i64(goff), G,
+                crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def rle_merge_native(counts_list, h: int, w: int, intersect: bool = False):
+    """Union (or intersection) of masks given as counts lists -> counts."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat, off = _flatten_counts(counts_list)
+    out = np.empty(h * w + 2, np.int64)
+    n = lib.rle_merge(_i64(flat), _i64(off), len(counts_list), h, w,
+                      int(intersect), _i64(out))
+    return out[:n]
 
 
 def evaluate_img_native(ious: np.ndarray, gt_ignore: np.ndarray,

@@ -46,19 +46,6 @@ def _box_iou_xywh(d, g, iscrowd):
     return inter / np.maximum(union, 1e-12)
 
 
-def _mask_iou(d_masks, g_masks, iscrowd):
-    """IoU between boolean masks: d (D,H,W), g (G,H,W)."""
-    D, G = len(d_masks), len(g_masks)
-    out = np.zeros((D, G))
-    d_flat = d_masks.reshape(D, -1).astype(np.float32)
-    g_flat = g_masks.reshape(G, -1).astype(np.float32)
-    inter = d_flat @ g_flat.T
-    d_area = d_flat.sum(1)[:, None]
-    g_area = g_flat.sum(1)[None, :]
-    union = np.where(iscrowd[None, :], d_area, d_area + g_area - inter)
-    return inter / np.maximum(union, 1e-12)
-
-
 def _evaluate_img(dts, gts, ious, area_rng):
     """Greedy matching for one (image, category) at all IoU thresholds.
 
@@ -173,12 +160,9 @@ class COCOMeanAP:
                     g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
                     ious = _box_iou_xywh(d_boxes, g_boxes, iscrowd)
                 else:
-                    from .rle import decode as rle_decode
-                    d_masks = np.stack([rle_decode(d["segmentation"]) for d in dts]) \
-                        if dts else np.zeros((0, 1, 1))
-                    g_masks = np.stack([rle_decode(g["segmentation"]) for g in gts]) \
-                        if gts else np.zeros((0, 1, 1))
-                    ious = _mask_iou(d_masks, g_masks, iscrowd)
+                    from .rle import iou_rle
+                    ious = iou_rle([d["segmentation"] for d in dts],
+                                   [g["segmentation"] for g in gts], iscrowd)
                 scores = np.array([d["score"] for d in dts])
                 for a_name in area_names:
                     rng = AREA_RNG[a_name]

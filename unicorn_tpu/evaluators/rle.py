@@ -1,18 +1,28 @@
-"""COCO run-length-encoded mask codec (pure Python/numpy; no pycocotools).
+"""COCO run-length-encoded mask codec (no pycocotools).
 
 Implements the COCO mask API formats: uncompressed RLE
 ({"size": [h, w], "counts": [int, ...]}, column-major runs starting with
 zeros) and the compressed string form (5-bit varint chars offset by 48, with
 delta coding of counts beyond the second).
+
+The hot paths (string codec, decode, IoU, merge) dispatch to the native C++
+codec in csrc/rle.cpp — the role-equivalent of pycocotools' C maskApi the
+reference relies on — and fall back to the pure Python/numpy forms below when
+the native library is unavailable (parity-tested in tests/test_native.py).
 """
 from __future__ import annotations
 
 import numpy as np
 
+from ..csrc import bindings as _native
+
 
 def encode_counts(mask: np.ndarray) -> dict:
     """mask: (H, W) bool/0-1 -> uncompressed RLE dict."""
     h, w = mask.shape
+    counts = _native.rle_encode_native(mask)
+    if counts is not None:
+        return {"size": [h, w], "counts": counts.tolist()}
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     # runs: starts with count of zeros
     changes = np.flatnonzero(np.diff(flat))
@@ -26,6 +36,9 @@ def decode_counts(rle: dict) -> np.ndarray:
     """Uncompressed RLE dict -> (H, W) uint8 mask."""
     h, w = rle["size"]
     counts = rle["counts"]
+    mask = _native.rle_decode_native(counts, h, w)
+    if mask is not None:
+        return mask
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
@@ -39,6 +52,9 @@ def decode_counts(rle: dict) -> np.ndarray:
 def compress(rle: dict) -> dict:
     """Uncompressed -> compressed string RLE (COCO maskApi rleToString)."""
     counts = rle["counts"]
+    s = _native.rle_to_string_native(counts)
+    if s is not None:
+        return {"size": rle["size"], "counts": s}
     s = []
     for i, x in enumerate(counts):
         x = int(x)
@@ -58,6 +74,9 @@ def compress(rle: dict) -> dict:
 def decompress(rle: dict) -> dict:
     """Compressed string RLE -> uncompressed (COCO maskApi rleFrString)."""
     s = rle["counts"]
+    native = _native.rle_from_string_native(s)
+    if native is not None:
+        return {"size": rle["size"], "counts": native.tolist()}
     counts = []
     i = 0
     while i < len(s):
@@ -101,10 +120,43 @@ def area(rle) -> int:
     return int(sum(rle["counts"][1::2]))
 
 
+def _to_counts(rle):
+    """Any RLE form -> uncompressed counts list."""
+    if isinstance(rle["counts"], (str, bytes)):
+        c = rle["counts"]
+        if isinstance(c, bytes):
+            rle = {"size": rle["size"], "counts": c.decode("ascii")}
+        rle = decompress(rle)
+    return rle["counts"]
+
+
+def merge(rles, intersect: bool = False) -> dict:
+    """Union (or intersection) of RLE masks -> uncompressed RLE
+    (pycocotools mask.merge role; used for MOTS overlap resolution)."""
+    if not rles:
+        raise ValueError("merge of zero masks")
+    h, w = rles[0]["size"]
+    counts = _native.rle_merge_native([_to_counts(r) for r in rles], h, w,
+                                      intersect)
+    if counts is not None:
+        return {"size": [h, w], "counts": counts.tolist()}
+    stack = np.stack([decode(r) for r in rles])
+    m = stack.all(0) if intersect else stack.any(0)
+    return encode_counts(m)
+
+
 def iou_rle(d_rles, g_rles, iscrowd=None) -> np.ndarray:
-    """IoU matrix between lists of RLEs (decodes to dense; fine for eval)."""
+    """IoU matrix between lists of RLEs.
+
+    Native path intersects runs in the RLE domain (no dense decode);
+    fallback decodes to dense pixels and matmuls."""
     if not d_rles or not g_rles:
         return np.zeros((len(d_rles), len(g_rles)))
+    native = _native.rle_iou_native(
+        [_to_counts(r) for r in d_rles], [_to_counts(r) for r in g_rles],
+        None if iscrowd is None else np.asarray(iscrowd, np.uint8))
+    if native is not None:
+        return native
     d = np.stack([decode(r) for r in d_rles]).astype(np.float32)
     g = np.stack([decode(r) for r in g_rles]).astype(np.float32)
     D, G = len(d), len(g)
