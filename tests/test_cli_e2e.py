@@ -164,6 +164,122 @@ def test_track_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert "mota" in out.lower() or "MOTA" in out
 
 
+DET_EXP = '''
+from unicorn_tpu.exp.det import ExpDet
+
+
+class Exp(ExpDet):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = "cli_det_tiny"
+        self.num_classes = 1
+        self.backbone_name = "csp_darknet"
+        self.depth = 0.33
+        self.width = 0.25
+        self.in_channels = [256, 512, 1024]
+        self.use_attention = False
+        self.n_layer_att = 0
+        self.bf16 = False
+        self.test_size = (64, 96)
+        self.test_conf = 0.01
+        self.nmsthre = 0.65
+        self.val_ann = "val_tiny.json"
+        self.val_name = "val"
+'''
+
+
+def _write_coco_fixture(datadir):
+    """2-image COCO det fixture under <datadir>/coco/."""
+    import cv2
+
+    img_dir = os.path.join(datadir, "coco", "val")
+    ann_dir = os.path.join(datadir, "coco", "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    H, W = 64, 96
+    images, anns = [], []
+    for i in range(2):
+        img = np.zeros((H, W, 3), np.uint8)
+        x, y, w, h = 20 + 10 * i, 15, 30, 30
+        img[y:y + h, x:x + w] = 200
+        cv2.imwrite(os.path.join(img_dir, f"{i:06d}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i:06d}.jpg",
+                       "height": H, "width": W})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+    with open(os.path.join(ann_dir, "val_tiny.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+
+def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/eval.py: det exp -> COCOEvaluator over an on-disk COCO fixture
+    -> AP metrics printed (random weights; the wiring is what's under test)."""
+    datadir = str(tmp_path / "data")
+    _write_coco_fixture(datadir)
+    exp_file = tmp_path / "exp_cli_det.py"
+    exp_file.write_text(DET_EXP)
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    _run_tool("eval", ["-f", str(exp_file), "-b", "1"])
+
+    out = capsys.readouterr().out
+    assert "AP" in out
+
+
+def test_demo_cli_image(tmp_path, monkeypatch):
+    """tools/demo.py image: predict over a directory, write visualizations."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[10:40, 20:50] = 180
+    cv2.imwrite(str(img_dir / "a.jpg"), img)
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    save_dir = tmp_path / "out"
+
+    _run_tool("demo", ["image", "-f", str(exp_file), "--path", str(img_dir),
+                       "--save-dir", str(save_dir), "--conf", "0.0"])
+
+    assert (save_dir / "a.jpg").exists()
+
+
+def test_sot_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/test.py unicorn_sot: GOT-10k-layout fixture -> SOTDriver frame
+    loop -> result txt + AUC report."""
+    import cv2
+
+    datadir = tmp_path / "data"
+    seq_dir = datadir / "GOT10K" / "test" / "GOT-10k_Test_000001"
+    seq_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    n_frames = 3
+    for t in range(n_frames):
+        img = (rng.rand(64, 96, 3) * 60).astype(np.uint8)
+        img[20:44, 30 + 4 * t:54 + 4 * t] = 230
+        cv2.imwrite(str(seq_dir / f"{t + 1:08d}.jpg"), img)
+    gt = np.array([[30 + 4 * t, 20, 24, 24] for t in range(n_frames)], float)
+    np.savetxt(seq_dir / "groundtruth.txt", gt, delimiter=",")
+    (datadir / "GOT10K" / "test" / "list.txt").write_text(
+        "GOT-10k_Test_000001\n")
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    result_dir = tmp_path / "results"
+    monkeypatch.setenv("UNICORN_DATADIR", str(datadir))
+
+    _run_tool("test", ["unicorn_sot", "--dataset", "got10k_test",
+                       "-f", str(exp_file), "--result-dir", str(result_dir)])
+
+    out = capsys.readouterr().out
+    written = []
+    for root, _dirs, files in os.walk(result_dir):
+        written += [f for f in files if f.endswith(".txt")]
+    assert written, "no SOT result files written"
+    assert "auc" in out.lower() or "success" in out.lower()
+
+
 def test_train_cli_end_to_end(tmp_path):
     """tools/train.py: exp file -> Trainer -> one tiny epoch -> checkpoint."""
     exp_file = tmp_path / "exp_cli_train.py"

@@ -21,7 +21,10 @@ def make_parser():
     p.add_argument("--save-dir", default="demo_out")
     p.add_argument("--conf", type=float, default=0.3)
     p.add_argument("--nms", type=float, default=0.65)
-    p.add_argument("opts", nargs=argparse.REMAINDER)
+    # NOT argparse.REMAINDER: with a leading positional (demo mode) REMAINDER
+    # swallows every following option, so the documented
+    # `demo.py image -f <exp>` silently ran with exp_file=None.
+    p.add_argument("opts", nargs="*")
     return p
 
 

@@ -20,7 +20,9 @@ def make_parser():
     p.add_argument("-c", "--ckpt", default=None)
     p.add_argument("--result-dir", default="test_results")
     p.add_argument("--max-seqs", type=int, default=None)
-    p.add_argument("opts", nargs=argparse.REMAINDER)
+    # NOT argparse.REMAINDER: with a leading positional (tracker name)
+    # REMAINDER swallows every following option (see tools/demo.py).
+    p.add_argument("opts", nargs="*")
     return p
 
 
