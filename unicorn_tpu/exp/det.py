@@ -33,6 +33,7 @@ class ExpDet(BaseExp):
         self.use_attention = True
         self.n_layer_att = 3
         self.bf16 = True
+        self.remat = True   # backbone block remat (training memory; no numeric change)
         # ---------------- dataloader config ---------------- #
         self.data_num_workers = 1
         self.input_size = (640, 640)
@@ -89,6 +90,7 @@ class ExpDet(BaseExp):
             in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
             act=self.act, use_attention=self.use_attention,
             n_layer_att=self.n_layer_att,
+            remat=getattr(self, "remat", False),
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 

@@ -48,6 +48,7 @@ class ExpDetMask(ExpDet):
             in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
             act=self.act, use_attention=self.use_attention,
             n_layer_att=self.n_layer_att, use_mask=True,
+            remat=getattr(self, "remat", False),
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 

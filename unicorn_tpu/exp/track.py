@@ -32,6 +32,7 @@ class ExpTrack(BaseExp):
         self.fuse_method = "sum"
         self.learnable_fuse = True
         self.bf16 = True
+        self.remat = True   # backbone block remat (training memory; no numeric change)
         # ---------------- dataloader config ---------------- #
         self.data_num_workers = 1
         self.input_size = (800, 1280)
@@ -100,6 +101,7 @@ class ExpTrack(BaseExp):
             n_layer_att=self.n_layer_att, unshared_obj=self.unshared_obj,
             unshared_reg=self.unshared_reg, fuse_method=self.fuse_method,
             learnable_fuse=self.learnable_fuse,
+            remat=getattr(self, "remat", False),
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 

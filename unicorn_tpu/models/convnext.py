@@ -63,9 +63,15 @@ class ConvNeXt(nn.Module):
     layer_scale_init_value: float = 1e-6
     dtype: Any = jnp.float32
     exact_gelu: bool = True
+    # Rematerialize each block under grad (reference convnext.py use_checkpoint
+    # role): drops the 4x-width MLP hidden activations from the backward
+    # residency — the largest activation term at 800x1280 (≈0.2 GB/block at
+    # stage 0). Numerically identical; enable for training, off for serving.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        Block = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
         outs = []
         for i in range(4):
             if i == 0:
@@ -85,7 +91,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32, name=f"down_conv{i}",
                 )(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(
+                x = Block(
                     self.dims[i], self.layer_scale_init_value, dtype=self.dtype,
                     exact_gelu=self.exact_gelu, name=f"stage{i}_block{j}",
                 )(x)
@@ -98,19 +104,19 @@ class ConvNeXt(nn.Module):
         return tuple(outs)  # strides 8, 16, 32
 
 
-def convnext_tiny(dtype=jnp.float32, exact_gelu=True):
+def convnext_tiny(dtype=jnp.float32, exact_gelu=True, remat=False):
     return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), dtype=dtype,
-                    exact_gelu=exact_gelu)
+                    exact_gelu=exact_gelu, remat=remat)
 
 
-def convnext_base(dtype=jnp.float32, exact_gelu=True):
+def convnext_base(dtype=jnp.float32, exact_gelu=True, remat=False):
     return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), dtype=dtype,
-                    exact_gelu=exact_gelu)
+                    exact_gelu=exact_gelu, remat=remat)
 
 
-def convnext_large(dtype=jnp.float32, exact_gelu=True):
+def convnext_large(dtype=jnp.float32, exact_gelu=True, remat=False):
     return ConvNeXt(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), dtype=dtype,
-                    exact_gelu=exact_gelu)
+                    exact_gelu=exact_gelu, remat=remat)
 
 
 CONVNEXT_OUT_CHANNELS = {

@@ -18,11 +18,12 @@ from .resnet import ResNet50
 
 
 def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
-                   exact_gelu: bool = True):
+                   exact_gelu: bool = True, remat: bool = False):
     """Build the raw feature extractor producing stride-8/16/32 features.
 
     Returns (module, out_channels) where out_channels are the raw stride-8/16/32
-    channel counts.
+    channel counts.  remat enables per-block gradient rematerialization
+    (training memory knob; numerically identical — convnext only for now).
     """
     if name.startswith("convnext"):
         fn = {
@@ -31,7 +32,8 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
             "convnext_base": convnext_base,
             "convnext_large": convnext_large,
         }[name]
-        return fn(dtype=dtype, exact_gelu=exact_gelu), CONVNEXT_OUT_CHANNELS[name]
+        return (fn(dtype=dtype, exact_gelu=exact_gelu, remat=remat),
+                CONVNEXT_OUT_CHANNELS[name])
     if name.startswith("swin"):
         from .swin import SWIN_OUT_CHANNELS, swin_tiny
 
@@ -55,6 +57,7 @@ class YOLOPAFPN(nn.Module):
     backbone_name: str = "convnext_tiny"
     dtype: Any = jnp.float32
     exact_gelu: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, return_base_feat: bool = False, run_fpn: bool = True):
@@ -64,7 +67,7 @@ class YOLOPAFPN(nn.Module):
 
         backbone, raw_ch = build_backbone(
             self.backbone_name, self.depth, self.width, dtype=dt,
-            exact_gelu=self.exact_gelu,
+            exact_gelu=self.exact_gelu, remat=self.remat,
         )
         x2, x1, x0 = backbone(x)  # strides 8, 16, 32
 

@@ -47,6 +47,7 @@ class Unicorn(nn.Module):
     use_mask: bool = False          # CondInst controllers + mask branch
     exact_gelu: bool = True         # erf GELU (torch parity) vs tanh (serving)
     use_raft: bool = False          # RAFT convex upsampling of masks
+    remat: bool = False             # backbone block remat (training memory)
     dtype: Any = jnp.float32
     # interaction/embedding stages run fp32 by default, matching the
     # reference's autocast-off region (unicorn.py:491-504)
@@ -56,7 +57,7 @@ class Unicorn(nn.Module):
         self.backbone = YOLOPAFPN(
             depth=self.depth, width=self.width, in_channels=self.in_channels,
             act=self.act, backbone_name=self.backbone_name, dtype=self.dtype,
-            exact_gelu=self.exact_gelu,
+            exact_gelu=self.exact_gelu, remat=self.remat,
         )
         self.head = UnicornHead(
             num_classes=self.num_classes, width=self.width,
@@ -178,13 +179,14 @@ class YOLOXDet(nn.Module):
     use_mask: bool = False       # instance-seg stage (YOLOXMask, yolox.py:54-80)
     sem_loss_on: bool = False
     exact_gelu: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = YOLOPAFPN(
             depth=self.depth, width=self.width, in_channels=self.in_channels,
             act=self.act, backbone_name=self.backbone_name, dtype=self.dtype,
-            exact_gelu=self.exact_gelu,
+            exact_gelu=self.exact_gelu, remat=self.remat,
         )
         self.head = UnicornHead(
             num_classes=self.num_classes, width=self.width,
