@@ -280,6 +280,139 @@ def test_sot_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert "auc" in out.lower() or "success" in out.lower()
 
 
+TRACK_MASK_EXP = '''
+from unicorn_tpu.exp.track_mask import ExpTrackMask
+
+
+class Exp(ExpTrackMask):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = "cli_mask_tiny"
+        self.num_classes = 1
+        self.backbone_name = "csp_darknet"
+        self.depth = 0.33
+        self.width = 0.25
+        self.in_channels = [256, 512, 1024]
+        self.interact_mode = "conv"
+        self.n_layer_att = 0
+        self.use_attention = False
+        self.bf16 = False
+        self.use_raft = False
+        self.test_size = (64, 96)
+        self.test_conf = 0.01
+        self.nmsthre = 0.65
+        self.pretrain_name = None
+'''
+
+
+def test_track_omni_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/track_omni.py (QDTrack embedding association) over the same
+    COCO-video fixture as the ByteTrack path."""
+    datadir = str(tmp_path / "data")
+    _write_mot_fixture(datadir)
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    result_dir = str(tmp_path / "results")
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    _run_tool("track_omni", ["-f", str(exp_file), "--result-dir", result_dir])
+
+    assert sorted(os.listdir(result_dir)) == ["v0.txt"]
+
+
+def test_vos_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/test.py unicorn_vos: DAVIS-layout fixture -> VOSDriver mask
+    propagation -> indexed PNGs + J&F report."""
+    import cv2
+
+    datadir = tmp_path / "data"
+    jdir = datadir / "DAVIS" / "JPEGImages" / "480p" / "seq0"
+    adir = datadir / "DAVIS" / "Annotations" / "480p" / "seq0"
+    sdir = datadir / "DAVIS" / "ImageSets" / "2017"
+    jdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    sdir.mkdir(parents=True)
+    (sdir / "val.txt").write_text("seq0\n")
+    rng = np.random.RandomState(0)
+    for t in range(3):
+        img = (rng.rand(64, 96, 3) * 60).astype(np.uint8)
+        img[20:44, 30:60] = 220
+        cv2.imwrite(str(jdir / f"{t:05d}.jpg"), img)
+        mask = np.zeros((64, 96), np.uint8)
+        mask[20:44, 30:60] = 1
+        cv2.imwrite(str(adir / f"{t:05d}.png"), mask)
+    exp_file = tmp_path / "exp_cli_mask.py"
+    exp_file.write_text(TRACK_MASK_EXP)
+    result_dir = tmp_path / "results"
+    monkeypatch.setenv("UNICORN_DATADIR", str(datadir))
+
+    _run_tool("test", ["unicorn_vos", "--dataset", "dv2017",
+                       "-f", str(exp_file), "--result-dir", str(result_dir)])
+
+    out = capsys.readouterr().out
+    pngs = list((result_dir / "unicorn_vos" / "dv2017" / "seq0").glob("*.png"))
+    assert len(pngs) == 3
+    assert "J" in out or "jf" in out.lower()
+
+
+def test_interpolation_cli(tmp_path):
+    """tools/interpolation.py: DTI fills a 2-frame gap in a MOT txt."""
+    txt_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    txt_dir.mkdir()
+    rows = [[1, 7, 10, 10, 20, 20, 1, -1, -1, -1],
+            [2, 7, 12, 10, 20, 20, 1, -1, -1, -1],
+            [5, 7, 18, 10, 20, 20, 1, -1, -1, -1],
+            [6, 7, 20, 10, 20, 20, 1, -1, -1, -1]]
+    np.savetxt(txt_dir / "v0.txt", np.array(rows, float), delimiter=",")
+
+    _run_tool("interpolation", ["--txt-dir", str(txt_dir),
+                                "--out-dir", str(out_dir)])
+
+    out = np.loadtxt(out_dir / "v0.txt", delimiter=",")
+    frames = sorted(out[out[:, 1] == 7][:, 0].astype(int).tolist())
+    assert frames == [1, 2, 3, 4, 5, 6]  # frames 3-4 interpolated
+    f3 = out[(out[:, 0] == 3) & (out[:, 1] == 7)][0]
+    assert abs(f3[2] - 14.0) < 1e-6  # linear x between 12 (f2) and 18 (f5)
+
+
+def test_analysis_results_cli(tmp_path, monkeypatch, capsys):
+    """tools/analysis_results.py: AUC report from saved SOT result txts."""
+    datadir = tmp_path / "data"
+    seq_dir = datadir / "GOT10K" / "val" / "GOT-10k_Val_000001"
+    seq_dir.mkdir(parents=True)
+    import cv2
+
+    gt = np.array([[30 + 2 * t, 20, 24, 24] for t in range(3)], float)
+    np.savetxt(seq_dir / "groundtruth.txt", gt, delimiter=",")
+    for t in range(3):
+        cv2.imwrite(str(seq_dir / f"{t + 1:08d}.jpg"),
+                    np.zeros((48, 64, 3), np.uint8))
+    (datadir / "GOT10K" / "val" / "list.txt").write_text(
+        "GOT-10k_Val_000001\n")
+    result_dir = tmp_path / "results"
+    result_dir.mkdir()
+    np.savetxt(result_dir / "GOT-10k_Val_000001.txt", gt, delimiter="\t")
+    monkeypatch.setenv("UNICORN_DATADIR", str(datadir))
+
+    _run_tool("analysis_results", ["--dataset", "got10k_val",
+                                   "--result-dir", str(result_dir)])
+
+    out = capsys.readouterr().out.lower()
+    assert "auc" in out or "success" in out
+
+
+def test_export_model_cli(tmp_path):
+    """tools/export_model.py: StableHLO export of the jitted forward."""
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    out_path = tmp_path / "model.stablehlo"
+
+    _run_tool("export_model", ["-f", str(exp_file), "--out", str(out_path)])
+
+    assert out_path.exists() and out_path.stat().st_size > 1000
+
+
 def test_train_cli_end_to_end(tmp_path):
     """tools/train.py: exp file -> Trainer -> one tiny epoch -> checkpoint."""
     exp_file = tmp_path / "exp_cli_train.py"
