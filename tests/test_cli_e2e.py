@@ -395,11 +395,14 @@ def test_analysis_results_cli(tmp_path, monkeypatch, capsys):
     np.savetxt(result_dir / "GOT-10k_Val_000001.txt", gt, delimiter="\t")
     monkeypatch.setenv("UNICORN_DATADIR", str(datadir))
 
+    plot_path = tmp_path / "ope.png"
     _run_tool("analysis_results", ["--dataset", "got10k_val",
-                                   "--result-dir", str(result_dir)])
+                                   "--result-dir", str(result_dir),
+                                   "--plot", str(plot_path)])
 
     out = capsys.readouterr().out.lower()
     assert "auc" in out or "success" in out
+    assert plot_path.exists() and plot_path.stat().st_size > 1000
 
 
 def test_export_model_cli(tmp_path):

@@ -16,9 +16,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="lasot")
     p.add_argument("--result-dir", required=True)
+    p.add_argument("--plot", default=None,
+                   help="save success/precision plots to this PNG path")
     args = p.parse_args()
 
-    from unicorn_tpu.harness.analysis import evaluate_sot
+    from unicorn_tpu.harness.analysis import evaluate_sot, plot_results
     from unicorn_tpu.harness.datasets import get_dataset
 
     sequences = get_dataset(args.dataset)
@@ -30,6 +32,10 @@ def main():
             results[f[:-4]] = np.loadtxt(
                 os.path.join(args.result_dir, f), delimiter="\t")
     print(evaluate_sot(results, gts))
+    if args.plot:
+        plot_results({"unicorn_tpu": results}, gts, args.plot,
+                     title=args.dataset)
+        print(f"plots saved to {args.plot}")
 
 
 if __name__ == "__main__":

@@ -71,3 +71,55 @@ def evaluate_sot(results: dict, gts: dict):
         "NormPrecision": float(np.mean(nprecs)) if nprecs else 0.0,
         "n_sequences": len(aucs),
     }
+
+
+def plot_results(tracker_results: dict, gts: dict, out_path: str,
+                 title: str = "OPE"):
+    """Success + precision plots for one or more trackers, saved as one PNG.
+
+    Reference role: external/lib/test/analysis/plot_results.py.
+    tracker_results: {tracker_name: {seq_name: (N, 4) xywh}}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax_s, ax_p) = plt.subplots(1, 2, figsize=(11, 4.5))
+    for tname, results in tracker_results.items():
+        s_curves, p_curves = [], []
+        for name, pred in results.items():
+            if name not in gts:
+                continue
+            gt = np.asarray(gts[name], np.float64)
+            pred = np.asarray(pred, np.float64)[: len(gt)]
+            gt = gt[: len(pred)]
+            sc, s_thr = success_curve(pred, gt)
+            pc, p_thr = precision_curve(pred, gt)
+            s_curves.append(sc)
+            p_curves.append(pc)
+        if not s_curves:
+            continue
+        s_mean = np.mean(s_curves, axis=0)
+        p_mean = np.mean(p_curves, axis=0)
+        ax_s.plot(s_thr, s_mean,
+                  label=f"{tname} [AUC {s_mean.mean():.3f}]")
+        ax_p.plot(p_thr, p_mean,
+                  label=f"{tname} [P@20 {p_mean[20]:.3f}]")
+    ax_s.set_xlabel("Overlap threshold")
+    ax_s.set_ylabel("Success rate")
+    ax_s.set_title(f"Success plot of {title}")
+    ax_s.set_xlim(0, 1)
+    ax_s.set_ylim(0, 1)
+    ax_s.grid(True, alpha=0.3)
+    ax_s.legend(loc="lower left", fontsize=8)
+    ax_p.set_xlabel("Location error threshold (px)")
+    ax_p.set_ylabel("Precision")
+    ax_p.set_title(f"Precision plot of {title}")
+    ax_p.set_ylim(0, 1)
+    ax_p.grid(True, alpha=0.3)
+    ax_p.legend(loc="lower right", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
