@@ -218,3 +218,28 @@ def test_remat_backbone_identical_loss_and_grads():
     for ga, gb in zip(jax.tree_util.tree_leaves(outs[False][1]),
                       jax.tree_util.tree_leaves(outs[True][1])):
         np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_swin_identical_loss():
+    """Swin remat (reference swin use_checkpoint role): same params tree and
+    loss; grads equal up to fp32 reassociation noise."""
+    import jax
+
+    from unicorn_tpu.models.swin import SwinTransformer
+
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    models = {r: SwinTransformer(embed_dim=24, depths=(1, 1, 2, 1),
+                                 num_heads=(2, 2, 2, 2), window_size=4,
+                                 remat=r) for r in (False, True)}
+    params = models[False].init(jax.random.PRNGKey(0), imgs)
+    p2 = models[True].init(jax.random.PRNGKey(0), imgs)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    outs = {}
+    for r, m in models.items():
+        loss = lambda p: sum(jnp.sum(o * o) for o in m.apply(p, imgs))
+        outs[r] = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for ga, gb in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                      jax.tree_util.tree_leaves(outs[True][1])):
+        # fp32 reassociation noise only; a wrong gradient differs at O(grad)
+        np.testing.assert_allclose(ga, gb, rtol=5e-2, atol=5e-5)

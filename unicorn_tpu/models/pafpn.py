@@ -23,7 +23,7 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
 
     Returns (module, out_channels) where out_channels are the raw stride-8/16/32
     channel counts.  remat enables per-block gradient rematerialization
-    (training memory knob; numerically identical — convnext only for now).
+    (training memory knob; numerically identical — convnext and swin).
     """
     if name.startswith("convnext"):
         fn = {
@@ -37,7 +37,7 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
     if name.startswith("swin"):
         from .swin import SWIN_OUT_CHANNELS, swin_tiny
 
-        return swin_tiny(dtype=dtype), SWIN_OUT_CHANNELS["swin_tiny"]
+        return swin_tiny(dtype=dtype, remat=remat), SWIN_OUT_CHANNELS["swin_tiny"]
     if name == "resnet50":
         return ResNet50(dtype=dtype), (512, 1024, 2048)
     if name == "csp_darknet":

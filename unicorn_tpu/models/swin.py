@@ -143,9 +143,12 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     dtype: Any = jnp.float32
+    # per-block grad remat (reference swin_transformer.py use_checkpoint role)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        Block = nn.remat(SwinBlock) if self.remat else SwinBlock
         # patch embed: conv4x4 stride 4 + LN
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     param_dtype=jnp.float32, name="patch_embed")(x)
@@ -155,7 +158,7 @@ class SwinTransformer(nn.Module):
         dim = self.embed_dim
         for i, depth in enumerate(self.depths):
             for j in range(depth):
-                x = SwinBlock(
+                x = Block(
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
                     dtype=self.dtype, name=f"stage{i}_block{j}",
@@ -180,9 +183,9 @@ class SwinTransformer(nn.Module):
         return tuple(outs)
 
 
-def swin_tiny(dtype=jnp.float32):
+def swin_tiny(dtype=jnp.float32, remat=False):
     return SwinTransformer(embed_dim=96, depths=(2, 2, 6, 2),
-                           num_heads=(3, 6, 12, 24), dtype=dtype)
+                           num_heads=(3, 6, 12, 24), dtype=dtype, remat=remat)
 
 
 SWIN_OUT_CHANNELS = {"swin_tiny_patch4_window7_224": (192, 384, 768),
