@@ -12,3 +12,4 @@ class Exp(ExpDet):
         self.in_channels = [384, 768, 1536]
         self.input_size = (800, 1280)
         self.test_size = (800, 1280)
+        self.remat = True  # convnext_large activations exceed HBM without it

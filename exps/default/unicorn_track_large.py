@@ -11,3 +11,4 @@ class Exp(ExpTrack):
         self.backbone_name = 'convnext_large'
         self.in_channels = [384, 768, 1536]
         self.pretrain_name = 'unicorn_det_convnext_large_800x1280'
+        self.remat = True  # convnext_large activations exceed HBM without it

@@ -11,3 +11,4 @@ class Exp(ExpTrackMask):
         self.backbone_name = 'convnext_large'
         self.in_channels = [384, 768, 1536]
         self.pretrain_name = 'unicorn_track_large'
+        self.remat = True  # convnext_large activations exceed HBM without it

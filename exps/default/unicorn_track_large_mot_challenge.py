@@ -14,3 +14,4 @@ class Exp(ExpTrack):
         self.mot_test_name = 'motchallenge'
         self.num_classes = 1
         self.mhs = False
+        self.remat = True  # convnext_large activations exceed HBM without it

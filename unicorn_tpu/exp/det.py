@@ -33,7 +33,10 @@ class ExpDet(BaseExp):
         self.use_attention = True
         self.n_layer_att = 3
         self.bf16 = True
-        self.remat = True   # backbone block remat (training memory; no numeric change)
+        # backbone block remat: numerically identical, ~6-12% step-time cost,
+        # cuts activation residency ~40% (measured 800x1280 v5e: B=1 temp
+        # 5.4->3.1 GB). Off for tiny (fits to B=2); large configs enable it.
+        self.remat = False
         # ---------------- dataloader config ---------------- #
         self.data_num_workers = 1
         self.input_size = (640, 640)

@@ -32,7 +32,10 @@ class ExpTrack(BaseExp):
         self.fuse_method = "sum"
         self.learnable_fuse = True
         self.bf16 = True
-        self.remat = True   # backbone block remat (training memory; no numeric change)
+        # backbone block remat: numerically identical, ~6-12% step-time cost,
+        # cuts activation residency ~40% (measured 800x1280 v5e: B=1 temp
+        # 5.4->3.1 GB). Off for tiny (fits to B=2); large configs enable it.
+        self.remat = False
         # ---------------- dataloader config ---------------- #
         self.data_num_workers = 1
         self.input_size = (800, 1280)
