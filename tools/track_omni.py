@@ -42,6 +42,8 @@ def main():
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)
     model = exp.get_model()
+    if getattr(exp, "serve_interact_bf16", False):
+        model = model.clone(interact_dtype=jnp.bfloat16)
     if args.ckpt:
         ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
                                os.path.basename(args.ckpt))

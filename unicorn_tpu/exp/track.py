@@ -32,6 +32,10 @@ class ExpTrack(BaseExp):
         self.fuse_method = "sum"
         self.learnable_fuse = True
         self.bf16 = True
+        # serve interaction/correlation in bf16 (the reference itself
+        # serves fp16 correlation, unicorn_sot.py:94-97); training keeps
+        # the fp32 autocast-off region either way
+        self.serve_interact_bf16 = True
         # backbone block remat: numerically identical, ~6-12% step-time cost,
         # cuts activation residency ~40% (measured 800x1280 v5e: B=1 temp
         # 5.4->3.1 GB). Off for tiny (fits to B=2); large configs enable it.
