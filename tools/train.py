@@ -30,6 +30,11 @@ def main():
     args = make_parser().parse_args()
     from unicorn_tpu.core.trainer import Trainer
     from unicorn_tpu.exp.base import get_exp
+    from unicorn_tpu.parallel.multihost import initialize_multihost
+
+    # multi-host pods: wires jax.distributed so jax.devices() spans the pod
+    # (no-op on a single host; reference tools/train_dist.py role)
+    initialize_multihost()
 
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)

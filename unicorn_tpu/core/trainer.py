@@ -109,7 +109,11 @@ class Trainer:
             except FileNotFoundError:
                 self.logger.info("no checkpoint to resume; starting fresh")
         self.state = replicate_state(self.mesh, state)
-        self.loader = exp.get_data_loader(self.batch_size)
+        # multi-host: each process loads only its share of the global batch
+        # (reference DistributedSampler role); shard_batch assembles the
+        # global array from the local slices
+        local_bs = self.batch_size // jax.process_count()
+        self.loader = exp.get_data_loader(local_bs)
         self._step_fns = {}
         self.step_fn = self._get_step_fn(self.input_size)
         # multiscale size list (reference multiscale_range in 32-px steps)
@@ -197,9 +201,13 @@ class Trainer:
             t_step += t2 - t1
             if (self.iter + 1) % 10 == 0 and len(self.size_list) > 1 and \
                     hasattr(self.loader, "set_input_size"):
-                import random as _random
-
-                self.loader.set_input_size(_random.choice(self.size_list))
+                # deterministic in (epoch, iter): every host picks the SAME
+                # size with no collective — the reference instead broadcasts
+                # rank 0's draw (exp/unicorn_track.py:349-354)
+                seed = (self.exp.seed or 0) * 1000003 \
+                    + self.epoch * 100003 + self.iter
+                idx = np.random.RandomState(seed).randint(len(self.size_list))
+                self.loader.set_input_size(self.size_list[idx])
             if (self.iter + 1) % self.exp.print_interval == 0:
                 losses = {k: float(v) for k, v in loss_dict.items()}
                 self._log_metrics({"epoch": self.epoch, "iter": self.iter + 1,
@@ -263,6 +271,8 @@ class Trainer:
     def save_ckpt(self, name):
         import jax
 
+        if jax.process_index() != 0:
+            return  # rank-0-only save (reference trainer.py:528-543)
         state = jax.device_get(self.state)
         save_checkpoint(self.output_dir, {
             "params": state.params,

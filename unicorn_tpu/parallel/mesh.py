@@ -37,8 +37,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch with the leading dim sharded over `axis`."""
+    """Place a host batch with the leading dim sharded over `axis`.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (see multihost.local_batch_slice) and the global array is assembled
+    without any cross-host copy (reference DistributedSampler + DDP role)."""
     sh = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
