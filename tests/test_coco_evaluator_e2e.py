@@ -16,7 +16,7 @@ IMG = (96, 128)  # h, w of the synthetic images
 TEST_SIZE = (64, 64)
 
 
-def _make_dataset(tmp_path):
+def _make_dataset(tmp_path, n_images=3):
     root = str(tmp_path)
     os.makedirs(os.path.join(root, "annotations"))
     os.makedirs(os.path.join(root, "val"))
@@ -24,7 +24,7 @@ def _make_dataset(tmp_path):
     images, annotations = [], []
     ann_id = 1
     gt = {}
-    for i in range(3):
+    for i in range(n_images):
         name = f"{i:04d}.jpg"
         cv2.imwrite(os.path.join(root, "val", name),
                     (rng.rand(*IMG, 3) * 255).astype(np.uint8))
@@ -58,7 +58,7 @@ def _mock_forward(gt, shift=0.0):
         idx = forward.counter
         outs = []
         for b in range(B):
-            boxes = gt[idx + b]
+            boxes = gt.get(idx + b, [])
             r = min(TEST_SIZE[0] / IMG[0], TEST_SIZE[1] / IMG[1])
             rows = np.zeros((8, 7), np.float32)
             rows[:, 4] = 0.0
@@ -94,3 +94,22 @@ def test_shifted_predictions_lower_ap(tmp_path):
     assert abs(m["AP50"] - 1.0) < 1e-6
     assert m["AP75"] == 0.0
     assert 0.0 < m["AP"] < 1.0
+
+
+def test_mesh_sharded_eval_matches_single_device(tmp_path):
+    """Data-parallel eval over the 8-device CPU mesh (reference
+    DistributedSampler role): same AP as single-device, padding of the
+    final partial batch included (6 images, batch 8)."""
+    import jax
+    from jax.sharding import Mesh
+
+    ds, gt = _make_dataset(tmp_path, n_images=6)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    ev_mesh = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
+                            num_classes=2, batch_size=8, mesh=mesh)
+    m_mesh = ev_mesh.evaluate(_mock_forward(gt), None)
+    ev_one = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
+                           num_classes=2, batch_size=2)
+    m_one = ev_one.evaluate(_mock_forward(gt), None)
+    assert abs(m_mesh["AP"] - m_one["AP"]) < 1e-9
+    assert m_mesh["AP50"] > 0.99

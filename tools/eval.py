@@ -41,6 +41,13 @@ def main():
 
     model = exp.get_model()
     evaluator = exp.get_evaluator(batch_size=args.batch_size)
+    # shard eval batches over all chips (reference distributed eval role)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batch_size % n_dev == 0:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        evaluator.mesh = Mesh(_np.asarray(jax.devices()), ("data",))
     if args.ckpt:
         ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
                                os.path.basename(args.ckpt))

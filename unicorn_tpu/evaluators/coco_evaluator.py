@@ -17,7 +17,12 @@ from ..utils.boxes import postprocess
 
 class COCOEvaluator:
     def __init__(self, dataset, img_size, conf_thre, nms_thre, num_classes,
-                 batch_size: int = 1, use_device_nms: bool = True):
+                 batch_size: int = 1, use_device_nms: bool = True, mesh=None):
+        """mesh: optional 1-D ("data",) device mesh — eval batches shard
+        their leading dim across it, the TPU-native form of the reference's
+        DistributedSampler + rank-gather eval (coco_evaluator.py:27-250).
+        batch_size should be a multiple of the mesh size; the final partial
+        batch is padded by repetition and the padding discarded."""
         self.dataset = dataset
         self.img_size = img_size
         self.conf_thre = conf_thre
@@ -25,6 +30,7 @@ class COCOEvaluator:
         self.num_classes = num_classes
         self.batch_size = batch_size
         self.use_device_nms = use_device_nms
+        self.mesh = mesh
 
     def evaluate(self, forward_fn, params, max_images=None):
         """forward_fn(params, images (B,H,W,3)) -> decoded (B, A, 5+C)
@@ -46,7 +52,15 @@ class COCOEvaluator:
                 imgs.append(img)
                 infos.append(info)
                 ids.append(int(np.asarray(img_id).ravel()[0]))
-            batch = jnp.asarray(np.stack(imgs))
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                while len(imgs) % bs:     # pad final batch to the full size;
+                    imgs.append(imgs[-1])  # zip against ids drops the padding
+                batch = jax.device_put(
+                    np.stack(imgs), NamedSharding(self.mesh, P("data")))
+            else:
+                batch = jnp.asarray(np.stack(imgs))
             dec = forward_fn(params, batch)
             if self.use_device_nms:
                 dets, valid = postprocess_device(
