@@ -423,3 +423,16 @@ def test_train_cli_end_to_end(tmp_path):
                                           str(tmp_path).replace("\\", "/")))
     _run_tool("train", ["-f", str(exp_file), "-b", "2"])
     assert os.path.exists(tmp_path / "cli_train_tiny" / "latest")
+
+
+def test_launch_uni_stage_files_exist():
+    """launch_uni.py's stage table must reference real config files."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "launch_uni", os.path.join(REPO, "launch_uni.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for model, stages in mod.STAGES.items():
+        for stage, path in stages.items():
+            assert os.path.exists(os.path.join(REPO, path)), (model, stage, path)
