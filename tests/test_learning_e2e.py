@@ -1,0 +1,95 @@
+"""End-to-end LEARNING test: the real det training stack (SimOTA losses ->
+train step -> decode -> device NMS -> own COCO mAP) must learn a synthetic
+two-class detection task from scratch to high AP50 in 500 steps.
+
+This is the strongest stack-correctness signal available without real
+datasets: a scale bug, a broken gradient path, a decode/NMS mismatch, or an
+evaluator fault each independently push AP50 to ~0. (The reference's
+equivalent evidence is its benchmark pipeline, SURVEY.md §4.2.)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unicorn_tpu.core.train_state import TrainState
+from unicorn_tpu.core.train_step import make_det_train_step
+from unicorn_tpu.evaluators.coco_map import COCOMeanAP
+from unicorn_tpu.models.heads import decode_for_inference
+from unicorn_tpu.models.unicorn import YOLOXDet
+from unicorn_tpu.ops.nms import postprocess_device
+
+H, W = 96, 128
+
+
+def _sample(n, rng):
+    """Images with 2 colored rectangles on noise; class = color."""
+    imgs = np.zeros((n, H, W, 3), np.float32)
+    labels = np.zeros((n, 5, 5), np.float32)
+    for i in range(n):
+        imgs[i] = rng.rand(H, W, 3) * 40
+        for k in range(2):
+            w, h = rng.randint(24, 40), rng.randint(20, 32)
+            x, y = rng.randint(0, W - w), rng.randint(0, H - h)
+            cls = rng.randint(0, 2)
+            color = [220, 40, 40] if cls == 0 else [40, 40, 220]
+            imgs[i, y:y + h, x:x + w] = color
+            labels[i, k] = [cls, x + w / 2, y + h / 2, w, h]
+    return imgs, labels
+
+
+def _eval_ap(model, params, rng):
+    imgs, labels = _sample(16, rng)
+    raw = model.apply(params, jnp.asarray(imgs))
+    if isinstance(raw, tuple):
+        raw = raw[0]
+    dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+    dets, valid = postprocess_device(dec, num_classes=2, conf_thre=0.05,
+                                     nms_thre=0.5, n_cand=256, max_out=16)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    images, anns, results = [], [], []
+    aid = 1
+    for i in range(16):
+        images.append({"id": i + 1, "width": W, "height": H})
+        for k in range(2):
+            c, cx, cy, w, h = labels[i, k]
+            anns.append({"id": aid, "image_id": i + 1,
+                         "category_id": int(c) + 1,
+                         "bbox": [cx - w / 2, cy - h / 2, w, h],
+                         "area": float(w * h), "iscrowd": 0})
+            aid += 1
+        for d in dets[i][valid[i]]:
+            x1, y1, x2, y2, obj, clsc, cls = d[:7]
+            results.append({"image_id": i + 1, "category_id": int(cls) + 1,
+                            "bbox": [float(x1), float(y1),
+                                     float(x2 - x1), float(y2 - y1)],
+                            "score": float(obj * clsc)})
+    gt = {"images": images, "annotations": anns,
+          "categories": [{"id": 1, "name": "red"}, {"id": 2, "name": "blue"}]}
+    return COCOMeanAP(gt).evaluate(results)
+
+
+def test_det_stack_learns_to_high_ap50():
+    rng = np.random.RandomState(0)
+    model = YOLOXDet(num_classes=2, backbone_name="csp_darknet", depth=0.33,
+                     width=0.25, in_channels=(256, 512, 1024),
+                     use_attention=False, n_layer_att=0)
+    imgs0, _ = _sample(4, rng)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs0))
+
+    before = _eval_ap(model, params, np.random.RandomState(99))
+
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, 2e-4, 100),
+         optax.constant_schedule(2e-4)], [100])
+    state = TrainState.create(params, optax.adamw(sched), use_ema=False)
+    step = make_det_train_step(model, (H, W), use_l1=True)
+    for _ in range(500):
+        imgs, labels = _sample(4, rng)
+        state, ld = step(state, jnp.asarray(imgs), jnp.asarray(labels))
+    assert np.isfinite(float(ld["total_loss"]))
+
+    after = _eval_ap(model, state.params, np.random.RandomState(99))
+    # measured 0.961 AP50 / 0.562 AP at 500 steps; generous margins below
+    assert after["AP50"] > 0.8, (before, after)
+    assert after["AP50"] > before["AP50"] + 0.5
