@@ -1,0 +1,106 @@
+"""End-to-end TRACKING learning test: train the unified 2-frame SOT+MOT step
+from scratch on synthetic moving boxes, then run the fully-fused streaming
+pipeline (backbone -> head -> decode -> device NMS -> on-device ByteTrack)
+over a synthetic video and score it with the CLEAR-MOT accumulator.
+
+Guards the whole uni training loop + the serving path together: the tracker
+can only produce consistent ids if detection, decoding, NMS, Kalman, and
+auction association all work on a model that actually learned.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unicorn_tpu.core.train_state import TrainState
+from unicorn_tpu.core.train_step import make_uni_train_step
+from unicorn_tpu.drivers.stream import StreamingMOTPipeline
+from unicorn_tpu.evaluators.mot_metrics import MOTAccumulator
+from unicorn_tpu.models.unicorn import Unicorn
+
+H, W = 64, 96
+
+
+def _draw(img, x, y, w, h, cls):
+    color = [220, 40, 40] if cls == 0 else [40, 40, 220]
+    img[max(0, int(y)):int(y + h), max(0, int(x)):int(x + w)] = color
+
+
+def _sample_pair(n, rng):
+    imgs = np.zeros((n, 2, H, W, 3), np.float32)
+    targets = np.zeros((n, 2, 5, 6), np.float32)
+    for i in range(n):
+        for f in range(2):
+            imgs[i, f] = rng.rand(H, W, 3) * 40
+        for k in range(2):
+            w, h = rng.randint(20, 32), rng.randint(16, 26)
+            x, y = rng.randint(0, W - w - 6), rng.randint(0, H - h - 6)
+            dx, dy = rng.randint(-4, 5), rng.randint(-4, 5)
+            cls = rng.randint(0, 2)
+            _draw(imgs[i, 0], x, y, w, h, cls)
+            x2, y2 = np.clip(x + dx, 0, W - w), np.clip(y + dy, 0, H - h)
+            _draw(imgs[i, 1], x2, y2, w, h, cls)
+            targets[i, 0, k] = [cls, x + w / 2, y + h / 2, w, h, k + 1]
+            targets[i, 1, k] = [cls, x2 + w / 2, y2 + h / 2, w, h, k + 1]
+    return imgs, targets
+
+
+def test_uni_stack_learns_and_tracks():
+    rng = np.random.RandomState(0)
+    model = Unicorn(num_classes=2, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    imgs0, _ = _sample_pair(1, rng)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs0[:1, 0]),
+                        method=Unicorn.init_all)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, 2e-4, 100),
+         optax.constant_schedule(2e-4)], [100])
+    state = TrainState.create(params, optax.adamw(sched), use_ema=False)
+    step = make_uni_train_step(model, (H, W), num_classes=2, use_l1=True)
+    first = last = None
+    for it in range(400):
+        imgs, targets = _sample_pair(2, rng)
+        task_ids = jnp.asarray([1, 2] if it % 2 == 0 else [2, 1], jnp.int32)
+        state, ld = step(state, jnp.asarray(imgs), jnp.asarray(targets),
+                         task_ids)
+        if it == 0:
+            first = float(ld["total_loss"])
+        last = float(ld["total_loss"])
+    assert np.isfinite(last) and last < first * 0.5, (first, last)
+
+    # synthetic 16-frame video: two boxes moving on smooth trajectories
+    pipe = StreamingMOTPipeline(
+        model, state.params, input_size=(H, W), num_classes=2, conf_thre=0.1,
+        nms_thre=0.5, max_dets=8, max_tracks=8, track_thresh=0.3,
+        match_thresh=0.9, n_cand=32, chunk=8)
+    erng = np.random.RandomState(7)
+    T = 16
+    frames = np.zeros((T, H, W, 3), np.float32)
+    gts = {}
+    x, y, w, h = 10.0, 20.0, 24, 20
+    x2, y2, w2, h2 = 60.0, 30.0, 22, 18
+    for t in range(T):
+        frames[t] = erng.rand(H, W, 3) * 40
+        _draw(frames[t], x, y, w, h, 0)
+        _draw(frames[t], x2, y2, w2, h2, 1)
+        gts[t] = ([1, 2], [[x, y, x + w, y + h], [x2, y2, x2 + w2, y2 + h2]])
+        x += 1.5
+        y += 0.5
+        x2 -= 1.2
+        y2 += 0.8
+    outs = np.concatenate([
+        np.asarray(pipe.run_chunk(jnp.asarray(frames[:8]))),
+        np.asarray(pipe.run_chunk(jnp.asarray(frames[8:]))),
+    ])
+
+    acc = MOTAccumulator(iou_thr=0.5)
+    for t in range(T):
+        rows = outs[t]
+        rows = rows[rows[:, 6] > 0]
+        acc.update(gts[t][0], gts[t][1],
+                   [int(r[5]) for r in rows], rows[:, :4])
+    m = acc.metrics()
+    # the learned model + fused tracker must mostly track both objects
+    assert m["MOTA"] > 0.5, m
+    assert m["IDsw"] <= 2, m
