@@ -436,3 +436,67 @@ def test_launch_uni_stage_files_exist():
     for model, stages in mod.STAGES.items():
         for stage, path in stages.items():
             assert os.path.exists(os.path.join(REPO, path)), (model, stage, path)
+
+
+INST_EXP = '''
+from unicorn_tpu.exp.det_mask import ExpDetMask
+
+
+class Exp(ExpDetMask):
+    def __init__(self):
+        super().__init__()
+        self.exp_name = "cli_inst_tiny"
+        self.num_classes = 1
+        self.backbone_name = "csp_darknet"
+        self.depth = 0.33
+        self.width = 0.25
+        self.in_channels = [256, 512, 1024]
+        self.use_attention = False
+        self.n_layer_att = 0
+        self.bf16 = False
+        self.test_size = (64, 96)
+        self.test_conf = 0.01
+        self.nmsthre = 0.65
+        self.val_ann = "val_tiny.json"
+        self.val_name = "val"
+        self.pretrain_name = None
+'''
+
+
+def test_eval_cli_inst_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/eval.py with an inst exp: CondInst mask decode path through
+    drivers/inst.make_inst_forward -> COCOInstEvaluator (box + mask AP)."""
+    import cv2
+
+    from unicorn_tpu.evaluators import rle
+
+    datadir = str(tmp_path / "data")
+    img_dir = os.path.join(datadir, "coco", "val")
+    ann_dir = os.path.join(datadir, "coco", "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    H, W = 64, 96
+    images, anns = [], []
+    for i in range(2):
+        img = np.zeros((H, W, 3), np.uint8)
+        x, y, w, h = 20 + 10 * i, 15, 30, 30
+        img[y:y + h, x:x + w] = 200
+        cv2.imwrite(os.path.join(img_dir, f"{i:06d}.jpg"), img)
+        m = np.zeros((H, W), np.uint8)
+        m[y:y + h, x:x + w] = 1
+        images.append({"id": i + 1, "file_name": f"{i:06d}.jpg",
+                       "height": H, "width": W})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+                     "segmentation": rle.encode(m)})
+    with open(os.path.join(ann_dir, "val_tiny.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    exp_file = tmp_path / "exp_cli_inst.py"
+    exp_file.write_text(INST_EXP)
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    _run_tool("eval", ["-f", str(exp_file)])
+
+    out = capsys.readouterr().out
+    assert "AP" in out and "mask" in out.lower()

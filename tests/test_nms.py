@@ -90,3 +90,26 @@ def test_cluster_nms_matches_sequential():
         k_cl, o_cl = nms_fixed(boxes, scores, 0.5, n, cluster_iters=16)
         np.testing.assert_array_equal(np.asarray(k_seq), np.asarray(k_cl))
         np.testing.assert_array_equal(np.asarray(o_seq), np.asarray(o_cl))
+
+
+def test_postprocess_device_return_idx():
+    """return_idx: each kept row's anchor index must decode to that row's
+    xyxy box (the CondInst controller-gather contract)."""
+    rng = np.random.RandomState(3)
+    A, C = 200, 3
+    pred = np.zeros((1, A, 5 + C), np.float32)
+    pred[0, :, 0] = rng.uniform(20, 100, A)
+    pred[0, :, 1] = rng.uniform(20, 100, A)
+    pred[0, :, 2:4] = rng.uniform(10, 30, (A, 2))
+    pred[0, :, 4] = rng.rand(A)
+    pred[0, :, 5:] = rng.rand(A, C)
+    dets, valid, idx = postprocess_device(
+        jnp.asarray(pred), num_classes=C, conf_thre=0.05, nms_thre=0.5,
+        n_cand=64, max_out=16, return_idx=True)
+    dets, valid, idx = np.asarray(dets)[0], np.asarray(valid)[0], np.asarray(idx)[0]
+    assert valid.any()
+    for k in np.flatnonzero(valid):
+        cx, cy, w, h = pred[0, idx[k], :4]
+        np.testing.assert_allclose(
+            [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+            dets[k, :4], rtol=1e-5)

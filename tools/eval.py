@@ -59,6 +59,14 @@ def main():
         dummy = jnp.asarray(np.zeros((1, *exp.test_size, 3), np.float32))
         params = model.init(jax.random.PRNGKey(0), dummy)
 
+    if getattr(exp, "task", "det") == "inst":
+        # box + mask AP through the CondInst mask decode path
+        forward = exp.get_inst_forward(model)
+        metrics = evaluator.evaluate(forward, params,
+                                     max_images=args.max_images)
+        print(metrics)
+        return
+
     @jax.jit
     def forward(params, images):
         raw = model.apply(params, images)

@@ -70,6 +70,25 @@ class ExpDetMask(ExpDet):
             batch_size, self.input_size,
         )
 
+    def get_evaluator(self, batch_size=1):
+        from ..evaluators.coco_inst_evaluator import COCOInstEvaluator
+
+        return COCOInstEvaluator(
+            dataset=self.get_eval_dataset(), img_size=self.test_size,
+            conf_thre=self.test_conf, nms_thre=self.nmsthre,
+            num_classes=self.num_classes, d_rate=self.d_rate,
+        )
+
+    def get_inst_forward(self, model):
+        """Jitted decode+NMS+CondInst mask forward for eval
+        (reference utils/boxes.py:80-153 postprocess_inst role)."""
+        from ..drivers.inst import make_inst_forward
+
+        return make_inst_forward(
+            model, num_classes=self.num_classes, conf_thre=self.test_conf,
+            nms_thre=self.nmsthre, use_raft=getattr(self, "use_raft", False),
+        )
+
     def get_train_step(self, batch_size):
         from ..core.train_step import make_det_mask_train_step
 

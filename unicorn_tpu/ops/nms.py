@@ -73,16 +73,21 @@ def nms_fixed(boxes, scores, iou_threshold: float, n_cand: int,
 
 
 @partial(jax.jit, static_argnames=("num_classes", "class_agnostic", "n_cand",
-                                   "max_out", "cluster_iters", "approx_topk"))
+                                   "max_out", "cluster_iters", "approx_topk",
+                                   "return_idx"))
 def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
                        nms_thre: float = 0.45, class_agnostic: bool = False,
                        n_cand: int = 512, max_out: int = 128,
-                       cluster_iters: int = 0, approx_topk: bool = False):
+                       cluster_iters: int = 0, approx_topk: bool = False,
+                       return_idx: bool = False):
     """Full decode-side postprocess on device (boxes.py:33-79 parity).
 
     prediction: (B, A, 5+C) [cxcywh, obj_sig, cls_sig...].
     Returns dets (B, max_out, 7) [x1,y1,x2,y2,obj,cls_conf,cls_id] sorted by
     score, and valid (B, max_out) bool. Invalid rows are zero.
+    return_idx additionally returns the kept rows' ANCHOR indices
+    (B, max_out) int32 — the handle CondInst needs to fetch each kept
+    detection's dynamic-conv controller params.
     """
 
     n_cand = min(n_cand, prediction.shape[1])
@@ -122,6 +127,11 @@ def postprocess_device(prediction, num_classes: int, conf_thre: float = 0.7,
         out = jnp.zeros((n_cand + 1, 7), rows.dtype).at[dst].set(rows)[:max_out]
         n_keep = jnp.sum(keep.astype(jnp.int32))
         valid_out = jnp.arange(max_out) < n_keep
-        return out, valid_out
+        idx_out = jnp.zeros((n_cand + 1,), jnp.int32).at[dst].set(
+            order.astype(jnp.int32))[:max_out]
+        return out, valid_out, idx_out
 
-    return jax.vmap(one)(prediction)
+    dets, valid, idx = jax.vmap(one)(prediction)
+    if return_idx:
+        return dets, valid, idx
+    return dets, valid
