@@ -98,16 +98,36 @@ def test_shifted_predictions_lower_ap(tmp_path):
 
 def test_mesh_sharded_eval_matches_single_device(tmp_path):
     """Data-parallel eval over the 8-device CPU mesh (reference
-    DistributedSampler role): same AP as single-device, padding of the
-    final partial batch included (6 images, batch 8)."""
+    DistributedSampler role): a REAL jitted, params-dependent forward with
+    mesh-replicated params must accept the mesh-sharded batch (the actual
+    jit + sharding combination tools/eval.py runs) and score the same AP
+    as the single-device path, padding of the final partial batch included
+    (6 images, batch 8)."""
     import jax
-    from jax.sharding import Mesh
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     ds, gt = _make_dataset(tmp_path, n_images=6)
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    # params ARE the per-image det rows (8, A, 7), replicated on the mesh as
+    # tools/eval.py replicates model params; forward depends on both args
+    rows_np = np.zeros((8, 8, 7), np.float32)
+    for i in range(6):
+        r = min(TEST_SIZE[0] / IMG[0], TEST_SIZE[1] / IMG[1])
+        for k, (x, y, w, h, cat) in enumerate(gt[i]):
+            rows_np[i, k, :4] = [(x + w / 2) * r, (y + h / 2) * r, w * r, h * r]
+            rows_np[i, k, 4] = 0.95
+            rows_np[i, k, 5 + (cat - 1)] = 0.9
+    params = jax.device_put(jnp.asarray(rows_np), NamedSharding(mesh, P()))
+
+    @jax.jit
+    def forward(p, images):
+        return p[:images.shape[0]] + 0.0 * jnp.mean(images)
+
     ev_mesh = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
                             num_classes=2, batch_size=8, mesh=mesh)
-    m_mesh = ev_mesh.evaluate(_mock_forward(gt), None)
+    m_mesh = ev_mesh.evaluate(forward, params)
     ev_one = COCOEvaluator(ds, TEST_SIZE, conf_thre=0.3, nms_thre=0.65,
                            num_classes=2, batch_size=2)
     m_one = ev_one.evaluate(_mock_forward(gt), None)

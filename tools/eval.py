@@ -40,14 +40,17 @@ def main():
         exp.nmsthre = args.nms
 
     model = exp.get_model()
-    evaluator = exp.get_evaluator(batch_size=args.batch_size)
-    # shard eval batches over all chips (reference distributed eval role)
+    # shard eval batches over all chips (reference distributed eval role);
+    # det only — the inst mask decode is a batch-1 path
+    mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.batch_size % n_dev == 0:
+    if n_dev > 1 and args.batch_size % n_dev == 0 \
+            and getattr(exp, "task", "det") == "det":
         import numpy as _np
         from jax.sharding import Mesh
 
-        evaluator.mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+        mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+    evaluator = exp.get_evaluator(batch_size=args.batch_size, mesh=mesh)
     if args.ckpt:
         ckpt = load_checkpoint(os.path.dirname(args.ckpt) or ".",
                                os.path.basename(args.ckpt))
@@ -58,6 +61,10 @@ def main():
 
         dummy = jnp.asarray(np.zeros((1, *exp.test_size, 3), np.float32))
         params = model.init(jax.random.PRNGKey(0), dummy)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
 
     if getattr(exp, "task", "det") == "inst":
         # box + mask AP through the CondInst mask decode path

@@ -40,12 +40,23 @@ class Trainer:
         self.meters = MeterBuffer()
         # data mesh over the largest device count dividing the batch
         n_dev = len(jax.devices())
-        while self.batch_size % n_dev != 0:
-            n_dev -= 1
-        if n_dev != len(jax.devices()):
-            self.logger.warning(
-                "batch %d not divisible by %d devices; using %d",
-                self.batch_size, len(jax.devices()), n_dev)
+        if jax.process_count() > 1:
+            # multi-host: EVERY device must participate (a truncated mesh
+            # would leave some processes with no addressable devices in
+            # shard_batch), so the global batch must divide evenly
+            assert self.batch_size % n_dev == 0, (
+                f"multi-host: global batch {self.batch_size} must divide "
+                f"{n_dev} devices")
+            assert self.batch_size % jax.process_count() == 0, (
+                f"global batch {self.batch_size} must divide "
+                f"{jax.process_count()} processes")
+        else:
+            while self.batch_size % n_dev != 0:
+                n_dev -= 1
+            if n_dev != len(jax.devices()):
+                self.logger.warning(
+                    "batch %d not divisible by %d devices; using %d",
+                    self.batch_size, len(jax.devices()), n_dev)
         import numpy as _np
         from jax.sharding import Mesh
 
@@ -204,8 +215,8 @@ class Trainer:
                 # deterministic in (epoch, iter): every host picks the SAME
                 # size with no collective — the reference instead broadcasts
                 # rank 0's draw (exp/unicorn_track.py:349-354)
-                seed = (self.exp.seed or 0) * 1000003 \
-                    + self.epoch * 100003 + self.iter
+                seed = ((self.exp.seed or 0) * 1000003
+                        + self.epoch * 100003 + self.iter) % (2 ** 32)
                 idx = np.random.RandomState(seed).randint(len(self.size_list))
                 self.loader.set_input_size(self.size_list[idx])
             if (self.iter + 1) % self.exp.print_interval == 0:

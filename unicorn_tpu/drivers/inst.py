@@ -10,7 +10,7 @@ head runs for all slots at once (ops/dynamic_conv.dynamic_mask_logits).
 """
 from __future__ import annotations
 
-from ..models.heads import decode_for_inference, flatten_raw_outputs
+from ..models.heads import decode_boxes, flatten_raw_outputs
 from ..models.mask_head import anchor_locations_and_levels
 from ..ops.dynamic_conv import (
     aligned_bilinear, convex_upsample, dynamic_mask_logits,
@@ -26,13 +26,17 @@ def make_inst_forward(model, num_classes: int, conf_thre: float = 0.01,
     (dets (K, 7), valid (K,), masks (K, Hm, Wm) sigmoid scores) — the
     COCOInstEvaluator contract."""
     import jax
+    import jax.numpy as jnp
 
     def forward_inst(params, images):
         out = model.apply(params, images)
         raw, mask_out = out
         mask_feats, up_mask, _sem = mask_out
         flat = flatten_raw_outputs(raw, "mot")
-        dec = decode_for_inference(raw, strides, mode="mot")
+        boxes = decode_boxes(flat["reg_raw"], flat["hw"], strides)
+        dec = jnp.concatenate(
+            [boxes, jax.nn.sigmoid(flat["obj_logits"]),
+             jax.nn.sigmoid(flat["cls_logits"])], axis=-1)
         dets, valid, idx = postprocess_device(
             dec, num_classes=num_classes, conf_thre=conf_thre,
             nms_thre=nms_thre, n_cand=n_cand, max_out=max_out,

@@ -93,7 +93,7 @@ class ExpDet(BaseExp):
             in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
             act=self.act, use_attention=self.use_attention,
             n_layer_att=self.n_layer_att,
-            remat=getattr(self, "remat", False),
+            remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 
@@ -168,13 +168,15 @@ class ExpDet(BaseExp):
             img_size=self.test_size, preproc=ValTransform(),
         )
 
-    def get_evaluator(self, batch_size=1):
+    def get_evaluator(self, batch_size=1, mesh=None):
+        """mesh: optional ("data",) mesh — eval batches shard across it
+        (reference distributed-eval role); batch_size must divide evenly."""
         from ..evaluators.coco_evaluator import COCOEvaluator
 
         return COCOEvaluator(
             dataset=self.get_eval_dataset(), img_size=self.test_size,
             conf_thre=self.test_conf, nms_thre=self.nmsthre,
-            num_classes=self.num_classes, batch_size=batch_size,
+            num_classes=self.num_classes, batch_size=batch_size, mesh=mesh,
         )
 
     def eval(self, model, params, evaluator):

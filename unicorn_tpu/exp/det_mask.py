@@ -48,7 +48,7 @@ class ExpDetMask(ExpDet):
             in_channels=tuple(self.in_channels), backbone_name=self.backbone_name,
             act=self.act, use_attention=self.use_attention,
             n_layer_att=self.n_layer_att, use_mask=True,
-            remat=getattr(self, "remat", False),
+            remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 
@@ -70,7 +70,9 @@ class ExpDetMask(ExpDet):
             batch_size, self.input_size,
         )
 
-    def get_evaluator(self, batch_size=1):
+    def get_evaluator(self, batch_size=1, mesh=None):
+        # mesh accepted for signature compatibility; the inst evaluator runs
+        # single-device (per-instance dynamic-conv decode is batch-1)
         from ..evaluators.coco_inst_evaluator import COCOInstEvaluator
 
         return COCOInstEvaluator(

@@ -108,7 +108,7 @@ class ExpTrack(BaseExp):
             n_layer_att=self.n_layer_att, unshared_obj=self.unshared_obj,
             unshared_reg=self.unshared_reg, fuse_method=self.fuse_method,
             learnable_fuse=self.learnable_fuse,
-            remat=getattr(self, "remat", False),
+            remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 

@@ -40,7 +40,7 @@ class ExpTrackMask(ExpTrack):
             unshared_reg=self.unshared_reg, fuse_method=self.fuse_method,
             learnable_fuse=self.learnable_fuse, use_mask=True,
             use_raft=self.use_raft,
-            remat=getattr(self, "remat", False),
+            remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )
 
