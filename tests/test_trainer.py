@@ -118,3 +118,20 @@ def test_trainer_no_aug_transition(tmp_path):
     # idempotent
     trainer.before_epoch()
     assert closed == [True]
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Non-blocking save + wait_for_checkpoints == blocking save contents."""
+    import numpy as np
+
+    from unicorn_tpu.core.checkpoint import (
+        load_checkpoint, save_checkpoint, wait_for_checkpoints,
+    )
+
+    state = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+             "epoch": 3}
+    save_checkpoint(str(tmp_path), state, "async_ck", blocking=False)
+    wait_for_checkpoints()
+    loaded = load_checkpoint(str(tmp_path), "async_ck")
+    np.testing.assert_array_equal(loaded["params"]["w"], state["params"]["w"])
+    assert int(loaded["epoch"]) == 3

@@ -15,14 +15,35 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(ckpt_dir: str, state: dict, name: str = "latest"):
+_async_ckptr = None
+
+
+def save_checkpoint(ckpt_dir: str, state: dict, name: str = "latest",
+                    blocking: bool = True):
     """state: a pytree dict (e.g. {'params':..., 'opt_state':..., 'epoch': n}).
-    Writes <ckpt_dir>/<name>."""
+    Writes <ckpt_dir>/<name>.
+
+    blocking=False hands the (already host-copied) tree to an async orbax
+    checkpointer so training continues while the write happens; call
+    wait_for_checkpoints() (or issue the next save, which serializes on the
+    previous one) before reading the files."""
+    global _async_ckptr
     path = os.path.abspath(os.path.join(ckpt_dir, name))
-    ckptr = ocp.StandardCheckpointer()
     state = jax.tree_util.tree_map(np.asarray, state)
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if blocking:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        return
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    _async_ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+
+
+def wait_for_checkpoints():
+    """Block until every non-blocking save_checkpoint has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def load_checkpoint(ckpt_dir: str, name: str = "latest",

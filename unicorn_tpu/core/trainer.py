@@ -76,6 +76,9 @@ class Trainer:
                 self.train_in_epoch()
                 self.after_epoch()
         finally:
+            from .checkpoint import wait_for_checkpoints
+
+            wait_for_checkpoints()
             self.logger.info("Training done.")
 
     def before_train(self):
@@ -291,5 +294,5 @@ class Trainer:
             else state.params,
             "epoch": self.epoch + 1,
             "step": int(state.step),
-        }, name)
+        }, name, blocking=False)  # async write; train() waits on exit
         self.logger.info("saved checkpoint %s (epoch %d)", name, self.epoch + 1)
