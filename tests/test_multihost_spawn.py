@@ -26,23 +26,27 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
-from unicorn_tpu.parallel.multihost import initialize_multihost, local_batch_slice
-initialize_multihost(coordinator_address=f"127.0.0.1:{port}",
-                     num_processes=nproc, process_id=proc_id)
-assert jax.process_count() == nproc
+# ALL heavy imports happen BEFORE jax.distributed.initialize: the first
+# collective after init must come fast on both processes because gloo's
+# context handshake has a 30s deadline, and optax/flax imports alone can
+# skew the processes by minutes when the 1-core box is contended
 import numpy as np, jax.numpy as jnp, optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from unicorn_tpu.core.train_state import TrainState
 from unicorn_tpu.core.train_step import make_uni_train_step
 from unicorn_tpu.models.unicorn import Unicorn
 from unicorn_tpu.parallel.mesh import replicate_state, shard_batch
+from unicorn_tpu.parallel.multihost import initialize_multihost, local_batch_slice
+
+initialize_multihost(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nproc, process_id=proc_id)
+assert jax.process_count() == nproc
 
 H = W = 64
 B_global = 4
 mesh = Mesh(np.asarray(jax.devices()), ("data",))
-# establish the cross-process gloo context FIRST with a tiny psum: the first
-# collective creates it under a 30s handshake deadline, and the processes
-# skew by minutes during model init / train-step tracing on this 1-core box
+# establish the cross-process gloo context FIRST with a tiny psum, before
+# any big trace skews the processes
 warm = shard_batch(mesh, np.ones((B_global // nproc, 1), np.float32))
 wsum = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(warm)
 assert float(wsum) == B_global
@@ -71,19 +75,30 @@ print(f"LOSS {float(loss_dict['total_loss']):.6f}", flush=True)
 '''
 
 
-def test_two_process_dp_train_step(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER % {"repo": REPO})
+def _spawn_once(worker, env):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep +
-               os.environ.get("PYTHONPATH", ""))
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = [p.communicate(timeout=600)[0] for p in procs]
+    return procs, outs
+
+
+def test_two_process_dp_train_step(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER % {"repo": REPO})
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+               os.environ.get("PYTHONPATH", ""))
+    procs, outs = _spawn_once(worker, env)
+    if any(p.returncode != 0 for p in procs) and \
+            any("DEADLINE_EXCEEDED" in o for o in outs):
+        # gloo's 30s context handshake can time out when this 1-core box is
+        # heavily contended (process skew) — an environment flake, not a
+        # product failure; retry once
+        procs, outs = _spawn_once(worker, env)
     losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
