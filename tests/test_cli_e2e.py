@@ -500,3 +500,27 @@ def test_eval_cli_inst_end_to_end(tmp_path, monkeypatch, capsys):
 
     out = capsys.readouterr().out
     assert "AP" in out and "mask" in out.lower()
+
+
+def test_demo_cli_video(tmp_path):
+    """tools/demo.py video: read an on-disk clip, write the annotated one."""
+    import cv2
+
+    vid_path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             10, (64, 48))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        frame = (rng.rand(48, 64, 3) * 80).astype(np.uint8)
+        frame[10:40, 20:50] = 200
+        writer.write(frame)
+    writer.release()
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    save_dir = tmp_path / "out"
+
+    _run_tool("demo", ["video", "-f", str(exp_file), "--path", vid_path,
+                       "--save-dir", str(save_dir), "--conf", "0.0"])
+
+    out_file = save_dir / "demo_out.mp4"
+    assert out_file.exists() and out_file.stat().st_size > 0
