@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from ..models.heads import decode_boxes, flatten_raw_outputs, level_grids
 from ..ops.correlation import (
     box_label_map,
-    correlation_propagate,
     dice_loss,
     resize_bilinear_torch,
 )
