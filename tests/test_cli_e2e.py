@@ -524,3 +524,22 @@ def test_demo_cli_video(tmp_path):
 
     out_file = save_dir / "demo_out.mp4"
     assert out_file.exists() and out_file.stat().st_size > 0
+
+
+def test_track_cli_fused_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/track.py --fused: the fully on-device serving pipeline
+    (device NMS + jax ByteTrack over lax.scan chunks) over the same
+    fixture, with video-boundary reset and final-chunk padding."""
+    datadir = str(tmp_path / "data")
+    _write_mot_fixture(datadir)
+    exp_file = tmp_path / "exp_cli_tiny.py"
+    exp_file.write_text(TRACK_EXP)
+    result_dir = str(tmp_path / "results")
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    _run_tool("track", ["-f", str(exp_file), "--result-dir", result_dir,
+                        "--fused", "--chunk", "4", "--track-thresh", "0.3"])
+
+    out = capsys.readouterr().out
+    assert sorted(os.listdir(result_dir)) == ["v0.txt"]
+    assert "mota" in out.lower() or "MOTA" in out

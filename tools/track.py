@@ -21,6 +21,13 @@ def make_parser():
     p.add_argument("--track-thresh", type=float, default=0.6)
     p.add_argument("--match-thresh", type=float, default=0.9)
     p.add_argument("--track-buffer", type=int, default=30)
+    p.add_argument("--chunk", type=int, default=32,
+                   help="frames per lax.scan chunk in --fused mode")
+    p.add_argument("--fused", action="store_true",
+                   help="fully on-device serving pipeline (device NMS + jax "
+                        "ByteTrack, lax.scan chunks; the bench.py path). "
+                        "Global thresholds only — the host path keeps the "
+                        "reference's per-MOT17-video overrides.")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
 
@@ -44,6 +51,71 @@ def load_gt_from_dataset(dataset):
         out[video] = [(fid, ids, tlwhs) for fid, (ids, tlwhs)
                       in sorted(frames.items())]
     return out
+
+
+def run_fused(exp, model, params, dataset, args, chunk=32,
+              min_box_area=100.0):
+    """Fully on-device pipeline over the eval set: frames batch into
+    lax.scan chunks, tracker state lives in HBM, only packed (T, 7) rows
+    are fetched (drivers/stream.py; the bench.py serving path)."""
+    from collections import defaultdict
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unicorn_tpu.drivers.stream import StreamingMOTPipeline
+
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": "49152"}
+             if jax.default_backend() == "tpu" else None)
+    pipe = StreamingMOTPipeline(
+        model, params, input_size=exp.test_size, num_classes=exp.num_classes,
+        conf_thre=exp.test_conf, nms_thre=max(exp.nmsthre, 0.7),
+        max_dets=64, max_tracks=128, track_thresh=args.track_thresh,
+        match_thresh=args.match_thresh, n_cand=256, compiler_options=copts)
+    img_size = dataset.img_size
+    results = defaultdict(list)
+    buf, metas = [], []
+
+    def flush():
+        if not buf:
+            return
+        n_real = len(buf)
+        while len(buf) < chunk:  # pad the video's final chunk; padded
+            buf.append(buf[-1])  # frames only touch state after real ones
+        outs = np.asarray(pipe.run_chunk(jnp.asarray(np.stack(buf))))
+        for rows, (video, fid, scale) in zip(outs[:n_real], metas):
+            rows = rows[rows[:, 6] > 0]
+            tlwhs, tids, scores = [], [], []
+            for r in rows:
+                w_ = (r[2] - r[0]) / scale
+                h_ = (r[3] - r[1]) / scale
+                if w_ * h_ > min_box_area and w_ / max(h_, 1e-6) <= 1.6:
+                    tlwhs.append((r[0] / scale, r[1] / scale, w_, h_))
+                    tids.append(int(r[5]))
+                    scores.append(float(r[4]))
+            results[video].append((fid, tids, tlwhs, scores))
+        buf.clear()
+        metas.clear()
+
+    cur_video = None
+    n = len(dataset) if args.max_frames is None else min(args.max_frames,
+                                                         len(dataset))
+    for i in range(n):
+        img, _, info, _ = dataset[i]
+        h, w, frame_id, video_id, file_name = info
+        video = file_name.split("/")[0]
+        if video != cur_video:
+            flush()
+            pipe.reset()
+            cur_video = video
+        scale = min(img_size[0] / float(h), img_size[1] / float(w))
+        buf.append(img)
+        metas.append((video, frame_id, scale))
+        if len(buf) == chunk:
+            flush()
+    flush()
+    return dict(results)
 
 
 def main():
@@ -79,25 +151,37 @@ def main():
         json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
     )
 
-    @jax.jit
-    def step(params, frame):
-        raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
-        dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
-        return postprocess_device(
-            dec, num_classes=exp.num_classes, conf_thre=exp.test_conf,
-            nms_thre=exp.nmsthre, n_cand=512, max_out=256,
+    if args.fused:
+        results = run_fused(exp, model, params, dataset, args,
+                            chunk=args.chunk)
+        if args.result_dir:
+            from unicorn_tpu.evaluators.mot_evaluator import write_mot_results
+
+            os.makedirs(args.result_dir, exist_ok=True)
+            for vname, res in results.items():
+                write_mot_results(
+                    os.path.join(args.result_dir, f"{vname}.txt"), res)
+    else:
+        @jax.jit
+        def step(params, frame):
+            raw, _ = model.apply(params, frame, method=Unicorn.forward_whole)
+            dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+            return postprocess_device(
+                dec, num_classes=exp.num_classes, conf_thre=exp.test_conf,
+                nms_thre=exp.nmsthre, n_cand=512, max_out=256,
+            )
+
+        def step1(params, frame):
+            dets, valid = step(params, frame)
+            return dets[0], valid[0]
+
+        evaluator = MOTEvaluator(
+            exp=exp, dataset=dataset, track_thresh=args.track_thresh,
+            track_buffer=args.track_buffer, match_thresh=args.match_thresh,
         )
-
-    def step1(params, frame):
-        dets, valid = step(params, frame)
-        return dets[0], valid[0]
-
-    evaluator = MOTEvaluator(
-        exp=exp, dataset=dataset, track_thresh=args.track_thresh,
-        track_buffer=args.track_buffer, match_thresh=args.match_thresh,
-    )
-    results = evaluator.evaluate(step1, params, result_dir=args.result_dir,
-                                 max_frames=args.max_frames)
+        results = evaluator.evaluate(step1, params,
+                                     result_dir=args.result_dir,
+                                     max_frames=args.max_frames)
     gts = load_gt_from_dataset(dataset)
     if any(gts.values()):
         print(MOTEvaluator.score(results, gts))
