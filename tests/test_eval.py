@@ -187,3 +187,48 @@ def test_voc_evaluator_perfect_detections(tmp_path):
     assert res2["per_class"][VOC_CLASSES.index("dog")] == pytest.approx(1.0)
     assert res2["per_class"][VOC_CLASSES.index("cat")] == 0.0
     assert res2["mAP"] == pytest.approx(0.5)
+
+
+def test_hota_perfect_tracking():
+    from unicorn_tpu.evaluators.mot_metrics import hota
+
+    gts, preds = {}, {}
+    for f in range(4):
+        boxes = np.array([[10 + 2 * f, 10, 30 + 2 * f, 30]], np.float32)
+        gts[f] = ([1], boxes)
+        preds[f] = ([7], boxes.copy())
+    m = hota(gts, preds)
+    assert abs(m["HOTA"] - 1.0) < 1e-9
+    assert abs(m["DetA"] - 1.0) < 1e-9
+    assert abs(m["AssA"] - 1.0) < 1e-9
+
+
+def test_hota_id_switch_halfway():
+    """One gt track, perfect boxes, pred id switches at frame 2: DetA = 1,
+    every TP's association score = 2/4 = 0.5, HOTA = sqrt(0.5)."""
+    from unicorn_tpu.evaluators.mot_metrics import hota
+
+    gts, preds = {}, {}
+    for f in range(4):
+        boxes = np.array([[10, 10, 30, 30]], np.float32)
+        gts[f] = ([1], boxes)
+        preds[f] = ([100 if f < 2 else 200], boxes.copy())
+    m = hota(gts, preds)
+    assert abs(m["DetA"] - 1.0) < 1e-9
+    assert abs(m["AssA"] - 0.5) < 1e-9
+    assert abs(m["HOTA"] - np.sqrt(0.5)) < 1e-9
+
+
+def test_hota_missed_and_false_detections():
+    """2 gt frames; pred covers frame 0 only plus one spurious box in
+    frame 1: per frame-set TP=1, FN=1, FP=1 -> DetA = 1/3; the single TP's
+    association: TPA=1, FNA=1 (gt present unmatched), FPA=0 -> AssA=0.5."""
+    from unicorn_tpu.evaluators.mot_metrics import hota
+
+    box = np.array([[10, 10, 30, 30]], np.float32)
+    far = np.array([[60, 60, 80, 80]], np.float32)
+    gts = {0: ([1], box), 1: ([1], box)}
+    preds = {0: ([5], box.copy()), 1: ([6], far)}
+    m = hota(gts, preds)
+    assert abs(m["DetA"] - 1.0 / 3.0) < 1e-9
+    assert abs(m["AssA"] - 0.5) < 1e-9

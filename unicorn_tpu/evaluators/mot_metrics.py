@@ -145,3 +145,73 @@ def aggregate_metrics(accumulators: list[MOTAccumulator]) -> dict:
         "IDF1": 2.0 * idtp / max(total_gt_f + total_hyp_f, 1),
         "IDsw": tot_idsw, "FP": tot_fp, "FN": tot_fn, "num_gt": tot_gt,
     }
+
+
+def hota(gt_frames: dict, pred_frames: dict,
+         alphas=None) -> dict:
+    """HOTA (Luiten et al., IJCV 2021) — Higher Order Tracking Accuracy.
+
+    Beyond the reference's CLEAR-MOT/IDF1 surface: HOTA is the primary
+    metric of modern MOT benchmarks and decomposes into detection (DetA)
+    and association (AssA) accuracy, HOTA_a = sqrt(DetA_a * AssA_a)
+    averaged over IoU thresholds a.
+
+    gt_frames / pred_frames: {frame: (ids list, boxes (N, 4) xyxy)}.
+    Frames missing from either dict count as empty. Returns
+    {"HOTA", "DetA", "AssA"} (each averaged over the 19-point alpha grid).
+    """
+    if alphas is None:
+        alphas = np.arange(0.05, 1.0, 0.05)
+    frames = sorted(set(gt_frames) | set(pred_frames))
+    # precompute per-frame IoU matrices + id lists once
+    per_frame = []
+    for f in frames:
+        g_ids, g_boxes = gt_frames.get(f, ([], []))
+        p_ids, p_boxes = pred_frames.get(f, ([], []))
+        iou = pairwise_iou_np(
+            np.asarray(g_boxes, np.float32).reshape(-1, 4),
+            np.asarray(p_boxes, np.float32).reshape(-1, 4))
+        per_frame.append((list(g_ids), list(p_ids), iou))
+
+    hotas, detas, assas = [], [], []
+    for a in alphas:
+        tp = fn = fp = 0
+        pair_tpa = defaultdict(int)     # (g_id, p_id) -> matched frames
+        gt_count = defaultdict(int)     # g_id -> frames present
+        pr_count = defaultdict(int)     # p_id -> frames present
+        matches = []                    # per-TP (g_id, p_id)
+        for g_ids, p_ids, iou in per_frame:
+            for g in g_ids:
+                gt_count[g] += 1
+            for p in p_ids:
+                pr_count[p] += 1
+            G, P = len(g_ids), len(p_ids)
+            matched_g = np.zeros(G, bool)
+            matched_p = np.zeros(P, bool)
+            if G and P:
+                # Hungarian on IoU, accept pairs with IoU >= alpha
+                rows, cols = linear_sum_assignment(-iou)
+                for r, c in zip(rows, cols):
+                    if iou[r, c] >= a - 1e-9:
+                        matched_g[r] = matched_p[c] = True
+                        pair_tpa[(g_ids[r], p_ids[c])] += 1
+                        matches.append((g_ids[r], p_ids[c]))
+            tp += int(matched_g.sum())
+            fn += G - int(matched_g.sum())
+            fp += P - int(matched_p.sum())
+        deta = tp / max(tp + fn + fp, 1)
+        if matches:
+            ass_scores = []
+            for (g, p) in matches:
+                tpa = pair_tpa[(g, p)]
+                fna = gt_count[g] - tpa   # frames of g not matched to p
+                fpa = pr_count[p] - tpa   # frames of p not matched to g
+                ass_scores.append(tpa / max(tpa + fna + fpa, 1))
+            assa = float(np.mean(ass_scores))
+        else:
+            assa = 0.0
+        detas.append(deta)
+        assas.append(assa)
+        hotas.append(float(np.sqrt(deta * assa)))
+    return {"HOTA": float(np.mean(hotas)), "DetA": float(np.mean(detas)),
+            "AssA": float(np.mean(assas))}
