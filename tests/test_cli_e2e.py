@@ -543,3 +543,22 @@ def test_track_cli_fused_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert sorted(os.listdir(result_dir)) == ["v0.txt"]
     assert "mota" in out.lower() or "MOTA" in out
+
+
+def test_track_omni_mots_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/track_omni.py --mots: QDTrack association + CondInst masks."""
+    datadir = str(tmp_path / "data")
+    _write_mot_fixture(datadir)
+    exp_file = tmp_path / "exp_cli_mask.py"
+    exp_file.write_text(TRACK_MASK_EXP.replace(
+        'self.test_size = (64, 96)',
+        'self.test_size = (64, 96)\n        self.test_ann = "test_tiny.json"\n'
+        '        self.test_name = "test"'))
+    result_dir = str(tmp_path / "results")
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    _run_tool("track_omni", ["-f", str(exp_file), "--mots",
+                             "--result-dir", result_dir])
+
+    files = os.listdir(result_dir)
+    assert files, "no MOTS results written"
