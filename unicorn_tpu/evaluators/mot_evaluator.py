@@ -248,31 +248,29 @@ class MOTEvaluator:
     def score(results, gts):
         """CLEAR-MOT scoring: results/gts are {video: [(frame_id, ids,
         tlwhs(, scores))]} with gt tlwhs in image coords."""
-        import numpy as np
-
         from .mot_metrics import MOTAccumulator, aggregate_metrics, hota
 
         accs = []
-        hotas = []
+        # HOTA pools detections across sequences (TrackEval's combination),
+        # so frames/ids are namespaced per video into one global pair
+        gt_all, pr_all = {}, {}
         for video, frames in results.items():
             if video not in gts:
                 continue
             gt_by_frame = {f[0]: f for f in gts[video]}
             acc = MOTAccumulator()
-            gt_f, pr_f = {}, {}
             for frame in frames:
                 frame_id, tids, tlwhs = frame[0], frame[1], frame[2]
                 g = gt_by_frame.get(frame_id, (frame_id, [], []))
                 g_boxes = [(x, y, x + w, y + h) for x, y, w, h in g[2]]
                 h_boxes = [(x, y, x + w, y + h) for x, y, w, h in tlwhs]
                 acc.update(g[1], g_boxes, tids, h_boxes)
-                gt_f[frame_id] = (list(g[1]), g_boxes)
-                pr_f[frame_id] = (list(tids), h_boxes)
+                key = (video, frame_id)
+                gt_all[key] = ([(video, i) for i in g[1]], g_boxes)
+                pr_all[key] = ([(video, i) for i in tids], h_boxes)
             accs.append(acc)
-            hotas.append(hota(gt_f, pr_f))
         if not accs:
             return {}
         out = aggregate_metrics(accs)
-        for k in ("HOTA", "DetA", "AssA"):
-            out[k] = float(np.mean([h[k] for h in hotas]))
+        out.update(hota(gt_all, pr_all))
         return out
