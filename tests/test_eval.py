@@ -232,3 +232,23 @@ def test_hota_missed_and_false_detections():
     m = hota(gts, preds)
     assert abs(m["DetA"] - 1.0 / 3.0) < 1e-9
     assert abs(m["AssA"] - 0.5) < 1e-9
+
+
+def test_hota_score_pools_videos_with_namespaced_ids():
+    """MOTEvaluator.score: two videos, each perfectly tracked but reusing
+    the SAME numeric pred id — pooled HOTA must still be 1.0 because ids
+    are namespaced per video (official sequence combination)."""
+    from unicorn_tpu.evaluators.mot_evaluator import MOTEvaluator
+
+    results, gts = {}, {}
+    for v in ("v0", "v1"):
+        frames = []
+        for f in range(1, 4):
+            tlwhs = [(10.0 + f, 10.0, 20.0, 20.0)]
+            frames.append((f, [7], tlwhs, [0.9]))
+        results[v] = frames
+        gts[v] = [(f, [1], [(10.0 + f, 10.0, 20.0, 20.0)])
+                  for f in range(1, 4)]
+    m = MOTEvaluator.score(results, gts)
+    assert abs(m["HOTA"] - 1.0) < 1e-9
+    assert abs(m["MOTA"] - 1.0) < 1e-9
