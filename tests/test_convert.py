@@ -42,8 +42,8 @@ def test_convert_representative_keys():
         # head pred + beta
         "head.cls_preds_sot.2.bias": rng.randn(1).astype(np.float32),
         "head.beta_0": rng.randn(256, 1, 1).astype(np.float32),
-        # controller
-        "head.controllers.1.weight": rng.randn(169, 256, 1, 1).astype(np.float32),
+        # controller (3x3 in the reference, unicorn_head_mask.py:78-87)
+        "head.controllers.1.weight": rng.randn(169, 256, 3, 3).astype(np.float32),
         # transformer
         "transformer.encoder.layers.0.self_attn.value_proj.weight":
             rng.randn(256, 256).astype(np.float32),

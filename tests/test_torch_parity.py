@@ -186,3 +186,64 @@ def test_training_loss_parity(pair):
                      ("cls_loss", t_cls), ("l1_loss", t_l1),
                      ("total_loss", t_total)):
         assert float(j_loss[name]) == pytest.approx(tv, rel=2e-3), name
+
+
+def test_mask_head_parity():
+    """Whole-network parity for the MASK stage: reference UnicornHeadMask
+    (controllers from the reg tower, CondInst mask branch, RAFT up-mask at
+    up_rate=4) vs our with_mask head + MaskBranch on converted weights."""
+    try:
+        tm = build_reference_tiny(num_classes=8, seed=0, with_mask=True)
+    except ImportError as e:
+        pytest.skip(f"reference tree unavailable: {e}")
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    jm = Unicorn(num_classes=8, backbone_name="convnext_tiny",
+                 in_channels=(192, 384, 768), interact_mode="deform",
+                 n_layer_att=3, use_mask=True, use_raft=True, up_rate=4)
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(1, H, W, 3) * 255).astype(np.float32)
+    params = jm.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                     method=Unicorn.init_all)
+    mapped, missed = convert_state_dict(sd, depth=1.0)
+    assert not missed, f"unmapped torch keys: {missed[:10]}"
+    params["params"], n_ok, mism = insert_into_tree(params["params"], mapped)
+    assert not mism, f"placement issues: {mism[:10]}"
+
+    tx = torch.from_numpy(imgs[0].transpose(2, 0, 1)[None].copy())
+    with torch.no_grad():
+        t_fpn, _ = tm.forward_backbone(tx)
+        zero_masks = [torch.zeros(1, 1, H // s, W // s) for s in STRIDES]
+        t_out, t_locs, t_ctrl, t_lvls, t_mfeats, t_up = tm.head(
+            t_fpn, zero_masks, mode="mot")
+
+    j_fpn, _ = jm.apply(params, jnp.asarray(imgs),
+                        method=Unicorn.forward_backbone)
+    priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype) for f in j_fpn)
+    raw = jm.apply(params, j_fpn, priors, method=Unicorn.forward_head)
+    flat = flatten_raw_outputs(raw, "mot")
+    j_mfeats, j_up, _sem = jm.apply(params, j_fpn,
+                                    method=Unicorn.forward_mask_branch)
+
+    # CondInst controller params per anchor (169 each, reg-tower sourced)
+    np.testing.assert_allclose(np.asarray(flat["ctrl"]),
+                               t_ctrl.numpy(), atol=ATOL, rtol=1e-3,
+                               err_msg="controllers")
+    # anchor locations / fpn levels
+    from unicorn_tpu.models.mask_head import anchor_locations_and_levels
+
+    j_locs, j_lvls = anchor_locations_and_levels(flat["hw"], STRIDES)
+    np.testing.assert_allclose(np.asarray(j_locs), t_locs.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_lvls), t_lvls[0].numpy(),
+                               atol=0)
+    # mask features + RAFT up-mask (NCHW -> NHWC)
+    np.testing.assert_allclose(np.asarray(j_mfeats), _nhwc(t_mfeats),
+                               atol=ATOL, rtol=1e-3, err_msg="mask_feats")
+    np.testing.assert_allclose(np.asarray(j_up), _nhwc(t_up),
+                               atol=ATOL, rtol=1e-3, err_msg="up_mask")
+    # decoded det outputs (reference eval path decodes + sigmoids)
+    from unicorn_tpu.models.heads import decode_for_inference
+
+    j_dec = decode_for_inference(raw, STRIDES, mode="mot")
+    np.testing.assert_allclose(np.asarray(j_dec), t_out.numpy(),
+                               atol=2e-4, rtol=1e-3, err_msg="decoded dets")

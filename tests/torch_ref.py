@@ -196,12 +196,14 @@ def load_reference():
     from unicorn.tracker.quasi_dense_embed_tracker import (
         QuasiDenseEmbedTracker,
     )
+    from unicorn.models.unicorn_head_mask import UnicornHeadMask
 
     ns = types.SimpleNamespace(
         torch=torch,
         Unicorn=Unicorn,
         YOLOPAFPNNEW=YOLOPAFPNNEW,
         UnicornHead=UnicornHead,
+        UnicornHeadMask=UnicornHeadMask,
         build_deforamble_transformer=build_deforamble_transformer,
         build_position_encoding=build_position_encoding,
         QuasiDenseEmbedTracker=QuasiDenseEmbedTracker,
@@ -227,11 +229,13 @@ def convert_bn_to_gn(module, num_groups=16):
     return mod
 
 
-def build_reference_tiny(num_classes=8, seed=0):
+def build_reference_tiny(num_classes=8, seed=0, with_mask=False):
     """Build the reference unicorn_track_tiny model (convnext_tiny, deform
     interaction) on CPU, GN-converted, eval mode, deterministic weights.
 
-    Mirrors unicorn/exp/unicorn_track.py:115-193 minus checkpoint loading.
+    Mirrors unicorn/exp/unicorn_track.py:115-193 minus checkpoint loading;
+    with_mask builds the UnicornHeadMask variant
+    (unicorn_track_mask.py:58-64: ctrl_loc=reg, use_raft, up_rate=4).
     """
     ns = load_reference()
     torch = ns.torch
@@ -239,7 +243,15 @@ def build_reference_tiny(num_classes=8, seed=0):
     backbone = ns.YOLOPAFPNNEW(
         1.0, 1.0, in_channels=[192, 384, 768], act="silu",
         backbone_name="convnext", use_checkpoint=False)
-    head = ns.UnicornHead(
+    if with_mask:
+        head = ns.UnicornHeadMask(
+            num_classes, 1.0, in_channels=[192, 384, 768], act="silu",
+            use_l1=False, use_attention=True, n_layer_att=3,
+            unshared_obj=True, unshared_reg=True, mot_weight=3,
+            scale_all_mot=True, fuse_method="sum", learnable_fuse=True,
+            ctrl_loc="reg", sem_loss_on=False, use_raft=True, up_rate=4)
+    else:
+        head = ns.UnicornHead(
         num_classes, 1.0, in_channels=[192, 384, 768], act="silu",
         use_l1=False, use_attention=True, n_layer_att=3,
         unshared_obj=True, unshared_reg=True, mot_weight=3,

@@ -125,6 +125,8 @@ def build_rules(depth=1.0, n_layer_att=3, n_levels=3):
                         ("reg_preds_sot", "reg_pred_sot"),
                         ("obj_preds_sot", "obj_pred_sot"),
                         ("controllers", "controller")):
+        # controllers are 3x3 (unicorn_head_mask.py:78-87); the rest are 1x1 —
+        # t_conv handles both
         add(rf"head\.{pred}\.(\d+)\.weight", f"head/{dst_p}\\1/Conv_0/kernel",
             t_conv)
         add(rf"head\.{pred}\.(\d+)\.bias", f"head/{dst_p}\\1/Conv_0/bias")
@@ -172,14 +174,16 @@ def build_rules(depth=1.0, n_layer_att=3, n_levels=3):
         "interaction/layer\\1/LayerNorm_1/bias")
 
     # --- CondInst mask branch ---
-    for i in range(3):
-        for src, (dst, tf) in map_base_conv(f"mask_branch/refine{i}", "").items():
-            add(rf"head\.mask_branch\.refine\.{i}\." + src.replace(".", r"\."),
-                dst, tf)
-    for i in range(4):
-        for src, (dst, tf) in map_base_conv(f"mask_branch/tower{i}", "").items():
-            add(rf"head\.mask_branch\.tower\.{i}\." + src.replace(".", r"\."),
-                dst, tf)
+    # reference conv_with_kaiming_uniform blocks are Sequential(conv(no bias),
+    # norm): keys <name>.<i>.0.weight / .1.weight / .1.bias
+    for name, dst_name, n in (("refine", "refine", 3), ("tower", "tower", 4)):
+        for i in range(n):
+            add(rf"head\.mask_branch\.{name}\.{i}\.0\.weight",
+                f"mask_branch/{dst_name}{i}/Conv_0/kernel", t_conv)
+            add(rf"head\.mask_branch\.{name}\.{i}\.1\.weight",
+                f"mask_branch/{dst_name}{i}/GroupNorm32_0/GroupNorm_0/scale")
+            add(rf"head\.mask_branch\.{name}\.{i}\.1\.bias",
+                f"mask_branch/{dst_name}{i}/GroupNorm32_0/GroupNorm_0/bias")
     add(r"head\.mask_branch\.tower\.4\.weight", "mask_branch/tower_out/kernel",
         t_conv)
     add(r"head\.mask_branch\.tower\.4\.bias", "mask_branch/tower_out/bias")
@@ -197,8 +201,13 @@ def build_rules(depth=1.0, n_layer_att=3, n_levels=3):
 def convert_state_dict(state_dict, depth=1.0):
     """torch name -> (flax path string, np array). Returns (mapped, missed)."""
     rules = build_rules(depth=depth)
+    # non-parameter torch buffers with no flax counterpart (constants /
+    # training iteration counters)
+    ignore = ("mask_head.sizes_of_interest", "mask_head._iter")
     mapped, missed = {}, []
     for k, w in state_dict.items():
+        if any(k.endswith(suf) for suf in ignore):
+            continue
         w = np.asarray(w)
         hit = False
         for pat, dst, tf in rules:

@@ -80,7 +80,8 @@ def main():
         n = len(sequences) if args.max_seqs is None else args.max_seqs
         for seq in sequences[:n]:
             driver = VOSDriver(model, params, exp.test_size,
-                               use_raft=getattr(exp, "use_raft", False))
+                               use_raft=getattr(exp, "use_raft", False),
+                               up_rate=getattr(exp, "up_rate", 8))
             preds[seq.name] = run_sequence_vos(driver, seq, result_dir)
             gts[seq.name] = [cv2.imread(m, cv2.IMREAD_GRAYSCALE)
                              for m in seq.masks]

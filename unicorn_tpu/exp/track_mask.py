@@ -18,7 +18,7 @@ class ExpTrackMask(ExpTrack):
         self.exp_name = "unicorn_track_mask"
         self.use_raft = True
         self.d_rate = 2
-        self.up_rate = 8
+        self.up_rate = 8 // self.d_rate  # reference unicorn_track_mask.py:64
         self.ema = False
         self.train_mask_only = True
         self.max_epoch = 5
@@ -39,7 +39,7 @@ class ExpTrackMask(ExpTrack):
             n_layer_att=self.n_layer_att, unshared_obj=self.unshared_obj,
             unshared_reg=self.unshared_reg, fuse_method=self.fuse_method,
             learnable_fuse=self.learnable_fuse, use_mask=True,
-            use_raft=self.use_raft,
+            use_raft=self.use_raft, up_rate=self.up_rate,
             remat=self.remat,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
         )

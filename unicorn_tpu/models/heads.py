@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -128,12 +129,6 @@ class UnicornHead(nn.Module):
                 cls_specs.append(
                     ("cls_sot", f"cls_pred_sot{k}", self.num_classes_sot))
             reg_specs = [("reg", f"reg_pred{k}", 4), ("obj", f"obj_pred{k}", 1)]
-            if self.with_mask:
-                # CondInst controller: 169 dynamic params per anchor
-                # (unicorn_head_mask.py:78-87, from the reg tower)
-                from ..ops.dynamic_conv import NUM_GEN_PARAMS
-
-                reg_specs.append(("ctrl", f"controller{k}", NUM_GEN_PARAMS))
             if self.sot_branch and self.unshared_reg:
                 reg_specs.append(("reg_sot", f"reg_pred_sot{k}", 4))
             if self.sot_branch and self.unshared_obj:
@@ -165,6 +160,27 @@ class UnicornHead(nn.Module):
             y_cls = merged(cls_feat, cls_specs)
             y_reg = merged(reg_feat, reg_specs)
             out = {"_cls_packed": y_cls, "_reg_packed": y_reg}
+            if self.with_mask:
+                # CondInst controller: a 3x3 conv over the reg tower producing
+                # 169 dynamic params per anchor (unicorn_head_mask.py:78-87 —
+                # NOT a 1x1 prediction conv; the reference kernel is 3x3, so
+                # checkpoint conversion requires the same receptive field).
+                # Params keep the controller{k}/Conv_0 tree layout.
+                from ..ops.dynamic_conv import NUM_GEN_PARAMS
+
+                def ctrl_init(rng_key):
+                    kernel = nn.initializers.lecun_normal()(
+                        rng_key, (3, 3, hidden, NUM_GEN_PARAMS), jnp.float32)
+                    return {"Conv_0": {
+                        "kernel": kernel,
+                        "bias": jnp.zeros((NUM_GEN_PARAMS,), jnp.float32)}}
+
+                cp = self.param(f"controller{k}", ctrl_init)
+                out["ctrl"] = jax.lax.conv_general_dilated(
+                    reg_feat, cp["Conv_0"]["kernel"].astype(dt),
+                    (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + cp["Conv_0"]["bias"].astype(dt)
             off = 0
             for key_name, _, c in cls_specs:
                 out[key_name] = y_cls[..., off:off + c]
@@ -219,9 +235,8 @@ def flatten_raw_outputs(outputs, mode: str, unshared_obj=True, unshared_reg=True
             rp = out["_reg_packed"].reshape(b, h * w, -1)
             cp = out["_cls_packed"].reshape(b, h * w, -1)
             nc = out["cls"].shape[-1]
-            n_ctrl = out["ctrl"].shape[-1] if "ctrl" in out else 0
-            o_ctrl = 5
-            o_regsot = o_ctrl + n_ctrl
+            # ctrl is a separate 3x3 conv output, NOT a packed lane
+            o_regsot = 5
             has_regsot = "reg_sot" in out
             o_objsot = o_regsot + (4 if has_regsot else 0)
             if mode == "sot":
@@ -235,8 +250,8 @@ def flatten_raw_outputs(outputs, mode: str, unshared_obj=True, unshared_reg=True
             regs.append(reg)
             objs.append(obj)
             clss.append(cls)
-            if n_ctrl:
-                ctrls.append(rp[..., o_ctrl:o_ctrl + n_ctrl])
+            if "ctrl" in out:
+                ctrls.append(out["ctrl"].reshape(b, h * w, -1))
             continue
         if mode == "sot":
             reg = out["reg_sot"] if (unshared_reg and "reg_sot" in out) else out["reg"]

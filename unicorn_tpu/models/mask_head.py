@@ -63,9 +63,11 @@ class MaskBranch(nn.Module):
 
         up_mask = None
         if self.use_raft:
+            # reference mask_branch.py:159 applies up_mask_layer to the FUSED
+            # refine output x (the tower input), not the tower output
             u = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32,
-                        name="up_mask_conv1")(tower)
+                        name="up_mask_conv1")(x)
             up_mask = nn.Conv(self.up_rate * self.up_rate * 9, (1, 1),
                               dtype=self.dtype, param_dtype=jnp.float32,
                               name="up_mask_conv2")(nn.relu(u))

@@ -47,6 +47,7 @@ class Unicorn(nn.Module):
     use_mask: bool = False          # CondInst controllers + mask branch
     exact_gelu: bool = True         # erf GELU (torch parity) vs tanh (serving)
     use_raft: bool = False          # RAFT convex upsampling of masks
+    up_rate: int = 8                # RAFT upsample factor (ref: 8 // d_rate)
     remat: bool = False             # backbone block remat (training memory)
     dtype: Any = jnp.float32
     # interaction/embedding stages run fp32 by default, matching the
@@ -72,7 +73,8 @@ class Unicorn(nn.Module):
             from .mask_head import MaskBranch
 
             self.mask_branch = MaskBranch(
-                use_raft=self.use_raft, dtype=self.dtype,
+                use_raft=self.use_raft, up_rate=self.up_rate,
+                dtype=self.dtype,
             )
         idt = self.interact_dtype
         self.bottleneck = Bottleneck1x1(self.hidden_dim, dtype=idt)
