@@ -89,6 +89,7 @@ class ExpDetMask(ExpDet):
         return make_inst_forward(
             model, num_classes=self.num_classes, conf_thre=self.test_conf,
             nms_thre=self.nmsthre, use_raft=getattr(self, "use_raft", False),
+            up_rate=getattr(self, "up_rate", 8 // self.d_rate),
         )
 
     def get_train_step(self, batch_size):
