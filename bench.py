@@ -102,11 +102,12 @@ def main():
     # throughput (126 -> 87 FPS; batch-4 activations pressure HBM scheduling)
     # so the default stays 1; the knob exists for smaller inputs/chips.
     FB = int(os.environ.get("BENCH_FRAME_BATCH", "1"))
-    # scoped-VMEM compiler option: 40-48 MB measured +1.7% FPS on v5e
-    # (default ~145 -> 147); 56+ MB regresses. TPU-only (CPU rejects it).
-    vmem_kib = os.environ.get("BENCH_SCOPED_VMEM_KIB", "49152")
-    copts = ({"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
-             if jax.default_backend() == "tpu" and vmem_kib != "0" else None)
+    # scoped-VMEM: the pipeline's "auto" default applies the measured
+    # 48 MB sweet spot on TPU; BENCH_SCOPED_VMEM_KIB overrides (0 disables)
+    vmem_kib = os.environ.get("BENCH_SCOPED_VMEM_KIB", "")
+    copts = "auto" if vmem_kib == "" else (
+        {"xla_tpu_scoped_vmem_limit_kib": vmem_kib}
+        if jax.default_backend() == "tpu" and vmem_kib != "0" else None)
     pipe = StreamingMOTPipeline(
         model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
         nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,

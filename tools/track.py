@@ -26,7 +26,8 @@ def make_parser():
     p.add_argument("--fused", action="store_true",
                    help="fully on-device serving pipeline (device NMS + jax "
                         "ByteTrack, lax.scan chunks; the bench.py path). "
-                        "Global thresholds only — the host path keeps the "
+                        "Honors --track-thresh/--match-thresh/--track-buffer "
+                        "globally; the host path additionally applies the "
                         "reference's per-MOT17-video overrides.")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
@@ -60,19 +61,17 @@ def run_fused(exp, model, params, dataset, args, chunk=32,
     are fetched (drivers/stream.py; the bench.py serving path)."""
     from collections import defaultdict
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from unicorn_tpu.drivers.stream import StreamingMOTPipeline
 
-    copts = ({"xla_tpu_scoped_vmem_limit_kib": "49152"}
-             if jax.default_backend() == "tpu" else None)
     pipe = StreamingMOTPipeline(
         model, params, input_size=exp.test_size, num_classes=exp.num_classes,
-        conf_thre=exp.test_conf, nms_thre=max(exp.nmsthre, 0.7),
-        max_dets=64, max_tracks=128, track_thresh=args.track_thresh,
-        match_thresh=args.match_thresh, n_cand=256, compiler_options=copts)
+        conf_thre=exp.test_conf, nms_thre=exp.nmsthre,
+        max_dets=256, max_tracks=256, track_thresh=args.track_thresh,
+        match_thresh=args.match_thresh, n_cand=512,
+        track_buffer=args.track_buffer)
     img_size = dataset.img_size
     results = defaultdict(list)
     buf, metas = [], []

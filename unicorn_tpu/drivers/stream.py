@@ -41,7 +41,8 @@ class StreamingMOTPipeline:
                  max_tracks: int = 128, track_thresh: float = 0.6,
                  match_thresh: float = 0.9, chunk: int = 8,
                  n_cand: int = 128, frame_batch: int = 1,
-                 compiler_options: dict | None = None):
+                 track_buffer: int = 30,
+                 compiler_options="auto"):
         """frame_batch F > 1 batches the (frame-independent) detector forward
         over F consecutive frames inside the chunk scan — better MXU
         utilization at batch>1 — while the tracker still consumes frames
@@ -78,7 +79,7 @@ class StreamingMOTPipeline:
         def assoc(ts, dets5, valid):
             ts, out, out_valid = tracker_step(
                 ts, dets5, valid, track_thresh=track_thresh,
-                match_thresh=match_thresh)
+                match_thresh=match_thresh, max_time_lost=track_buffer)
             packed = jnp.concatenate(
                 [out, out_valid[:, None].astype(out.dtype)], axis=1)
             return ts, packed
@@ -110,12 +111,16 @@ class StreamingMOTPipeline:
         self._frame_step_raw = frame_step
         self._frame_step = jax.jit(frame_step)
         self._chunk_step = jax.jit(chunk_step)
-        # XLA compiler options for the chunk program (e.g. scoped VMEM:
-        # {"xla_tpu_scoped_vmem_limit_kib": "49152"} measured +1.7% FPS on
-        # v5e at 800x1280 — 40-48 MB is the sweet spot, >=56 MB regresses).
-        # XLA_FLAGS cannot carry TPU flags through the axon tunnel (the
-        # local CPU XLA rejects them at startup), so they go through
-        # lower().compile() here, cached per input shape.
+        # XLA compiler options for the chunk program. "auto" applies the
+        # measured sweet spot on TPU (scoped VMEM 48 MB: +1.7% FPS on v5e at
+        # 800x1280; 40-48 MB wins, >=56 MB regresses — program-specific, do
+        # NOT apply to other jits). XLA_FLAGS cannot carry TPU flags through
+        # the axon tunnel (the local CPU XLA rejects them at startup), so
+        # they go through lower().compile() here, cached per input shape.
+        if compiler_options == "auto":
+            compiler_options = (
+                {"xla_tpu_scoped_vmem_limit_kib": "49152"}
+                if jax.default_backend() == "tpu" else None)
         self._copts = compiler_options
         self._compiled_chunk = {}
         self.ts = init_state(max_tracks)

@@ -156,14 +156,22 @@ def hota(gt_frames: dict, pred_frames: dict,
     and association (AssA) accuracy, HOTA_a = sqrt(DetA_a * AssA_a)
     averaged over IoU thresholds a.
 
+    Follows TrackEval's algorithm structure (hota.py): a first pass
+    accumulates potential-match counts per (gt, pred) id pair; the frame
+    matching is then ONE Hungarian solve per frame on
+    global_alignment_score * similarity (so consistently-associated pairs
+    win IoU near-ties, and the per-alpha loop only thresholds the matched
+    pairs' similarities).
+
     gt_frames / pred_frames: {frame: (ids list, boxes (N, 4) xyxy)}.
     Frames missing from either dict count as empty. Returns
     {"HOTA", "DetA", "AssA"} (each averaged over the 19-point alpha grid).
     """
     if alphas is None:
         alphas = np.arange(0.05, 1.0, 0.05)
+    alphas = np.asarray(alphas)
     frames = sorted(set(gt_frames) | set(pred_frames))
-    # precompute per-frame IoU matrices + id lists once
+    # per-frame IoU matrices + id lists, computed once
     per_frame = []
     for f in frames:
         g_ids, g_boxes = gt_frames.get(f, ([], []))
@@ -173,45 +181,65 @@ def hota(gt_frames: dict, pred_frames: dict,
             np.asarray(p_boxes, np.float32).reshape(-1, 4))
         per_frame.append((list(g_ids), list(p_ids), iou))
 
-    hotas, detas, assas = [], [], []
-    for a in alphas:
-        tp = fn = fp = 0
-        pair_tpa = defaultdict(int)     # (g_id, p_id) -> matched frames
-        gt_count = defaultdict(int)     # g_id -> frames present
-        pr_count = defaultdict(int)     # p_id -> frames present
-        matches = []                    # per-TP (g_id, p_id)
-        for g_ids, p_ids, iou in per_frame:
-            for g in g_ids:
-                gt_count[g] += 1
-            for p in p_ids:
-                pr_count[p] += 1
-            G, P = len(g_ids), len(p_ids)
-            matched_g = np.zeros(G, bool)
-            matched_p = np.zeros(P, bool)
-            if G and P:
-                # Hungarian on IoU, accept pairs with IoU >= alpha
-                rows, cols = linear_sum_assignment(-iou)
-                for r, c in zip(rows, cols):
-                    if iou[r, c] >= a - 1e-9:
-                        matched_g[r] = matched_p[c] = True
-                        pair_tpa[(g_ids[r], p_ids[c])] += 1
-                        matches.append((g_ids[r], p_ids[c]))
-            tp += int(matched_g.sum())
-            fn += G - int(matched_g.sum())
-            fp += P - int(matched_p.sum())
-        deta = tp / max(tp + fn + fp, 1)
-        if matches:
-            ass_scores = []
-            for (g, p) in matches:
-                tpa = pair_tpa[(g, p)]
-                fna = gt_count[g] - tpa   # frames of g not matched to p
-                fpa = pr_count[p] - tpa   # frames of p not matched to g
-                ass_scores.append(tpa / max(tpa + fna + fpa, 1))
-            assa = float(np.mean(ass_scores))
+    # pass 1: global alignment accumulation (TrackEval potential_matches)
+    gt_count = defaultdict(int)
+    pr_count = defaultdict(int)
+    potential = defaultdict(float)
+    for g_ids, p_ids, iou in per_frame:
+        for g in g_ids:
+            gt_count[g] += 1
+        for p in p_ids:
+            pr_count[p] += 1
+        if len(g_ids) and len(p_ids):
+            denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim_iou = np.where(iou > 1e-9, iou / np.maximum(denom, 1e-9),
+                                   0.0)
+            for r in range(len(g_ids)):
+                for c in range(len(p_ids)):
+                    if sim_iou[r, c] > 0:
+                        potential[(g_ids[r], p_ids[c])] += sim_iou[r, c]
+
+    def align(g, p):
+        return potential[(g, p)] / max(
+            gt_count[g] + pr_count[p] - potential[(g, p)], 1e-9)
+
+    # pass 2: one Hungarian per frame on alignment * similarity; per-alpha
+    # thresholding of the matched pairs
+    A = len(alphas)
+    tp = np.zeros(A)
+    fn = np.zeros(A)
+    fp = np.zeros(A)
+    pair_tpa = [defaultdict(int) for _ in range(A)]
+    for g_ids, p_ids, iou in per_frame:
+        G, P = len(g_ids), len(p_ids)
+        n_match = np.zeros(A, int)
+        if G and P:
+            score = np.array([[align(g_ids[r], p_ids[c]) for c in range(P)]
+                              for r in range(G)]) * iou
+            rows, cols = linear_sum_assignment(-score)
+            for r, c in zip(rows, cols):
+                ok = iou[r, c] >= alphas - 1e-9      # (A,) bool
+                n_match += ok
+                key = (g_ids[r], p_ids[c])
+                for a in np.flatnonzero(ok):
+                    pair_tpa[a][key] += 1
+        tp += n_match
+        fn += G - n_match
+        fp += P - n_match
+
+    detas, assas, hotas = [], [], []
+    for a in range(A):
+        deta = tp[a] / max(tp[a] + fn[a] + fp[a], 1)
+        if tp[a] > 0:
+            # AssA = TP-weighted mean of per-pair association scores
+            num = sum(c * (c / max(gt_count[g] + pr_count[p] - c, 1))
+                      for (g, p), c in pair_tpa[a].items())
+            assa = num / tp[a]
         else:
             assa = 0.0
-        detas.append(deta)
-        assas.append(assa)
+        detas.append(float(deta))
+        assas.append(float(assa))
         hotas.append(float(np.sqrt(deta * assa)))
     return {"HOTA": float(np.mean(hotas)), "DetA": float(np.mean(detas)),
             "AssA": float(np.mean(assas))}

@@ -8,13 +8,12 @@ focal loss head) and unicorn/models/unicorn_head_mask.py:78-87,334-344
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.dynamic_conv import NUM_GEN_PARAMS, aligned_bilinear
+from ..ops.dynamic_conv import aligned_bilinear
 from .blocks import GroupNorm32
 
 
@@ -82,25 +81,6 @@ class MaskBranch(nn.Module):
                                  dtype=self.dtype, param_dtype=jnp.float32,
                                  name="seg_logits")(s)
         return mask_feats, up_mask, sem_logits
-
-
-class Controllers(nn.Module):
-    """Per-level 1x1 conv producing the 169 dynamic params per anchor
-    (unicorn_head_mask.py:78-87). Input: the reg tower features."""
-
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, reg_feats: Sequence):
-        """reg_feats: per-level (B, H, W, 256). Returns (B, A, 169)
-        concatenated over levels in anchor order."""
-        outs = []
-        for k, f in enumerate(reg_feats):
-            p = nn.Conv(NUM_GEN_PARAMS, (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"controller{k}")(f)
-            b, h, w, _ = p.shape
-            outs.append(p.reshape(b, h * w, NUM_GEN_PARAMS))
-        return jnp.concatenate(outs, axis=1).astype(jnp.float32)
 
 
 def anchor_locations_and_levels(hw_list, strides):
