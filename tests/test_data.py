@@ -187,3 +187,22 @@ def test_convert_mot17_to_omni(tmp_path):
     rec = omni["7"]["1"]
     assert rec["res"] == [[10, 10, 30, 30, 0, 5]]
     assert rec["img_info"][:2] == [80, 100]
+
+
+def test_loader_rank_disjoint_sampling():
+    """Multi-host DP: set_rank must decorrelate per-host sample streams
+    (reference DistributedSampler role). DetLoader strides its epoch order
+    rank::world into disjoint halves; sampling loaders reseed their RNG."""
+    from unicorn_tpu.data.loader import DetLoader, UniLoader
+
+    ds = list(range(100))
+    l0 = DetLoader(ds, 4, shuffle=False).set_rank(0, 2)
+    l1 = DetLoader(ds, 4, shuffle=False).set_rank(1, 2)
+    assert set(l0._order).isdisjoint(l1._order)
+    assert len(l0._order) + len(l1._order) == len(ds)
+
+    u0 = UniLoader(None, None, 4, (64, 64)).set_rank(0, 2)
+    s0 = [u0._rng.random() for _ in range(8)]
+    u1 = UniLoader(None, None, 4, (64, 64)).set_rank(1, 2)
+    s1 = [u1._rng.random() for _ in range(8)]
+    assert s0 != s1

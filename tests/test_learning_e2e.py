@@ -7,6 +7,8 @@ datasets: a scale bug, a broken gradient path, a decode/NMS mismatch, or an
 evaluator fault each independently push AP50 to ~0. (The reference's
 equivalent evidence is its benchmark pipeline, SURVEY.md §4.2.)
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,8 @@ from unicorn_tpu.evaluators.coco_map import COCOMeanAP
 from unicorn_tpu.models.heads import decode_for_inference
 from unicorn_tpu.models.unicorn import YOLOXDet
 from unicorn_tpu.ops.nms import postprocess_device
+
+pytestmark = pytest.mark.slow
 
 H, W = 96, 128
 

@@ -6,6 +6,8 @@ produces masks that overlap the gt.
 Measured at 500 steps: condinst dice loss 0.84 -> 0.087, held-out mean mask
 IoU 0.72 over 18 matched detections; thresholds below leave margin.
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,8 @@ from unicorn_tpu.core.train_state import TrainState
 from unicorn_tpu.core.train_step import make_det_mask_train_step
 from unicorn_tpu.drivers.inst import make_inst_forward
 from unicorn_tpu.models.unicorn import YOLOXDet
+
+pytestmark = pytest.mark.slow
 
 H, W = 96, 128
 D_RATE = 4

@@ -3,12 +3,16 @@ of a global CPU device mesh, run ONE unified train step with the batch
 assembled from per-process local slices (parallel/mesh.shard_batch) and must
 agree on the loss — the thing the reference could never test without a GPU
 cluster (SURVEY.md §4.4: "no fake/mock comm backends")."""
+import pytest
+
 import os
 import socket
 import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -7,6 +7,8 @@ Guards the whole uni training loop + the serving path together: the tracker
 can only produce consistent ids if detection, decoding, NMS, Kalman, and
 auction association all work on a model that actually learned.
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,8 @@ from unicorn_tpu.core.train_step import make_uni_train_step
 from unicorn_tpu.drivers.stream import StreamingMOTPipeline
 from unicorn_tpu.evaluators.mot_metrics import MOTAccumulator
 from unicorn_tpu.models.unicorn import Unicorn
+
+pytestmark = pytest.mark.slow
 
 H, W = 64, 96
 

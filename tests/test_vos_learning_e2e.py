@@ -7,6 +7,8 @@ Measured at 300 steps: condinst_vos dice 0.83 -> 0.26, driver J mean 0.73
 over 6 frames; thresholds below leave margin. Completes the learning-test
 quartet (det AP, tracking MOTA, inst masks, VOS propagation).
 """
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,8 @@ from unicorn_tpu.core.train_state import TrainState
 from unicorn_tpu.core.train_step import make_uni_mask_train_step
 from unicorn_tpu.drivers.vos import VOSDriver
 from unicorn_tpu.models.unicorn import Unicorn
+
+pytestmark = pytest.mark.slow
 
 H, W = 64, 96
 D_RATE = 2

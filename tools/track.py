@@ -71,7 +71,8 @@ def run_fused(exp, model, params, dataset, args, chunk=32,
         conf_thre=exp.test_conf, nms_thre=exp.nmsthre,
         max_dets=256, max_tracks=256, track_thresh=args.track_thresh,
         match_thresh=args.match_thresh, n_cand=512,
-        track_buffer=args.track_buffer)
+        track_buffer=args.track_buffer,
+        approx_topk=False)  # eval scores: exact top-k like the host path
     img_size = dataset.img_size
     results = defaultdict(list)
     buf, metas = [], []
@@ -83,13 +84,16 @@ def run_fused(exp, model, params, dataset, args, chunk=32,
         while len(buf) < chunk:  # pad the video's final chunk; padded
             buf.append(buf[-1])  # frames only touch state after real ones
         outs = np.asarray(pipe.run_chunk(jnp.asarray(np.stack(buf))))
+        # the 1.6 vertical-aspect filter is MOTChallenge-pedestrian-specific
+        # (reference mot_evaluator.py:881-882 omits it for multi-class BDD)
+        max_aspect = 1.6 if exp.num_classes == 1 else float("inf")
         for rows, (video, fid, scale) in zip(outs[:n_real], metas):
             rows = rows[rows[:, 6] > 0]
             tlwhs, tids, scores = [], [], []
             for r in rows:
                 w_ = (r[2] - r[0]) / scale
                 h_ = (r[3] - r[1]) / scale
-                if w_ * h_ > min_box_area and w_ / max(h_, 1e-6) <= 1.6:
+                if w_ * h_ > min_box_area and w_ / max(h_, 1e-6) <= max_aspect:
                     tlwhs.append((r[0] / scale, r[1] / scale, w_, h_))
                     tids.append(int(r[5]))
                     scores.append(float(r[4]))

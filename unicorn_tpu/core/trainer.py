@@ -128,6 +128,11 @@ class Trainer:
         # global array from the local slices
         local_bs = self.batch_size // jax.process_count()
         self.loader = exp.get_data_loader(local_bs)
+        if jax.process_count() > 1 and hasattr(self.loader, "set_rank"):
+            # rank-disjoint sampling (reference DistributedSampler role):
+            # without this every host draws the identical sample stream and
+            # the global batch holds process_count copies of the same images
+            self.loader.set_rank(jax.process_index(), jax.process_count())
         self._step_fns = {}
         self.step_fn = self._get_step_fn(self.input_size)
         # multiscale size list (reference multiscale_range in 32-px steps)

@@ -20,7 +20,26 @@ def seed_everything(seed: int):
     np.random.seed(seed % (2 ** 31))
 
 
-class UniLoader:
+class _RankMixin:
+    """Rank-disjoint sampling for multi-host DP (the reference's
+    DistributedSampler role, unicorn/data/samplers.py): each host must draw a
+    DIFFERENT slice of the data or the global batch holds process_count copies
+    of the same images. Sampling-style loaders (Uni/Inst) decorrelate by
+    re-seeding both their own RNG and the process-global `random`/np.random
+    streams the omni samplers use; DetLoader additionally strides its epoch
+    order `rank::world`."""
+
+    def set_rank(self, rank: int, world: int):
+        base = getattr(self, "_seed", 0) + 7919 * rank
+        seed_everything(base)
+        self._rng = random.Random(base + 1)
+        if hasattr(self, "_order"):
+            self._order = list(range(len(self.dataset)))[rank::world]
+            self._pos = 0
+        return self
+
+
+class UniLoader(_RankMixin):
     """Iterates (images (B,2,H,W,3), targets (B,2,M,6), task_ids (B,)) batches
     from an OmniDatasetPlus via a 2-frame transform.
 
@@ -39,6 +58,7 @@ class UniLoader:
         self.alter_every = alter_every
         self.prefetch = prefetch
         self._count = 0
+        self._seed = seed
         self._rng = random.Random(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._thread = None
@@ -126,7 +146,7 @@ class UniMaskLoader(UniLoader):
                 np.asarray(tids, np.int32), np.stack(mks))
 
 
-class DetLoader:
+class DetLoader(_RankMixin):
     """Detection batches: (images (B,H,W,3), labels (B,M,5))."""
 
     def __init__(self, dataset, batch_size: int, prefetch: int = 2, seed: int = 0,
@@ -135,6 +155,7 @@ class DetLoader:
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.shuffle = shuffle
+        self._seed = seed
         self._rng = random.Random(seed)
         self._order = list(range(len(dataset)))
         self._pos = 0
@@ -181,7 +202,7 @@ class DetLoader:
         return self._q.get()
 
 
-class InstLoader:
+class InstLoader(_RankMixin):
     """Instance-seg batches: (images (B,H,W,3), labels (B,M,6),
     masks (B,M,Hm,Wm)) from a dataset exposing pull_item_omni (single frame
     used) + TrainTransformIns."""
@@ -192,6 +213,7 @@ class InstLoader:
         self.transform = transform
         self.batch_size = batch_size
         self.input_size = tuple(input_size)
+        self._seed = seed
         self._rng = random.Random(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._thread = None

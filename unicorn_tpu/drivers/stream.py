@@ -42,7 +42,7 @@ class StreamingMOTPipeline:
                  match_thresh: float = 0.9, chunk: int = 8,
                  n_cand: int = 128, frame_batch: int = 1,
                  track_buffer: int = 30,
-                 compiler_options="auto"):
+                 compiler_options="auto", approx_topk: bool = True):
         """frame_batch F > 1 batches the (frame-independent) detector forward
         over F consecutive frames inside the chunk scan — better MXU
         utilization at batch>1 — while the tracker still consumes frames
@@ -69,7 +69,8 @@ class StreamingMOTPipeline:
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, class_agnostic=(num_classes == 1),
                 n_cand=n_cand, max_out=max_dets, cluster_iters=8,
-                approx_topk=True,
+                approx_topk=approx_topk,  # True for serving throughput
+                # (recall_target 0.99); eval tools pass False for exact top-k
             )
             dets5 = jnp.concatenate(
                 [dets[..., :4], (dets[..., 4] * dets[..., 5])[..., None]],

@@ -250,7 +250,9 @@ class ExpTrack(BaseExp):
             num_classes=self.num_classes, mhs=self.mhs,
         )
 
-    def get_evaluator(self, batch_size=1):
+    def get_evaluator(self, batch_size=1, mesh=None):
+        # mesh accepted for tools/eval.py uniformity; MOT eval is a
+        # sequential per-video path so the mesh is unused here
         from ..evaluators.mot_evaluator import MOTEvaluator
 
         return MOTEvaluator(exp=self)

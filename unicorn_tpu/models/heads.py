@@ -169,7 +169,10 @@ class UnicornHead(nn.Module):
                 from ..ops.dynamic_conv import NUM_GEN_PARAMS
 
                 def ctrl_init(rng_key):
-                    kernel = nn.initializers.lecun_normal()(
+                    # reference trains the controller from normal(std=0.01),
+                    # zero bias (unicorn_head_mask.py:245-246); matching it
+                    # matters for from-scratch mask training dynamics
+                    kernel = nn.initializers.normal(stddev=0.01)(
                         rng_key, (3, 3, hidden, NUM_GEN_PARAMS), jnp.float32)
                     return {"Conv_0": {
                         "kernel": kernel,
