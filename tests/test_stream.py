@@ -102,3 +102,45 @@ def test_streaming_packed_input_matches_raw():
                                     n_cand=16)
         outs.append(np.asarray(pipe.run_chunk(jnp.asarray(feed))))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_nstreams_matches_independent_pipelines():
+    """n_streams=2 chunked scan == two independent single-stream pipelines
+    (streams batch through the detector but never mix tracker state)."""
+    model, params = _tiny_model_params()
+    rng = np.random.RandomState(7)
+    fa = rng.rand(4, H, W, 3).astype(np.float32) * 255
+    fb = rng.rand(4, H, W, 3).astype(np.float32) * 255
+
+    kw = dict(input_size=(H, W), num_classes=1, conf_thre=0.0, nms_thre=0.8,
+              max_dets=16, max_tracks=32, n_cand=32)
+    pm = StreamingMOTPipeline(model, params, n_streams=2, **kw)
+    om = np.asarray(pm.run_chunk(jnp.asarray(np.stack([fa, fb]))))
+    assert om.shape == (2, 4, 32, 7)
+    for i, f in enumerate((fa, fb)):
+        p1 = StreamingMOTPipeline(model, params, **kw)
+        o1 = np.asarray(p1.run_chunk(jnp.asarray(f)))
+        np.testing.assert_allclose(om[i], o1, rtol=1e-3, atol=1e-3)
+
+
+def test_streaming_uint8_ingest_matches_fp32():
+    """uint8 packed ingest == fp32: integer pixel values < 256 cast exactly,
+    so the serving driver can ship 4x less H2D traffic with zero drift."""
+    from unicorn_tpu.drivers.stream import pack_frames_np
+
+    model = Unicorn(num_classes=1, backbone_name="convnext_tiny",
+                    in_channels=(192, 384, 768), interact_mode="conv",
+                    n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(5)
+    frame = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame, method=Unicorn.init_all)
+
+    frames_u8 = rng.randint(0, 256, (4, H, W, 3)).astype(np.uint8)
+    outs = []
+    for feed in (pack_frames_np(frames_u8.astype(np.float32)),
+                 pack_frames_np(frames_u8)):
+        pipe = StreamingMOTPipeline(model, params, input_size=(H, W),
+                                    conf_thre=0.01, max_dets=8, max_tracks=8,
+                                    n_cand=16)
+        outs.append(np.asarray(pipe.run_chunk(jnp.asarray(feed))))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

@@ -42,7 +42,8 @@ class StreamingMOTPipeline:
                  match_thresh: float = 0.9, chunk: int = 8,
                  n_cand: int = 128, frame_batch: int = 1,
                  track_buffer: int = 30,
-                 compiler_options="auto", approx_topk: bool = True):
+                 compiler_options="auto", approx_topk: bool = True,
+                 n_streams: int = 1):
         """frame_batch F > 1 batches the (frame-independent) detector forward
         over F consecutive frames inside the chunk scan — better MXU
         utilization at batch>1 — while the tracker still consumes frames
@@ -109,9 +110,29 @@ class StreamingMOTPipeline:
             ts, outs = jax.lax.scan(body, ts, frames)
             return ts, outs.reshape(N, *outs.shape[2:])  # (N, T, 7)
 
+        def chunk_step_multi(params, ts_v, frames):
+            """S independent streams batched through ONE chip: frames
+            (S, N, H, W, C), ts_v a vmapped tracker state (leading dim S).
+            Per scan step the detector runs at batch S (better MXU
+            utilization than S sequential frames) and the S per-stream
+            associations run as one vmapped tracker_step — causality holds
+            per stream because streams never mix. Returns (S, N, T, 7)."""
+            S, N = frames.shape[0], frames.shape[1]
+            frames = jnp.swapaxes(frames, 0, 1)  # scan over time
+
+            def body(ts_v, fbatch):
+                dets5, valid = detect(params, fbatch)  # (S, D, 5), (S, D)
+                ts_v, packed = jax.vmap(assoc)(ts_v, dets5, valid)
+                return ts_v, packed
+
+            ts_v, outs = jax.lax.scan(body, ts_v, frames)
+            return ts_v, jnp.swapaxes(outs, 0, 1)
+
+        self.n_streams = int(n_streams)
         self._frame_step_raw = frame_step
         self._frame_step = jax.jit(frame_step)
-        self._chunk_step = jax.jit(chunk_step)
+        self._chunk_step = jax.jit(
+            chunk_step_multi if self.n_streams > 1 else chunk_step)
         # XLA compiler options for the chunk program. "auto" applies the
         # measured sweet spot on TPU (scoped VMEM 48 MB: +1.7% FPS on v5e at
         # 800x1280; 40-48 MB wins, >=56 MB regresses — program-specific, do
@@ -124,10 +145,16 @@ class StreamingMOTPipeline:
                 if jax.default_backend() == "tpu" else None)
         self._copts = compiler_options
         self._compiled_chunk = {}
-        self.ts = init_state(max_tracks)
+        self.reset()
 
     def reset(self):
-        self.ts = init_state(self.max_tracks)
+        if self.n_streams > 1:
+            import jax
+
+            self.ts = jax.vmap(lambda _: init_state(self.max_tracks))(
+                self._jnp.arange(self.n_streams))
+        else:
+            self.ts = init_state(self.max_tracks)
 
     def push_frame(self, frame_device):
         """One frame (1, H, W, 3) already on device. Returns the device-held
@@ -136,7 +163,8 @@ class StreamingMOTPipeline:
         return packed
 
     def run_chunk(self, frames_device):
-        """frames (N, H, W, 3) on device -> (N, T, 7) device output."""
+        """frames (N, H, W, C) on device -> (N, T, 7) device output; with
+        n_streams=S > 1, frames (S, N, H, W, C) -> (S, N, T, 7)."""
         if self._copts:
             key = (tuple(frames_device.shape), str(frames_device.dtype))
             if key not in self._compiled_chunk:
