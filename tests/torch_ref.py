@@ -117,8 +117,29 @@ def load_reference():
         inter = (br - tl).clamp(min=0).prod(-1)
         return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
 
+    def _nms(boxes, scores, iou_threshold):
+        # torchvision.ops.nms semantics: greedy by descending score, drop
+        # boxes with IoU > threshold vs a kept box
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        while order.numel():
+            i = order[0]
+            keep.append(i)
+            if order.numel() == 1:
+                break
+            ious = _box_iou(boxes[i: i + 1], boxes[order[1:]])[0]
+            order = order[1:][ious <= iou_threshold]
+        return torch.stack(keep) if keep else torch.zeros(0, dtype=torch.long)
+
+    def _batched_nms(boxes, scores, idxs, iou_threshold):
+        if boxes.numel() == 0:
+            return torch.zeros(0, dtype=torch.long)
+        offs = idxs.to(boxes) * (boxes.max() + 1)
+        return _nms(boxes + offs[:, None], scores, iou_threshold)
+
     tv = _stub("torchvision")
-    tv_ops = _stub("torchvision.ops", box_iou=_box_iou)
+    tv_ops = _stub("torchvision.ops", box_iou=_box_iou, nms=_nms,
+                   batched_nms=_batched_nms)
     tv.ops = tv_ops
 
     # parent-package shim: unicorn/__init__ pulls torchvision etc.; models/*
@@ -210,6 +231,137 @@ def load_reference():
     )
     _loaded["ns"] = ns
     return ns
+
+
+def load_reference_trackers():
+    """Import the reference's external SOT/VOS tracker classes
+    (external/lib/test/tracker/unicorn_{sot,vos}.py) on torch-cpu, unmodified
+    — their initialize/track/get_det_results protocol logic is the code under
+    test in tests/test_protocol_parity.py. Only environment shims are applied:
+    cuda->cpu redirection, the removed np.int alias, and dependency stubs for
+    the harness imports their module headers pull."""
+    if "trackers" in _loaded:
+        return _loaded["trackers"]
+    load_reference()
+
+    import importlib.util
+    import os
+
+    import numpy as np
+    import torch
+
+    if not hasattr(np, "int"):  # removed in numpy>=1.24; the 2022 ref uses it
+        np.int = int
+    if not getattr(torch.Tensor.cuda, "_cpu_shim", False):
+        def _cuda(self, *a, **kw):
+            return self
+
+        _cuda._cpu_shim = True
+        torch.Tensor.cuda = _cuda
+
+    class BaseTracker:
+        def __init__(self, params=None):
+            self.params = params
+
+    lib = _stub("lib")
+    lib_test = _stub("lib.test")
+    lib_tracker = _stub("lib.test.tracker")
+    lib.test = lib_test
+    lib_test.tracker = lib_tracker
+    lib_tracker.basetracker = _stub("lib.test.tracker.basetracker",
+                                    BaseTracker=BaseTracker)
+    _stub("unicorn.exp", get_exp=None)  # module-level import only; the
+    # parity tests bypass __init__ (which would need exp files + checkpoints)
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    if "unicorn.utils.boxes" not in sys.modules:
+        boxes = _load("unicorn.utils.boxes",
+                      os.path.join(REF_ROOT, "unicorn/utils/boxes.py"))
+        sys.modules["unicorn.utils"].boxes = boxes
+
+    class _TorchCPUShim:
+        """torch facade redirecting hardcoded device='cuda' to cpu."""
+
+        def __getattr__(self, k):
+            return getattr(torch, k)
+
+        @staticmethod
+        def _fix(kw):
+            if kw.get("device") == "cuda":
+                kw["device"] = "cpu"
+            return kw
+
+        def zeros(self, *a, **kw):
+            return torch.zeros(*a, **self._fix(kw))
+
+        def tensor(self, *a, **kw):
+            return torch.tensor(*a, **self._fix(kw))
+
+        def full(self, *a, **kw):
+            return torch.full(*a, **self._fix(kw))
+
+    tdir = os.path.join(REF_ROOT, "external/lib/test/tracker")
+    sot = _load("ref_tracker_unicorn_sot", os.path.join(tdir, "unicorn_sot.py"))
+    vos = _load("ref_tracker_unicorn_vos", os.path.join(tdir, "unicorn_vos.py"))
+    sot.torch = _TorchCPUShim()
+    vos.torch = _TorchCPUShim()
+
+    ns = types.SimpleNamespace(sot=sot, vos=vos)
+    _loaded["trackers"] = ns
+    return ns
+
+
+def make_reference_sot_tracker(model, input_size, max_inst=3,
+                               conf_thre=0.001, nms_thre=0.65):
+    """UnicornSOTTrack with __init__ bypassed (no exp files / checkpoints /
+    cuda): the fields unicorn_sot.py:16-37 would set are set directly, then
+    initialize/track run the reference's own protocol code on torch-cpu."""
+    ns = load_reference_trackers()
+    t = ns.sot.UnicornSOTTrack.__new__(ns.sot.UnicornSOTTrack)
+    t.params = None
+    t.num_classes = 1
+    t.input_size = tuple(input_size)
+    t.confthre = conf_thre
+    t.nmsthre = nms_thre
+    t.max_inst = max_inst
+    t.model = model
+    t.device = "cpu"
+    t.preprocessor = ns.sot.PreprocessorX(normalize=False)
+    t.state = None
+    t.frame_id = 0
+    return t
+
+
+def make_reference_vos_tracker(model, input_size, max_inst=1,
+                               conf_thre=0.001, nms_thre=0.65,
+                               d_rate=2, use_raft=True):
+    """UnicornVOSTrack with __init__ bypassed (unicorn_vos.py:14-41).
+    d_rate=2 matches exp.d_rate (unicorn_det_mask.py:29, up_rate=8//d_rate=4,
+    i.e. our use_raft/up_rate=4 mask model)."""
+    ns = load_reference_trackers()
+    t = ns.vos.UnicornVOSTrack.__new__(ns.vos.UnicornVOSTrack)
+    t.params = None
+    t.soft_aggregate = True
+    t.num_classes = 1
+    t.input_size = tuple(input_size)
+    t.confthre = conf_thre
+    t.nmsthre = nms_thre
+    t.max_inst = max_inst
+    t.mask_thres = 0.30
+    t.d_rate = d_rate
+    t.use_raft = use_raft
+    t.model = model
+    t.device = "cpu"
+    t.preprocessor = ns.vos.PreprocessorX(normalize=False)
+    t.state = None
+    t.frame_id = 0
+    return t
 
 
 def convert_bn_to_gn(module, num_groups=16):
