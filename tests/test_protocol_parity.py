@@ -38,6 +38,18 @@ H, W = 96, 160          # letterbox input size (divisible by 32)
 IMG_H, IMG_W = 70, 120  # "original video" size -> non-trivial resize r
 
 
+def _boost_heads(tm):
+    """Lift obj/cls prediction biases so the randomized-weight model emits
+    CONFIDENT, well-separated detections: with the stock prior bias
+    (-log(99)) no candidate crosses even conf 0.001 and both trackers would
+    trivially carry state forever — the protocol under test never runs."""
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if ("obj_preds" in name or "cls_preds" in name) and name.endswith("bias"):
+                p.add_(5.5)
+    return tm
+
+
 def _convert(tm, jm, example):
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     params = jm.init(jax.random.PRNGKey(0), jnp.asarray(example),
@@ -65,7 +77,7 @@ def _clip(n_frames, seed=0):
 @pytest.fixture(scope="module")
 def sot_pair():
     try:
-        tm = build_reference_tiny(num_classes=8, seed=0)
+        tm = _boost_heads(build_reference_tiny(num_classes=8, seed=0))
     except ImportError as e:
         pytest.skip(f"reference tree unavailable: {e}")
     jm = Unicorn(num_classes=8, backbone_name="convnext_tiny",
@@ -124,3 +136,85 @@ def test_sot_track_window_matches_sequential(sot_pair):
     for i, (o, r) in enumerate(zip(outs, ref_boxes)):
         np.testing.assert_allclose(o["target_bbox"], r, atol=1.01,
                                    err_msg=f"frame {i+1}")
+
+
+@pytest.fixture(scope="module")
+def vos_pair():
+    try:
+        tm = _boost_heads(
+            build_reference_tiny(num_classes=8, seed=0, with_mask=True))
+    except ImportError as e:
+        pytest.skip(f"reference tree unavailable: {e}")
+    jm = Unicorn(num_classes=8, backbone_name="convnext_tiny",
+                 in_channels=(192, 384, 768), interact_mode="deform",
+                 n_layer_att=3, use_mask=True, use_raft=True, up_rate=4)
+    rng = np.random.RandomState(0)
+    example = (rng.rand(1, H, W, 3) * 255).astype(np.float32)
+    params = _convert(tm, jm, example)
+    return tm, jm, params
+
+
+def _vos_clip(n_frames, seed=11):
+    """RGB clip at exactly the input size (r=1) so the only driver/reference
+    output difference is the documented aggregate-then-nearest vs
+    bilinear-then-argmax boundary handling."""
+    rng = np.random.RandomState(seed)
+    return [(rng.rand(H, W, 3) * 255).astype(np.uint8)
+            for _ in range(n_frames)]
+
+
+def test_vos_frame_loop_parity(vos_pair):
+    """unicorn_vos.py:43-122 protocol: per-object reference dicts, box-raster
+    label priors, CondInst mask decode, soft aggregation, and mid-video
+    object entry (GT passthrough on the entry frame). The reference
+    aggregates bilinear-upsampled probs at full res and argmaxes; we argmax
+    at the mask grid and nearest-upsample — identical away from instance
+    boundaries, hence the 99% pixel-agreement bar (exact equality elsewhere
+    is asserted via the id sets)."""
+    from unicorn_tpu.drivers.vos import VOSDriver
+
+    tm, jm, params = vos_pair
+    frames = _vos_clip(4)
+    b1 = [20.0, 16.0, 30.0, 26.0]
+    b2 = [90.0, 40.0, 34.0, 30.0]
+    b3 = [50.0, 60.0, 28.0, 22.0]  # enters at frame 2
+    mask0 = np.zeros((H, W), np.uint8)
+    mask0[16:42, 20:50] = 1
+    mask0[40:70, 90:124] = 2
+    mask2 = np.zeros((H, W), np.uint8)
+    mask2[60:82, 50:78] = 3
+
+    ref = make_reference_vos_tracker(tm, (H, W))
+    ref.initialize(frames[0], {
+        "init_object_ids": ["1", "2"],
+        "sequence_object_ids": ["1", "2", "3"],
+        "init_bbox": {"1": list(b1), "2": list(b2)},
+    })
+    ref_masks = []
+    for i, frame in enumerate(frames[1:], 1):
+        info = {}
+        if i == 2:
+            info = {"init_object_ids": ["3"],
+                    "init_bbox": {"3": list(b3)},
+                    "init_mask": mask2}
+        ref_masks.append(ref.track(frame, info)["segmentation"])
+
+    drv = VOSDriver(jm, params, input_size=(H, W), max_objects=4,
+                    conf_thre=0.001, nms_thre=0.65, use_raft=True, up_rate=4)
+    drv.initialize(frames[0][:, :, ::-1], mask0, init_bboxes={1: b1, 2: b2})
+    our_masks = []
+    for i, frame in enumerate(frames[1:], 1):
+        if i == 2:
+            drv.add_objects(frame[:, :, ::-1], mask2, init_bboxes={3: b3})
+        m, _ = drv.track(frame[:, :, ::-1])
+        our_masks.append(m)
+
+    for i, (rm, om) in enumerate(zip(ref_masks, our_masks), 1):
+        assert om.shape == rm.shape
+        agree = float(np.mean(om == rm))
+        assert agree >= 0.99, f"frame {i}: pixel agreement {agree:.4f}"
+        assert set(np.unique(rm)) == set(np.unique(om)), \
+            f"frame {i}: id sets differ ref={np.unique(rm)} ours={np.unique(om)}"
+    # the entry frame must carry object 3's GT mask verbatim (both sides)
+    assert np.array_equal(ref_masks[1] == 3, mask2 == 3)
+    assert np.array_equal(our_masks[1] == 3, mask2 == 3)

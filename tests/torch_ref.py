@@ -205,6 +205,14 @@ def load_reference():
     import unicorn.models.unicorn_head as _uh
 
     _uh.torch = _TorchShim()
+    # eval-path device="cuda" hardcodes in the mask stack
+    # (condinst/dynamic_mask_head.py:186, unicorn_head_mask.py:389)
+    import unicorn.models.condinst.dynamic_mask_head as _dmh
+
+    _dmh.torch = _TorchShim()
+    import unicorn.models.unicorn_head_mask as _uhm
+
+    _uhm.torch = _TorchShim()
 
     from unicorn.models.unicorn import Unicorn
     from unicorn.models.backbone.yolo_pafpn_new import YOLOPAFPNNEW

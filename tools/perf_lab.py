@@ -99,8 +99,97 @@ def main():
             return np.stack([pack_frames_np(raw[s]) for s in range(S)])
         return pack_frames_np((rng.rand(CHUNK, H, W, 3) * 255).astype(dt))
 
+    if exp == "h2d_model":
+        # pack + H2D cost inside a live model process: (a) idle device,
+        # (b) while a chunk executes. Isolates tunnel-client CPU contention.
+        chunk0 = jnp.asarray(make_chunk0 := pack_frames_np(
+            (rng.rand(CHUNK, H, W, 3) * 255).astype(np.uint8)))
+        _ = np.asarray(pipe.run_chunk(chunk0))
+        frames = (rng.rand(CHUNK, H, W, 3) * 255).astype(np.uint8)
+        for phase in ("idle", "busy"):
+            if phase == "busy":
+                out = pipe.run_chunk(chunk0)   # async; device busy ~440 ms
+            t0 = time.perf_counter()
+            packed = pack_frames_np(frames)
+            t1 = time.perf_counter()
+            d = jax.block_until_ready(jax.device_put(packed))
+            t2 = time.perf_counter()
+            if phase == "busy":
+                _ = np.asarray(out)
+            del d
+            log("h2d_model", phase=phase,
+                pack_ms_frame=round((t1 - t0) / CHUNK * 1e3, 3),
+                h2d_ms_frame=round((t2 - t1) / CHUNK * 1e3, 3))
+        return
+
     n_chunks = int(os.environ.get("NCHUNKS", "8"))
-    fresh = exp.endswith("_fresh")
+    fresh = exp.endswith(("_fresh", "_seq", "_pipe"))
+
+    if exp.endswith("_seq") or exp.endswith("_pipe"):
+        # fresh frames WITHOUT a producer thread.
+        #  _seq: pack -> H2D -> compute strictly serial (cost decomposition)
+        #  _pipe: single-thread software pipeline — dispatch chunk i (async),
+        #         then pack+H2D chunk i+1 while the device runs chunk i
+        host_frames = [(rng.rand(*(((S, CHUNK) if S > 1 else (CHUNK,))
+                                   + (H, W, 3))) * 255).astype(dt)
+                       for _ in range(3)]
+
+        def pack_one(i):
+            raw = host_frames[i % len(host_frames)]
+            if S > 1:
+                packed = np.stack([pack_frames_np(raw[s]) for s in range(S)])
+            else:
+                packed = pack_frames_np(raw)
+            return jax.device_put(packed)
+
+        _ = np.asarray(pipe.run_chunk(pack_one(0)))
+        pipe.reset()
+        t0 = time.perf_counter()
+        if exp.endswith("_seq"):
+            t_pack = t_put = t_run = 0.0
+            for i in range(n_chunks):
+                ta = time.perf_counter()
+                raw = host_frames[i % 3]
+                packed = (np.stack([pack_frames_np(raw[s]) for s in range(S)])
+                          if S > 1 else pack_frames_np(raw))
+                tb = time.perf_counter()
+                dev = jax.block_until_ready(jax.device_put(packed))
+                tc = time.perf_counter()
+                _ = np.asarray(pipe.run_chunk(dev))
+                td = time.perf_counter()
+                t_pack += tb - ta
+                t_put += tc - tb
+                t_run += td - tc
+            dt_s = time.perf_counter() - t0
+            nf = n_chunks * CHUNK * S
+            log(exp, fps=round(nf / dt_s, 2),
+                ms_frame=round(1000 * dt_s / nf, 3),
+                pack_ms_frame=round(1000 * t_pack / nf, 3),
+                h2d_ms_frame=round(1000 * t_put / nf, 3),
+                run_ms_frame=round(1000 * t_run / nf, 3),
+                chunk=CHUNK, S=S, F=F)
+            return
+        dev_next = pack_one(0)
+        inflight = []
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            out = pipe.run_chunk(dev_next)      # async dispatch
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            inflight.append(out)
+            if i + 1 < n_chunks:
+                dev_next = pack_one(i + 1)      # overlaps device compute
+            if len(inflight) >= 2:
+                _ = np.asarray(inflight.pop(0))
+        while inflight:
+            _ = np.asarray(inflight.pop(0))
+        dt_s = time.perf_counter() - t0
+        nf = n_chunks * CHUNK * S
+        log(exp, fps=round(nf / dt_s, 2), ms_frame=round(1000 * dt_s / nf, 3),
+            chunk=CHUNK, S=S, F=F, fresh=True, dtype=str(np.dtype(dt)))
+        return
 
     if not fresh:
         chunks = [jnp.asarray(make_chunk()) for _ in range(2)]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..data.preproc import letterbox, letterbox_mask
+from ..data.preproc import letterbox
 from ..models.heads import decode_for_inference, flatten_raw_outputs
 from ..models.mask_head import anchor_locations_and_levels
 from ..models.unicorn import Unicorn
@@ -82,9 +82,10 @@ class VOSDriver:
             priors = tuple(p.astype(f.dtype) for p, f in zip(priors, fpn_k))
             raw = model.apply(params, fpn_k, priors, method=Unicorn.forward_head)
             dec = decode_for_inference(raw, (8, 16, 32), mode="sot")
-            dets, valid = postprocess_device(
+            dets, valid, anchor_idx = postprocess_device(
                 dec, num_classes=1, conf_thre=conf_thre, nms_thre=nms_thre,
                 class_agnostic=True, n_cand=256, max_out=8,
+                return_idx=True,
             )  # (K, 8, 7)
 
             masks_up = None
@@ -94,12 +95,10 @@ class VOSDriver:
                     params, fpn_k, method=Unicorn.forward_mask_branch)
                 hw = [(f.shape[1], f.shape[2]) for f in fpn_k]
                 locs, lvls = anchor_locations_and_levels(hw, (8, 16, 32))
-                # best anchor per object = top det's anchor; recover via
-                # nearest-anchor match on the best det center at its level
-                A = flat["ctrl"].shape[1]
-                best_center = (dets[:, 0, :2] + dets[:, 0, 2:4]) / 2.0  # (K, 2)
-                d2 = jnp.sum((locs[None] - best_center[:, None]) ** 2, -1)
-                best_anchor = jnp.argmin(d2, axis=1)  # (K,)
+                # best anchor per object = the top det's TRUE anchor index
+                # (the handle postprocess_inst threads through NMS,
+                # boxes.py:126-129)
+                best_anchor = anchor_idx[:, 0]  # (K,)
                 params_k = jnp.take_along_axis(
                     flat["ctrl"], best_anchor[:, None, None], axis=1)[:, 0]
                 logits = jax.vmap(
@@ -113,6 +112,13 @@ class VOSDriver:
                 else:
                     masks_up = aligned_bilinear(logits, 2)  # stride 4
                 masks_up = jax.nn.sigmoid(masks_up)  # (K, Hm, Wm)
+                # reference postprocess_inst upsamples PROBS to full input
+                # res before any aggregation (aligned_bilinear x d_rate,
+                # boxes.py:141-144); aggregating at the mask grid instead
+                # shifts instance boundaries by up to d_rate px
+                d_up = H // masks_up.shape[1]
+                if d_up > 1:
+                    masks_up = aligned_bilinear(masks_up, d_up)
             return dets, valid, masks_up
 
         def aggregate_fn(mask_probs, obj_valid):
@@ -132,24 +138,52 @@ class VOSDriver:
         self.lbs_ref = None    # (K, 1, N8) per-slot label maps
         self.obj_valid = np.zeros((K,), np.float32)
         self.obj_ids: list = []  # slot -> original object id
+        # objects added this frame: on THEIR entry frame the reference
+        # outputs the GT mask verbatim (unicorn_vos.py:100-101), not a
+        # prediction; {oid: binary mask at original res}, cleared by track()
+        self._entry_overlay: dict = {}
 
     def _preproc(self, image):
         img, r = letterbox(image, self.input_size)
         return self._jnp.asarray(img[None]), r
 
-    def initialize(self, image, mask):
-        """mask: (H, W) int labels (0 = bg, 1..n = objects)."""
+    def _box_raster(self, bbox_xywh, r):
+        """Rasterize one object's label prior exactly like the reference:
+        xywh -> xyxy, scale by r, round, clamp, hard rectangle on the
+        input-size canvas (unicorn_vos.py:60-66 + get_label_map:246-258)."""
+        H, W = self.input_size
+        x, y, w, h = bbox_xywh
+        x1 = max(0, min(int(round(x * r)), W))
+        y1 = max(0, min(int(round(y * r)), H))
+        x2 = max(0, min(int(round((x + w) * r)), W))
+        y2 = max(0, min(int(round((y + h) * r)), H))
+        lb = np.zeros((H, W), np.float32)
+        lb[y1:y2, x1:x2] = 1.0
+        return lb
+
+    @staticmethod
+    def _mask_bbox(m):
+        """Object mask -> tlwh bbox, inclusive-pixel size (the DAVIS harness
+        convention, external/lib/train/data/bounding_box_utils.py:70-94)."""
+        ys, xs = np.where(m)
+        if len(xs) == 0:
+            return [0.0, 0.0, 0.0, 0.0]
+        return [float(xs.min()), float(ys.min()),
+                float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)]
+
+    def initialize(self, image, mask, init_bboxes=None):
+        """mask: (H, W) int labels (0 = bg, 1..n = objects). init_bboxes:
+        optional {obj_id: [x, y, w, h]} per-object rects (the DAVIS harness's
+        gt boxes); defaults to each object's mask bounding box. The reference
+        tracker builds its label priors from BOXES, never from the mask
+        itself (unicorn_vos.py:60-66) — the mask only seeds the output frame."""
         frame, r = self._preproc(image)
         self.obj_ids = sorted(int(i) for i in np.unique(mask) if i != 0)[: self.K]
         K = self.K
-        H, W = self.input_size
-        obj_masks = np.zeros((K,) + mask.shape, np.float32)
+        lb = np.zeros((K,) + self.input_size, np.float32)
         for slot, oid in enumerate(self.obj_ids):
-            obj_masks[slot] = mask == oid
-        lb = np.stack([
-            letterbox_mask(m[..., None], self.input_size)[0][..., 0]
-            for m in obj_masks
-        ])
+            bbox = (init_bboxes or {}).get(oid) or self._mask_bbox(mask == oid)
+            lb[slot] = self._box_raster(bbox, r)
         self.obj_valid = np.zeros((K,), np.float32)
         self.obj_valid[: len(self.obj_ids)] = 1.0
         feat16, self.lbs_ref = self._init_fn(
@@ -159,15 +193,16 @@ class VOSDriver:
         self.scale = r
         self.orig_shape = mask.shape
 
-    def add_objects(self, image, mask):
+    def add_objects(self, image, mask, init_bboxes=None):
         """Register objects that enter mid-video (unicorn_vos.py:86-101):
         ids in `mask` not yet tracked get a free slot whose reference is THIS
-        frame. mask: (H, W) int labels (0 = bg)."""
+        frame, with a box-rectangle label prior like the reference
+        (unicorn_vos.py:93-99). mask: (H, W) int labels (0 = bg)."""
         new_ids = [int(i) for i in np.unique(mask)
                    if i != 0 and int(i) not in self.obj_ids]
         if not new_ids:
             return
-        frame, _ = self._preproc(image)
+        frame, r = self._preproc(image)
         K = self.K
         lb = np.zeros((K,) + self.input_size, np.float32)
         slots = []
@@ -175,8 +210,8 @@ class VOSDriver:
             if len(self.obj_ids) >= K:
                 break  # out of slots; extra objects are dropped
             slot = len(self.obj_ids)
-            m = (mask == oid).astype(np.float32)
-            lb[slot] = letterbox_mask(m[..., None], self.input_size)[0][..., 0]
+            bbox = (init_bboxes or {}).get(oid) or self._mask_bbox(mask == oid)
+            lb[slot] = self._box_raster(bbox, r)
             slots.append((slot, oid))
         if not slots:
             return
@@ -187,6 +222,7 @@ class VOSDriver:
             self.lbs_ref = self.lbs_ref.at[slot].set(lbs_new[slot])
             self.obj_valid[slot] = 1.0
             self.obj_ids.append(oid)
+            self._entry_overlay[oid] = (mask == oid)
 
     def track(self, image):
         """Returns (indexed mask (H_orig, W_orig) with original object ids,
@@ -201,9 +237,18 @@ class VOSDriver:
             if len(d):
                 boxes[oid] = (d[0, :4] / r).tolist()
         if masks is None:
+            self._entry_overlay = {}
             return None, boxes
+        # objects on their entry frame: exclude their prediction from the
+        # aggregation and paste the GT mask instead (unicorn_vos.py:100-101);
+        # slots with NO det over conf_thre contribute a zero mask (the
+        # reference's output-is-None branch, unicorn_vos.py:151-153)
+        agg_valid = self.obj_valid * np.asarray(valid).any(axis=1)
+        for slot, oid in enumerate(self.obj_ids):
+            if oid in self._entry_overlay:
+                agg_valid[slot] = 0.0
         merged = np.asarray(self._aggregate(
-            masks, self._jnp.asarray(self.obj_valid)))
+            masks, self._jnp.asarray(agg_valid)))
         # map slot labels back to original object ids; unletterbox
         Hm, Wm = merged.shape
         H, W = self.orig_shape
@@ -218,4 +263,7 @@ class VOSDriver:
         out = np.zeros_like(resized)
         for slot, oid in enumerate(self.obj_ids):
             out[resized == slot + 1] = oid
+        for oid, gt in self._entry_overlay.items():
+            out[gt] = oid
+        self._entry_overlay = {}
         return out, boxes
