@@ -156,14 +156,123 @@ def load_davis(root=None, year="2017", split="val"):
     return seqs
 
 
+def _load_manifest_dataset(key, root):
+    """NFS / UAV123: the reference enumerates these via hardcoded
+    sequence-info tables (nfsdataset.py / uavdataset.py); the same metadata
+    (names, frame ranges, zero-padding, anno paths) ships here as
+    sot_benchmarks.json. Loud-fails on a missing root or annotation file."""
+    import json
+
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"{key} root not found: {root}")
+    manifest = json.load(open(os.path.join(os.path.dirname(__file__),
+                                           "sot_benchmarks.json")))[key]
+    delim = manifest["delimiter"]
+    seqs = []
+    for info in manifest["sequences"]:
+        omit = int(info.get("initOmit", 0))
+        frames = [
+            os.path.join(root, info["path"],
+                         f"{i:0{info['nz']}d}.{info['ext']}")
+            for i in range(info["startFrame"] + omit, info["endFrame"] + 1)
+        ]
+        anno = os.path.join(root, info["anno_path"])
+        if not os.path.exists(anno):
+            raise FileNotFoundError(f"{key} annotation missing: {anno}")
+        try:
+            gt = np.loadtxt(anno, delimiter=delim).reshape(-1, 4)
+        except ValueError:
+            gt = _load_txt(anno)
+        seqs.append(Sequence(info["name"], frames, gt[omit:], dataset=key))
+    return seqs
+
+
+def load_nfs(root=None):
+    """NFS-30 (100 sequences; nfsdataset.py:48-151)."""
+    return _load_manifest_dataset("nfs", root or os.path.join(env_data_root(),
+                                                              "nfs"))
+
+
+def load_uav(root=None):
+    """UAV123 (123 sequences; uavdataset.py:47-172)."""
+    return _load_manifest_dataset("uav", root or os.path.join(env_data_root(),
+                                                              "UAV123"))
+
+
+def load_tc128(root=None):
+    """Temple-Color 128: directory scan, per-sequence *_gt.txt +
+    *_frames.txt valid range (tc128dataset.py:13-41)."""
+    root = root or os.path.join(env_data_root(), "TC128")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"TC128 root not found: {root}")
+    import glob
+
+    anno_files = sorted(glob.glob(os.path.join(root, "*/*_gt.txt")))
+    if not anno_files:
+        raise FileNotFoundError(f"TC128 root has no */*_gt.txt: {root}")
+    seqs = []
+    for anno in anno_files:
+        sdir = os.path.dirname(anno)
+        name = os.path.basename(sdir)
+        range_files = glob.glob(os.path.join(sdir, "*_frames.txt"))
+        if not range_files:
+            raise FileNotFoundError(f"TC128 frame-range file missing: {sdir}")
+        lo, hi = np.loadtxt(range_files[0], dtype=int, delimiter=",")[:2]
+        frames = [os.path.join(sdir, "img", f"{i:04d}.jpg")
+                  for i in range(int(lo), int(hi) + 1)]
+        gt = np.loadtxt(anno, delimiter=",").reshape(-1, 4)
+        if len(frames) != len(gt):
+            raise ValueError(f"TC128 {name}: {len(frames)} frames vs "
+                             f"{len(gt)} annotations")
+        seqs.append(Sequence(name, frames, gt, dataset="tc128"))
+    return seqs
+
+
+def load_ytvos(root=None, year="2018", split="valid"):
+    """YouTube-VOS eval split (yt2018 in the reference registry;
+    lib/train/dataset/youtubevos.py layout): split/JPEGImages/<seq>,
+    split/Annotations/<seq> (first-appearance annotations only) +
+    meta.json listing each object's appearance frames. The J&F scorer
+    (harness/davis_metrics.py) already applies the first-appearance
+    protocol these sequences require."""
+    import json
+
+    root = root or os.path.join(env_data_root(), f"ytbvos{year[2:]}")
+    sdir = os.path.join(root, split)
+    meta_file = os.path.join(sdir, "meta.json")
+    if not os.path.exists(meta_file):
+        raise FileNotFoundError(f"YouTube-VOS meta.json not found: {meta_file}")
+    meta = json.load(open(meta_file))["videos"]
+    seqs = []
+    for name in sorted(meta):
+        jdir = os.path.join(sdir, "JPEGImages", name)
+        adir = os.path.join(sdir, "Annotations", name)
+        if not os.path.isdir(jdir):
+            raise FileNotFoundError(f"YouTube-VOS frames missing: {jdir}")
+        frames = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))]
+        masks = ([os.path.join(adir, f) for f in sorted(os.listdir(adir))]
+                 if os.path.isdir(adir) else [])
+        obj_ids = sorted(meta[name]["objects"]) if "objects" in meta[name] \
+            else None
+        seqs.append(Sequence(name, frames, np.zeros((1, 4)), masks=masks,
+                             object_ids=obj_ids, dataset=f"yt{year}"))
+    return seqs
+
+
+# the reference's full benchmark registry
+# (external/lib/test/evaluation/datasets.py:9-26)
 DATASET_REGISTRY = {
     "lasot": load_lasot,
     "got10k_test": lambda: load_got10k(split="test"),
     "got10k_val": lambda: load_got10k(split="val"),
     "trackingnet": load_trackingnet,
     "otb": load_otb,
+    "nfs": load_nfs,
+    "uav": load_uav,
+    "tc128": load_tc128,
     "dv2016": lambda: load_davis(year="2016"),
     "dv2017": lambda: load_davis(year="2017"),
+    "yt2018": lambda: load_ytvos(year="2018"),
 }
 
 
