@@ -49,7 +49,14 @@ class UniLoader(_RankMixin):
     """
 
     def __init__(self, dataset, transform, batch_size: int, input_size,
-                 alter_every: int = 1, prefetch: int = 2, seed: int = 0):
+                 alter_every: int = 1, prefetch: int = 2, seed: int = 0,
+                 workers: int = 1):
+        """workers > 1 runs that many transform threads (cv2/numpy release
+        the GIL, so they scale on multi-core hosts — the reference's
+        num_workers DataLoader role). Sampling + task alternation stay under
+        one lock so the batch-level task protocol is preserved; batch
+        ORDER across workers is nondeterministic, so keep workers=1 where
+        bit-reproducibility matters (tests, seeded runs)."""
         self.dataset = dataset
         self.transform = transform
         self.batch_size = batch_size
@@ -57,31 +64,40 @@ class UniLoader(_RankMixin):
         self.base_input_size = tuple(input_size)
         self.alter_every = alter_every
         self.prefetch = prefetch
+        self.workers = max(1, int(workers))
         self._count = 0
         self._seed = seed
         self._rng = random.Random(seed)
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = None
+        self._lock = threading.Lock()
+        self._q: queue.Queue = queue.Queue(maxsize=max(prefetch, self.workers))
+        self._threads: list = []
         self._stop = threading.Event()
 
+    def _sample_batch(self):
+        """Draw one batch's raw items + flips under the lock (cheap; the
+        heavy transforms run outside it, in parallel across workers)."""
+        with self._lock:
+            items = [self.dataset.pull_item(0) for _ in range(self.batch_size)]
+            flips = [self._rng.random() < 0.5 for _ in items]
+            size = self.input_size
+            self._count += 1
+            if self.alter_every > 0 and self._count % self.alter_every == 0:
+                self.dataset.alter_task()
+        return items, flips, size
+
     def _make_batch(self):
+        items, flips, size = self._sample_batch()
         imgs, tgts, tids = [], [], []
-        for _ in range(self.batch_size):
-            (frames, task) = self.dataset.pull_item(0)
-            flip = self._rng.random() < 0.5
+        for (frames, task), flip in zip(items, flips):
             f_imgs, f_tgts = [], []
             for (img, res) in frames:
-                im_t, lab_t = self.transform(
-                    img, res, self.input_size, joint=True, flip=flip
-                )
+                im_t, lab_t = self.transform(img, res, size, joint=True,
+                                             flip=flip)
                 f_imgs.append(im_t)
                 f_tgts.append(lab_t)
             imgs.append(np.stack(f_imgs))
             tgts.append(np.stack(f_tgts))
             tids.append(task)
-        self._count += 1
-        if self.alter_every > 0 and self._count % self.alter_every == 0:
-            self.dataset.alter_task()
         return (np.stack(imgs), np.stack(tgts),
                 np.asarray(tids, np.int32))
 
@@ -99,9 +115,11 @@ class UniLoader(_RankMixin):
         self.input_size = tuple(size)
 
     def start(self):
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
+        if not self._threads:
+            for _ in range(self.workers):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
         return self
 
     def stop(self):
@@ -123,14 +141,13 @@ class UniMaskLoader(UniLoader):
     def _make_batch(self):
         import numpy as np
 
+        items, flips, size = self._sample_batch()
         imgs, tgts, tids, mks = [], [], [], []
-        for _ in range(self.batch_size):
-            frames, task = self.dataset.pull_item(0)
-            flip = self._rng.random() < 0.5
+        for (frames, task), flip in zip(items, flips):
             f_imgs, f_tgts, f_masks = [], [], []
             for (img, res, masks) in frames:
                 im_t, lab_t, m_t = self.transform(
-                    img, res, masks, self.input_size, joint=True, flip=flip
+                    img, res, masks, size, joint=True, flip=flip
                 )
                 f_imgs.append(im_t)
                 f_tgts.append(lab_t)
@@ -139,9 +156,6 @@ class UniMaskLoader(UniLoader):
             tgts.append(np.stack(f_tgts))
             mks.append(np.stack(f_masks))
             tids.append(task)
-        self._count += 1
-        if self.alter_every > 0 and self._count % self.alter_every == 0:
-            self.dataset.alter_task()
         return (np.stack(imgs), np.stack(tgts),
                 np.asarray(tids, np.int32), np.stack(mks))
 
