@@ -206,3 +206,43 @@ def test_loader_rank_disjoint_sampling():
     u1 = UniLoader(None, None, 4, (64, 64)).set_rank(1, 2)
     s1 = [u1._rng.random() for _ in range(8)]
     assert s0 != s1
+
+
+def test_uni_mask_loader_4task_mixed_batch():
+    """4-task joint loading (reference MosaicDetectionUni4tasks role): one
+    batch mixes mask samples (VOS/MOTS 3-tuples) and box samples (SOT/MOT
+    2-tuples); box samples get zero masks so shapes stay static."""
+    import numpy as np
+
+    from unicorn_tpu.data.loader import UniMaskLoader
+    from unicorn_tpu.data.transforms import TrainTransform4Tasks
+
+    H = W = 64
+
+    class MixedDS:
+        def __init__(self):
+            self.call = 0
+
+        def pull_item(self, _):
+            img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+            res = np.array([[5, 5, 30, 30, 0, 1]], np.float32)
+            self.call += 1
+            if self.call % 2:
+                masks = np.zeros((48, 64, 1), np.float32)
+                masks[8:28, 8:28, 0] = 1.0
+                return [(img, res, masks), (img, res, masks)], 3  # VOS
+            return [(img, res), (img, res)], 1                    # SOT
+
+        def alter_task(self):
+            pass
+
+    loader = UniMaskLoader(MixedDS(), TrainTransform4Tasks(max_labels=10),
+                           batch_size=2, input_size=(H, W))
+    imgs, tgts, tids, masks = loader._make_batch()
+    assert imgs.shape == (2, 2, H, W, 3)
+    assert tgts.shape == (2, 2, 10, 6)
+    assert masks.shape == (2, 2, 10, H // 4, W // 4)
+    assert set(tids.tolist()) == {1, 3}
+    # the VOS sample carries a real mask, the SOT sample an all-zero one
+    per_sample = masks.reshape(2, -1).sum(1)
+    assert (per_sample > 0).sum() == 1

@@ -243,3 +243,41 @@ def test_remat_swin_identical_loss():
                       jax.tree_util.tree_leaves(outs[True][1])):
         # fp32 reassociation noise only; a wrong gradient differs at O(grad)
         np.testing.assert_allclose(ga, gb, rtol=5e-2, atol=5e-5)
+
+
+def test_fast_norms_serving_drift_bounded():
+    """set_fast_norms (bf16 norm apply, fp32 stats) must leave fp32 models
+    bit-identical and keep bf16 decoded-output drift within the serving
+    tolerance already accepted for tanh-GELU (README)."""
+    import numpy as np
+
+    from unicorn_tpu.models.blocks import set_fast_norms
+    from unicorn_tpu.models.heads import decode_for_inference
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+
+    def run(dtype, fast):
+        set_fast_norms(fast)
+        try:
+            m = Unicorn(num_classes=1, backbone_name="convnext_tiny",
+                        in_channels=(192, 384, 768), interact_mode="conv",
+                        n_layer_att=0, use_attention=False, dtype=dtype)
+            p = m.init(jax.random.PRNGKey(0), imgs, method=Unicorn.init_all)
+            raw, _ = m.apply(p, imgs, method=Unicorn.forward_whole)
+            return np.asarray(decode_for_inference(raw, (8, 16, 32),
+                                                   mode="mot"), np.float32)
+        finally:
+            set_fast_norms(False)
+
+    f32_exact = run(jnp.float32, False)
+    f32_fast = run(jnp.float32, True)
+    np.testing.assert_array_equal(f32_exact, f32_fast)
+
+    bf_exact = run(jnp.bfloat16, False)
+    bf_fast = run(jnp.bfloat16, True)
+    # scores (sigmoided) drift
+    np.testing.assert_allclose(bf_fast[..., 4:], bf_exact[..., 4:], atol=2e-2)
+    # boxes drift bounded relative to the stride-8 cell size
+    np.testing.assert_allclose(bf_fast[..., :4], bf_exact[..., :4], atol=1.0)

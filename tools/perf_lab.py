@@ -73,6 +73,11 @@ def main():
     # ---- model setup (identical to bench.py primary) ----
     from unicorn_tpu.models.unicorn import Unicorn
 
+    if exp.endswith("_fast") or os.environ.get("FAST_NORMS") == "1":
+        from unicorn_tpu.models.blocks import set_fast_norms
+
+        set_fast_norms(True)
+
     model = Unicorn(
         num_classes=1, backbone_name="convnext_tiny",
         in_channels=(192, 384, 768), interact_mode="deform", n_layer_att=3,
@@ -85,6 +90,10 @@ def main():
          "s2_novmem": 2, "s4_novmem": 4}.get(exp, 1)
     F = {"f2": 2, "f4": 4, "f2_novmem": 2, "f4_novmem": 4}.get(exp, 1)
     copts = None if exp.endswith("_novmem") else "auto"
+    vmem_kib = os.environ.get("VMEM_KIB", "")
+    if vmem_kib:
+        copts = (None if vmem_kib == "0"
+                 else {"xla_tpu_scoped_vmem_limit_kib": vmem_kib})
     dt = np.float32 if exp == "base" else np.uint8
 
     pipe = StreamingMOTPipeline(

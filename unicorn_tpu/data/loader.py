@@ -136,7 +136,13 @@ class UniLoader(_RankMixin):
 class UniMaskLoader(UniLoader):
     """Mask-stage batches: (images (B,2,H,W,3), targets (B,2,M,6),
     task_ids (B,), masks (B,2,M,Hm,Wm)). Sub-datasets yield 3-tuples
-    (img, res, masks) per frame; the TrainTransformIns handles mask warps."""
+    (img, res, masks) per frame; the TrainTransformIns handles mask warps.
+
+    4-task joint training (reference MosaicDetectionUni4tasks,
+    mosaicdetection_uni.py:136-201): frames may also be 2-tuples (img, res)
+    for the box tasks (SOT/MOT) — pair with TrainTransform4Tasks, which
+    returns masks=None for those; the loader zero-fills so the batch stays
+    static-shaped (mask losses are already gated on task id)."""
 
     def _make_batch(self):
         import numpy as np
@@ -145,10 +151,19 @@ class UniMaskLoader(UniLoader):
         imgs, tgts, tids, mks = [], [], [], []
         for (frames, task), flip in zip(items, flips):
             f_imgs, f_tgts, f_masks = [], [], []
-            for (img, res, masks) in frames:
-                im_t, lab_t, m_t = self.transform(
-                    img, res, masks, size, joint=True, flip=flip
-                )
+            for data in frames:
+                if len(data) == 3:
+                    img, res, masks = data
+                else:
+                    (img, res), masks = data, None
+                out = self.transform(img, res, masks, size, joint=True,
+                                     flip=flip)
+                im_t, lab_t, m_t = out
+                if m_t is None:  # box-task sample in a 4-task batch
+                    d = getattr(self.transform, "trans_inst",
+                                self.transform).d_rate
+                    m_t = np.zeros((lab_t.shape[0], size[0] // d,
+                                    size[1] // d), np.float32)
                 f_imgs.append(im_t)
                 f_tgts.append(lab_t)
                 f_masks.append(m_t)

@@ -30,23 +30,38 @@ def get_activation(name: str = "silu"):
     raise ValueError(f"Unsupported act type: {name}")
 
 
+_FAST_NORMS = False
+
+
+def set_fast_norms(on: bool):
+    """Serving-only switch: norm STATISTICS stay fp32 (flax upcasts half
+    inputs for mean/var) but the normalize/affine APPLY runs in the compute
+    dtype, skipping the materialized fp32 round-trip per norm. Off by
+    default — training and all parity tests keep exact fp32 normalization.
+    Callers must flip this BEFORE tracing (it changes the jitted graph)."""
+    global _FAST_NORMS
+    _FAST_NORMS = bool(on)
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm that normalizes in float32 regardless of compute dtype."""
+    """GroupNorm that normalizes in float32 regardless of compute dtype
+    (bf16 apply under set_fast_norms — same param tree either way)."""
 
     num_groups: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        fast = _FAST_NORMS and self.dtype != jnp.float32
         y = nn.GroupNorm(
             num_groups=min(self.num_groups, x.shape[-1]),
             # the reference uni model's GNs come from BN conversion with
             # bn.eps=1e-3 (exp/unicorn_track.py:121-156) — keep eps identical
             # for checkpoint parity
             epsilon=1e-3,
-            dtype=jnp.float32,
+            dtype=self.dtype if fast else jnp.float32,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        )(x if fast else x.astype(jnp.float32))
         return y.astype(self.dtype)
 
 
@@ -228,9 +243,11 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        fast = _FAST_NORMS and self.dtype != jnp.float32
+        x = nn.LayerNorm(
+            epsilon=1e-6, dtype=self.dtype if fast else jnp.float32,
+            param_dtype=jnp.float32,
+        )(x if fast else x.astype(jnp.float32)).astype(self.dtype)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.gelu(x, approximate=not self.exact_gelu)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)

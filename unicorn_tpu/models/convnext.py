@@ -10,7 +10,20 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import blocks as _blocks
 from .blocks import ConvNeXtBlock
+
+
+def _norm_ln(name, dtype):
+    """fp32 LayerNorm, or compute-dtype apply under set_fast_norms (stats
+    stay fp32 inside flax for half inputs)."""
+    fast = _blocks._FAST_NORMS and dtype != jnp.float32
+    ln = nn.LayerNorm(epsilon=1e-6,
+                      dtype=dtype if fast else jnp.float32,
+                      param_dtype=jnp.float32, name=name)
+    def apply(x):
+        return ln(x if fast else x.astype(jnp.float32)).astype(dtype)
+    return apply
 
 
 def space_to_depth_4x4(x):
@@ -78,14 +91,9 @@ class ConvNeXt(nn.Module):
                 x = PatchEmbed4x4(
                     self.dims[0], dtype=self.dtype, name="stem_conv",
                 )(x)
-                x = nn.LayerNorm(
-                    epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32, name="stem_norm"
-                )(x.astype(jnp.float32)).astype(self.dtype)
+                x = _norm_ln("stem_norm", self.dtype)(x)
             else:
-                x = nn.LayerNorm(
-                    epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32,
-                    name=f"down_norm{i}",
-                )(x.astype(jnp.float32)).astype(self.dtype)
+                x = _norm_ln(f"down_norm{i}", self.dtype)(x)
                 x = nn.Conv(
                     self.dims[i], kernel_size=(2, 2), strides=(2, 2),
                     dtype=self.dtype, param_dtype=jnp.float32, name=f"down_conv{i}",
@@ -96,10 +104,7 @@ class ConvNeXt(nn.Module):
                     exact_gelu=self.exact_gelu, name=f"stage{i}_block{j}",
                 )(x)
             if i >= 1:
-                out = nn.LayerNorm(
-                    epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32,
-                    name=f"out_norm{i}",
-                )(x.astype(jnp.float32)).astype(self.dtype)
+                out = _norm_ln(f"out_norm{i}", self.dtype)(x)
                 outs.append(out)
         return tuple(outs)  # strides 8, 16, 32
 
