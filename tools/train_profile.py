@@ -1,0 +1,171 @@
+"""Train-step stage profile + MFU (VERDICT r2 item 5 / weak 4).
+
+Decomposes the unified (SOT+MOT) train step at the production shape
+(800x1280, 2-frame batch) into device-timed stages, each measured with the
+same scanned-subgraph technique bench.py uses (one fetch per N applications,
+NULL-scan floor subtracted — jax.profiler cannot see device ops through the
+axon tunnel, so subgraph timing is the only honest decomposition):
+
+  fwd_embeddings   backbone x2 frames + interaction + upsample (grad OFF)
+  fwd_loss         the whole loss forward (adds priors + head + SimOTA/losses)
+  full_step        value_and_grad + optimizer apply (the real train step)
+  optimizer        apply_gradients alone on captured grads
+
+bwd is reported as full_step - fwd_loss - optimizer (the usual residual
+decomposition). MFU uses XLA cost analysis FLOPs of the full step.
+
+Env: TP_BATCH (default 1), TP_HW (default 800x1280), TP_NSCAN (default 8),
+TP_REMAT=1 to enable backbone remat. Appends one JSON line to stdout.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, args, n, label):
+    out = fn(*args)
+    _ = np.asarray(out)
+    best = 1e9
+    for _i in range(2):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / n * 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unicorn_tpu.utils.setup_env import configure_jax
+    configure_jax()
+
+    from unicorn_tpu.core.train_state import (
+        TrainState, default_wd_mask, make_optimizer,
+    )
+    from unicorn_tpu.core.train_step import (
+        uni_forward_embeddings, uni_loss_fn,
+    )
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    hw = os.environ.get("TP_HW", "800x1280").split("x")
+    H, W = int(hw[0]), int(hw[1])
+    B = int(os.environ.get("TP_BATCH", "1"))
+    N = int(os.environ.get("TP_NSCAN", "8"))
+    remat = os.environ.get("TP_REMAT", "0") == "1"
+
+    model = Unicorn(num_classes=8, backbone_name="convnext_tiny",
+                    in_channels=(192, 384, 768), interact_mode="deform",
+                    n_layer_att=3, dtype=jnp.bfloat16, remat=remat)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, 2, H, W, 3).astype(np.float32) * 255)
+    M = 60
+    tg = np.zeros((B, 2, M, 6), np.float32)
+    for b in range(B):
+        for f in range(2):
+            for k in range(10):
+                cx, cy = rng.uniform(100, W - 100), rng.uniform(100, H - 100)
+                tg[b, f, k] = [0, cx, cy, rng.uniform(40, 160),
+                               rng.uniform(40, 160), k + 1]
+    targets = jnp.asarray(tg)
+    task_ids = jnp.asarray([1, 2] * (B // 2) + [1] * (B % 2), jnp.int32)
+
+    params = model.init(jax.random.PRNGKey(0), images[:1, 0],
+                        method=Unicorn.init_all)
+    tx = make_optimizer(lambda s: 1e-4, kind="adamw",
+                        no_decay_mask_fn=default_wd_mask)
+    state = TrainState.create(params, tx)
+
+    def scan_wrap(fn, n):
+        """n applications, output folded into a scalar via an epsilon chain."""
+        eps = jnp.float32(1e-20)
+
+        @jax.jit
+        def run(c0):
+            def body(c, _):
+                return c + fn() * eps, ()
+            c, _ = jax.lax.scan(body, c0, None, length=n)
+            return c
+        return run
+
+    loss = lambda p: uni_loss_fn(model, p, images, targets, task_ids, (H, W),
+                                 bidirect=True, num_classes=8)
+
+    fwd_emb = scan_wrap(
+        lambda: jnp.mean(uni_forward_embeddings(model, state.params,
+                                                images)[1]).astype(jnp.float32), N)
+    fwd_loss = scan_wrap(lambda: loss(state.params)[0], N)
+
+    grad_fn = jax.value_and_grad(lambda p: loss(p)[0])
+
+    @jax.jit
+    def full_step(state):
+        l, grads = grad_fn(state.params)
+        return state.apply_gradients(grads), l
+
+    @jax.jit
+    def grads_only(state):
+        return grad_fn(state.params)[1]
+
+    grads = grads_only(state)
+    grads = jax.block_until_ready(grads)
+
+    @jax.jit
+    def opt_only(state, grads):
+        return state.apply_gradients(grads).step
+
+    @jax.jit
+    def null(c0):
+        def body(c, _):
+            return c * jnp.float32(1.0000001), ()
+        c, _ = jax.lax.scan(body, c0, None, length=N)
+        return c
+
+    c0 = jnp.float32(1.0)
+    floor = timed(null, (c0,), N, "null")
+    t_emb = timed(fwd_emb, (c0,), N, "fwd_emb") - floor
+    t_fwd = timed(fwd_loss, (c0,), N, "fwd_loss") - floor
+
+    def step_once(s):
+        s2, l = full_step(s)
+        return l
+    t_step = timed(step_once, (state,), 1, "full_step")
+    t_opt = timed(lambda s: opt_only(s, grads), (state,), 1, "opt")
+
+    flops = None
+    try:
+        ca = jax.jit(step_once).lower(state).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+    mfu = None
+    if flops:
+        mfu = round(flops / (t_step / 1e3) / 197e12, 4)  # v5e bf16 peak
+
+    print(json.dumps({
+        "metric": "uni_train_step_profile",
+        "batch": B, "hw": f"{H}x{W}", "remat": remat,
+        "stage_ms": {
+            "fwd_embeddings": round(t_emb, 1),
+            "fwd_loss_total": round(t_fwd, 1),
+            "priors_head_simota": round(t_fwd - t_emb, 1),
+            "full_step": round(t_step, 1),
+            "optimizer": round(t_opt, 1),
+            "bwd_residual": round(t_step - t_fwd - t_opt, 1),
+        },
+        "ms_per_sample": round(t_step / B, 1),
+        "step_tflop": round(flops / 1e12, 2) if flops else None,
+        "mfu_vs_197tflops": mfu,
+    }))
+
+
+if __name__ == "__main__":
+    main()
