@@ -144,3 +144,22 @@ def test_streaming_uint8_ingest_matches_fp32():
                                     n_cand=16)
         outs.append(np.asarray(pipe.run_chunk(jnp.asarray(feed))))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_pipelined_matches_plain():
+    """chunk_step_pipelined (assoc of frame i-1 overlapped with detect of
+    frame i) must produce byte-identical tracks to the plain scan."""
+    model, params = _tiny_model_params()
+    rng = np.random.RandomState(9)
+    frames = jnp.asarray(rng.rand(5, H, W, 3).astype(np.float32) * 255)
+    kw = dict(input_size=(H, W), num_classes=1, conf_thre=0.0, nms_thre=0.8,
+              max_dets=16, max_tracks=32, n_cand=32)
+    p1 = StreamingMOTPipeline(model, params, **kw)
+    p2 = StreamingMOTPipeline(model, params, pipelined=True, **kw)
+    o1 = np.asarray(p1.run_chunk(frames))
+    o2 = np.asarray(p2.run_chunk(frames))
+    np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-5)
+    # carried state identical too: a second chunk continues identically
+    o1b = np.asarray(p1.run_chunk(frames))
+    o2b = np.asarray(p2.run_chunk(frames))
+    np.testing.assert_allclose(o1b, o2b, rtol=1e-5, atol=1e-5)

@@ -100,7 +100,9 @@ def main():
         model, params, input_size=(H, W), num_classes=1, conf_thre=0.1,
         nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
         match_thresh=0.9, n_cand=128, frame_batch=F, n_streams=S,
-        compiler_options=copts)
+        compiler_options=copts,
+        pipelined=os.environ.get("PIPELINED", "0") == "1",
+        unroll=int(os.environ.get("UNROLL", "1")))
 
     def make_chunk():
         if S > 1:

@@ -43,7 +43,8 @@ class StreamingMOTPipeline:
                  n_cand: int = 128, frame_batch: int = 1,
                  track_buffer: int = 30,
                  compiler_options="auto", approx_topk: bool = True,
-                 n_streams: int = 1):
+                 n_streams: int = 1, pipelined: bool = False,
+                 unroll: int = 1):
         """frame_batch F > 1 batches the (frame-independent) detector forward
         over F consecutive frames inside the chunk scan — better MXU
         utilization at batch>1 — while the tracker still consumes frames
@@ -91,6 +92,7 @@ class StreamingMOTPipeline:
             return assoc(ts, dets5[0], valid[0])
 
         F = int(frame_batch)
+        UNROLL = int(unroll)
 
         def chunk_step(params, ts, frames):
             """frames (N, H, W, 3): scan N frames in one XLA program,
@@ -107,8 +109,38 @@ class StreamingMOTPipeline:
                     packs.append(packed)
                 return ts, jnp.stack(packs)
 
-            ts, outs = jax.lax.scan(body, ts, frames)
+            ts, outs = jax.lax.scan(body, ts, frames, unroll=UNROLL)
             return ts, outs.reshape(N, *outs.shape[2:])  # (N, T, 7)
+
+        def chunk_step_pipelined(params, ts, frames):
+            """Software-pipelined scan: iteration i runs detect(frame_i)
+            and assoc(dets_{i-1}) as two INDEPENDENT subgraphs, letting the
+            scheduler overlap the (VPU/gather-heavy) NMS+association of the
+            previous frame with the (MXU-heavy) backbone of the current one.
+            Association stays strictly causal — results are identical to
+            chunk_step (tests/test_stream.py), outputs just flush one
+            iteration later."""
+            N = frames.shape[0]
+            D = max_dets
+
+            def body(carry, inp):
+                i, frame = inp
+                ts, pdets, pvalid = carry
+                ts2, packed = assoc(ts, pdets, pvalid)
+                # iteration 0 has no previous dets: keep ts untouched (an
+                # empty assoc would still age tracks / bump frame_id)
+                keep = i > 0
+                ts2 = jax.tree_util.tree_map(
+                    lambda b, a: jnp.where(keep, b, a), ts2, ts)
+                dets5, valid = detect(params, frame[None])
+                return (ts2, dets5[0], valid[0]), packed
+
+            zero = (ts, jnp.zeros((D, 5), jnp.float32),
+                    jnp.zeros((D,), bool))
+            (ts, ldets, lvalid), outs = jax.lax.scan(
+                body, zero, (jnp.arange(N), frames), unroll=UNROLL)
+            ts, last = assoc(ts, ldets, lvalid)  # flush the final frame
+            return ts, jnp.concatenate([outs[1:], last[None]], axis=0)
 
         def chunk_step_multi(params, ts_v, frames):
             """S independent streams batched through ONE chip: frames
@@ -132,7 +164,8 @@ class StreamingMOTPipeline:
         self._frame_step_raw = frame_step
         self._frame_step = jax.jit(frame_step)
         self._chunk_step = jax.jit(
-            chunk_step_multi if self.n_streams > 1 else chunk_step)
+            chunk_step_multi if self.n_streams > 1
+            else (chunk_step_pipelined if pipelined else chunk_step))
         # XLA compiler options for the chunk program. "auto" applies the
         # measured sweet spot on TPU (scoped VMEM 48 MB: +1.7% FPS on v5e at
         # 800x1280; 40-48 MB wins, >=56 MB regresses — program-specific, do
