@@ -138,3 +138,22 @@ def test_coco_map_with_native_same_results():
     m = COCOMeanAP(gt).evaluate(dets)
     assert abs(m["AP50"] - 1.0) < 1e-6
     assert m["AP75"] == 0.0
+
+
+def test_native_pack_matches_numpy():
+    """csrc/pack.cpp space-to-depth == the numpy reference, bit-exact."""
+    import numpy as np
+
+    from unicorn_tpu.csrc.bindings import pack_frames_s2d4
+
+    if pack_frames_s2d4(np.zeros((1, 8, 8, 3), np.uint8)) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (3, 32, 48, 3)).astype(np.uint8)
+    n, h, w, c = frames.shape
+    xp = frames.reshape(n, h // 4, 4, w // 4, 4, c)
+    ref = np.ascontiguousarray(xp.transpose(0, 1, 3, 2, 4, 5)).reshape(
+        n, h // 4, w // 4, 16 * c)
+    np.testing.assert_array_equal(pack_frames_s2d4(frames), ref)

@@ -47,6 +47,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _lib.rle_merge.argtypes = [i64p, i64p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64, i64p]
+            c64 = ctypes.c_int64
+            _lib.pack_frames_s2d4.argtypes = [u8p, c64, c64, c64, c64, u8p]
     return _lib
 
 
@@ -168,3 +170,18 @@ def evaluate_img_native(ious: np.ndarray, gt_ignore: np.ndarray,
         dt_ignore.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return dt_match, dt_ignore.astype(bool)
+
+
+def pack_frames_s2d4(frames: np.ndarray) -> Optional[np.ndarray]:
+    """Native 4x4 space-to-depth pack for uint8 frames (serving ingest);
+    returns None if the native lib is unavailable or dtype isn't uint8."""
+    lib = get_lib()
+    if lib is None or frames.dtype != np.uint8 or frames.ndim != 4:
+        return None
+    frames = np.ascontiguousarray(frames)
+    n, h, w, c = frames.shape
+    out = np.empty((n, h // 4, w // 4, 16 * c), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pack_frames_s2d4(frames.ctypes.data_as(u8p), n, h, w, c,
+                         out.ctypes.data_as(u8p))
+    return out

@@ -12,7 +12,7 @@ import subprocess
 SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 LIB_PATH = os.path.join(SRC_DIR, "libunicorn_native.so")
 HASH_PATH = LIB_PATH + ".srchash"
-SOURCES = ["cocoeval.cpp", "rle.cpp"]
+SOURCES = ["cocoeval.cpp", "rle.cpp", "pack.cpp"]
 
 
 def _src_hash(srcs) -> str:
