@@ -110,6 +110,93 @@ def main():
             return np.stack([pack_frames_np(raw[s]) for s in range(S)])
         return pack_frames_np((rng.rand(CHUNK, H, W, 3) * 255).astype(dt))
 
+    if exp == "trunk_probe":
+        # Roofline bound probes: time the ConvNeXt trunk (a) as-is, (b) with
+        # the dw7x7 removed, (c) matmul-only (dw+LN removed). NOT the model —
+        # a measurement of what the VPU-bound block structure costs vs the
+        # MXU-only bound, for the 2x gap analysis.
+        import flax.linen as nn
+        from unicorn_tpu.models import blocks as B, convnext as CX
+
+        def make_block(skip_dw, skip_ln):
+            class ProbeBlock(nn.Module):
+                dim: int
+                layer_scale_init_value: float = 1e-6
+                dtype: object = jnp.bfloat16
+                exact_gelu: bool = True
+
+                @nn.compact
+                def __call__(self, x):
+                    inp = x
+                    if not skip_dw:
+                        x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
+                                    feature_group_count=self.dim,
+                                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+                    if not skip_ln:
+                        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                         param_dtype=jnp.float32)(
+                            x.astype(jnp.float32)).astype(self.dtype)
+                    x = nn.Dense(4 * self.dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
+                    x = nn.gelu(x, approximate=True)
+                    x = nn.Dense(self.dim, dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
+                    return inp + x
+            return ProbeBlock
+
+        frame = jnp.asarray(pack_frames_np(
+            (rng.rand(1, H, W, 3) * 255).astype(np.uint8)))
+        NS = 32
+        for name, blk in (("full", None),
+                          ("no_dw", make_block(True, False)),
+                          ("mlp_only", make_block(True, True))):
+            orig = CX.ConvNeXtBlock
+            if blk is not None:
+                CX.ConvNeXtBlock = blk
+            try:
+                from unicorn_tpu.models.unicorn import Unicorn
+
+                m = Unicorn(num_classes=1, backbone_name="convnext_tiny",
+                            in_channels=(192, 384, 768), interact_mode="conv",
+                            n_layer_att=0, use_attention=False,
+                            dtype=jnp.bfloat16, exact_gelu=False)
+                p = m.init(jax.random.PRNGKey(0),
+                           jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32)),
+                           method=Unicorn.init_all)
+                eps = jnp.float32(1e-20)
+
+                @jax.jit
+                def scan_trunk(f):
+                    def body(c, _):
+                        feat16 = m.apply(p, c, run_fpn=False,
+                                         method=Unicorn.forward_backbone)
+                        return c + jnp.mean(feat16).astype(c.dtype) * eps, ()
+                    c, _ = jax.lax.scan(body, f, None, length=NS)
+                    return jnp.mean(c)
+
+                @jax.jit
+                def scan_null(x):
+                    def body(c, _):
+                        return c * jnp.float32(1.0000001), ()
+                    c, _ = jax.lax.scan(body, x, None, length=NS)
+                    return jnp.mean(c)
+
+                def t(fn, a):
+                    _ = np.asarray(fn(a))
+                    best = 1e9
+                    for _i in range(2):
+                        t0 = time.perf_counter()
+                        _ = np.asarray(fn(a))
+                        best = min(best, time.perf_counter() - t0)
+                    return best / NS * 1e3
+
+                floor = t(scan_null, jnp.float32(1.0))
+                ms = t(scan_trunk, frame) - floor
+                log("trunk_probe", variant=name, trunk_ms=round(ms, 3))
+            finally:
+                CX.ConvNeXtBlock = orig
+        return
+
     if exp == "h2d_model":
         # pack + H2D cost inside a live model process: (a) idle device,
         # (b) while a chunk executes. Isolates tunnel-client CPU contention.
