@@ -57,10 +57,12 @@ class StreamingMOTPipeline:
                  n_streams: int = 1, pipelined: bool = False,
                  unroll: int = 1):
         """frame_batch F > 1 batches the (frame-independent) detector forward
-        over F consecutive frames inside the chunk scan — better MXU
-        utilization at batch>1 — while the tracker still consumes frames
-        causally one by one. Throughput knob for offline eval; keep F=1 for
-        minimum per-frame latency. chunk length must divide by F.
+        over F consecutive frames inside the chunk scan while the tracker
+        still consumes frames causally one by one. MEASURED on one v5e at
+        800x1280 (round 3): batch > 1 REGRESSES ~35%/frame (F=2: 109.6 FPS
+        with or without scoped-vmem, S=2 streams: 103.4, vs 146.9 at
+        F=S=1) — keep F=1 on v5e at this shape; the knobs exist for smaller
+        inputs/chips. chunk length must divide by F.
 
         Frames may be fed either raw (N, H, W, 3) or host-packed
         (N, H/4, W/4, 48) via `pack_frames_np` (ConvNeXt-stem models only);
