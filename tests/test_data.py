@@ -246,3 +246,40 @@ def test_uni_mask_loader_4task_mixed_batch():
     # the VOS sample carries a real mask, the SOT sample an all-zero one
     per_sample = masks.reshape(2, -1).sum(1)
     assert (per_sample > 0).sum() == 1
+
+
+def test_uni_loader_workers_parallel():
+    """workers>1: batches keep shape/type contracts and the task-alternation
+    protocol stays batch-consistent (sampling is serialized under the lock)."""
+    import numpy as np
+
+    from unicorn_tpu.data.loader import UniLoader
+    from unicorn_tpu.data.transforms import TrainTransformOmni
+
+    H = W = 64
+
+    class DS:
+        def __init__(self):
+            self.task = 1
+
+        def pull_item(self, _):
+            img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+            res = np.array([[5, 5, 30, 30, 0, 1]], np.float32)
+            return [(img, res), (img, res)], self.task
+
+        def alter_task(self):
+            self.task = 3 - self.task
+
+    loader = UniLoader(DS(), TrainTransformOmni(max_labels=8), batch_size=3,
+                       input_size=(H, W), alter_every=1, workers=3)
+    it = iter(loader)
+    seen_tasks = set()
+    for _ in range(6):
+        imgs, tgts, tids = next(it)
+        assert imgs.shape == (3, 2, H, W, 3)
+        assert tgts.shape == (3, 2, 8, 6)
+        # one task per batch (the alternation protocol)
+        assert len(set(tids.tolist())) == 1
+        seen_tasks.add(int(tids[0]))
+    loader.stop()
+    assert seen_tasks == {1, 2}  # alternation still flips across batches
