@@ -187,6 +187,7 @@ def main():
     fps = n_chunks * CHUNK / dt
 
     # ---------------- SOT: real driver window fn, scanned ----------------
+    skip_sot = os.environ.get("BENCH_SKIP_SOT", "0") == "1"
     from unicorn_tpu.drivers.sot import SOTDriver
 
     drv = SOTDriver(model_sot, params, input_size=(H, W))
@@ -282,12 +283,15 @@ def main():
 
     ms_floor = _timed_scan(scan_null, jnp.float32(1.0), N_SCAN, lambda o: o)
     ms_backbone = _timed_scan(scan_backbone, frame0, N_SCAN, lambda o: o) - ms_floor
-    ms_sot_core = _timed_scan(scan_sot_core, feat16, N_SCAN, lambda o: o) - ms_floor
+    ms_sot_core = (0.0 if skip_sot else
+                   _timed_scan(scan_sot_core, feat16, N_SCAN, lambda o: o)
+                   - ms_floor)
     ms_head = _timed_scan(lambda c: scan_head(fpn_outs, c), prior8, N_SCAN,
                           lambda o: o) - ms_floor
     n_win = max(N_SCAN // 8, 1)
-    ms_sot_win = _timed_scan(scan_sot_driver, frames_u8, n_win,
-                             lambda o: o) - ms_floor * n_win / N_SCAN
+    ms_sot_win = (float("inf") if skip_sot else
+                  _timed_scan(scan_sot_driver, frames_u8, n_win,
+                              lambda o: o) - ms_floor * n_win / N_SCAN)
 
     extra = {
         "sot_driver_fps": round(8000.0 / ms_sot_win, 2),
