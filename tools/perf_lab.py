@@ -145,7 +145,8 @@ def main():
             return ProbeBlock
 
         frame = jnp.asarray(pack_frames_np(
-            (rng.rand(1, H, W, 3) * 255).astype(np.uint8)))
+            (rng.rand(1, H, W, 3) * 255).astype(np.uint8))).astype(
+                jnp.bfloat16)  # carry must be inexact for the eps chain
         NS = 32
         for name, blk in (("full", None),
                           ("no_dw", make_block(True, False)),
