@@ -93,8 +93,9 @@ class SOTDriver:
             )(frames_u8)
 
         self._init_fn = jax.jit(init_fn)
+        self._track_fn_raw = track_fn              # bench: scan-able forms
         self._track_fn = jax.jit(track_fn)
-        self._track_batch_fn_raw = track_batch_fn  # bench: scan-able form
+        self._track_batch_fn_raw = track_batch_fn
         self._track_batch_fn = jax.jit(track_batch_fn)
         self._jnp = jnp
         self.state = None
