@@ -171,7 +171,7 @@ def main():
                     def body(c, _):
                         feat16 = m.apply(p, c, run_fpn=False,
                                          method=Unicorn.forward_backbone)
-                        return c + jnp.mean(feat16).astype(c.dtype) * eps, ()
+                        return c + (jnp.mean(feat16) * eps).astype(c.dtype), ()
                     c, _ = jax.lax.scan(body, f, None, length=NS)
                     return jnp.mean(c)
 
