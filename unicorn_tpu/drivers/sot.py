@@ -147,6 +147,11 @@ class SOTDriver:
         Exactly equivalent to sequential `track` calls — per-frame compute
         never reads the previous frame's result. Returns a list of
         {"target_bbox": ...} per frame.
+
+        Trade-off (measured, bench.py r3): window>1 amortizes host-link
+        latency (one fetch per window — essential through a slow link) but
+        pays the v5e batch>1 conv regression (window-8 device FPS 57.8 vs
+        ~80 sequential); with a fast host link prefer window=1.
         """
         outs = []
         for start in range(0, len(images), window):
