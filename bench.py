@@ -197,8 +197,13 @@ def main():
     feat_ref, lbs_ref = drv._init_fn(params, jnp.asarray(frame0_np), box0)
     eps = jnp.float32(1e-20)
 
+    # NOTE: every stage scan takes params (and cached features) as jit
+    # ARGUMENTS — closed-over device arrays become HLO constants, which the
+    # tunnel ships inside the compile request (convnext_large's 800 MB of
+    # weights exceeded its HTTP cap, and even tiny's 110 MB slowed every
+    # stage compile).
     @jax.jit
-    def scan_sot_driver(frame):
+    def scan_sot_driver(params, feat_ref, lbs_ref, frame):
         """N_SCAN applications of the REAL per-frame track_fn (batch 1):
         backbone + interaction + upsample + correlation-propagate + prior
         pyramid + SOT head + NMS + top-K pack. Batch-1 is the efficient
@@ -214,7 +219,7 @@ def main():
         return jnp.mean(carry.astype(jnp.float32))
 
     @jax.jit
-    def scan_sot_driver_w8(frames):
+    def scan_sot_driver_w8(params, feat_ref, lbs_ref, frames):
         def body(carry, _):
             packed = drv._track_batch_fn_raw(params, feat_ref, lbs_ref, carry)
             carry = carry + (jnp.mean(packed) * eps).astype(carry.dtype)
@@ -227,7 +232,7 @@ def main():
     h8, w8 = H // 8, W // 8
 
     @jax.jit
-    def scan_backbone(frame):
+    def scan_backbone(params, frame):
         def body(carry, _):
             fpn_outs, feat16 = model.apply(params, carry,
                                            method=Unicorn.forward_backbone)
@@ -239,7 +244,7 @@ def main():
     lbs0 = jnp.zeros((1, 1, h8 * w8), jnp.float32).at[0, 0, :200].set(1.0)
 
     @jax.jit
-    def scan_sot_core(feat16):
+    def scan_sot_core(params, feat16):
         def body(carry, _):
             f32 = carry.astype(jnp.float32)
             new0, new1 = model_sot.apply(params, f32, f32,
@@ -255,7 +260,7 @@ def main():
         carry, _ = jax.lax.scan(body, feat16, None, length=N_SCAN)
         return jnp.mean(carry)
 
-    def _head_once(fpn_outs, prior8, ts):
+    def _head_once(params, fpn_outs, prior8, ts):
         priors = (
             prior8,
             jax.image.resize(prior8, (1, h16, w16, 1), "bilinear"),
@@ -272,11 +277,11 @@ def main():
         return out, ts
 
     @jax.jit
-    def scan_head(fpn_outs, prior8):
+    def scan_head(params, fpn_outs, prior8):
         ts0 = init_state(64)
         def body(carry, _):
             prior, ts = carry
-            out, ts = _head_once(fpn_outs, prior, ts)
+            out, ts = _head_once(params, fpn_outs, prior, ts)
             prior = prior + jnp.mean(out).astype(prior.dtype) * eps
             return (prior, ts), ()
         (prior, ts), _ = jax.lax.scan(body, (prior8, ts0), None, length=N_SCAN)
@@ -295,20 +300,23 @@ def main():
     prior8 = jnp.zeros((1, h8, w8, 1), jnp.float32)
 
     ms_floor = _timed_scan(scan_null, jnp.float32(1.0), N_SCAN, lambda o: o)
-    ms_backbone = _timed_scan(scan_backbone, frame0, N_SCAN, lambda o: o) - ms_floor
+    ms_backbone = _timed_scan(lambda c: scan_backbone(params, c), frame0,
+                              N_SCAN, lambda o: o) - ms_floor
     ms_sot_core = (0.0 if skip_sot else
-                   _timed_scan(scan_sot_core, feat16, N_SCAN, lambda o: o)
-                   - ms_floor)
-    ms_head = _timed_scan(lambda c: scan_head(fpn_outs, c), prior8, N_SCAN,
-                          lambda o: o) - ms_floor
+                   _timed_scan(lambda c: scan_sot_core(params, c), feat16,
+                               N_SCAN, lambda o: o) - ms_floor)
+    ms_head = _timed_scan(lambda c: scan_head(params, fpn_outs, c), prior8,
+                          N_SCAN, lambda o: o) - ms_floor
     n_win = max(N_SCAN // 8, 1)
     if skip_sot:
         ms_sot_seq = ms_sot_win = float("inf")
     else:
-        ms_sot_seq = _timed_scan(scan_sot_driver, frames_u8[:1], N_SCAN,
-                                 lambda o: o) - ms_floor
-        ms_sot_win = (_timed_scan(scan_sot_driver_w8, frames_u8, n_win,
-                                  lambda o: o) - ms_floor * n_win / N_SCAN)
+        ms_sot_seq = _timed_scan(
+            lambda c: scan_sot_driver(params, feat_ref, lbs_ref, c),
+            frames_u8[:1], N_SCAN, lambda o: o) - ms_floor
+        ms_sot_win = (_timed_scan(
+            lambda c: scan_sot_driver_w8(params, feat_ref, lbs_ref, c),
+            frames_u8, n_win, lambda o: o) - ms_floor * n_win / N_SCAN)
 
     extra = {
         "sot_driver_fps": round(1000.0 / ms_sot_seq, 2),
