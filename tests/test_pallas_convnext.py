@@ -42,6 +42,58 @@ def test_fused_block_matches_ref_including_padding():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_dwconv7x7_pallas_matches_xla():
+    """Dedicated dw-only kernel == XLA grouped conv: odd H/W, lane padding,
+    fp32 and bf16, plus gradient flow through the custom VJP."""
+    from unicorn_tpu.ops.pallas_convnext import (
+        dwconv7x7, dwconv7x7_pallas, dwconv7x7_ref)
+
+    rng = np.random.RandomState(2)
+    for (B, H, W, C) in [(1, 16, 24, 8), (2, 13, 17, 96), (1, 25, 40, 192)]:
+        x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(7, 7, 1, C).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+        ref = dwconv7x7_ref(x, k, b)
+        out = dwconv7x7_pallas(x, k, b, row_block=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+    # bf16: taps quantized to bf16 first, so only accumulation order differs
+    xb = x.astype(jnp.bfloat16)
+    ref = dwconv7x7_ref(xb, k, b).astype(np.float32)
+    out = np.asarray(dwconv7x7_pallas(xb, k, b, interpret=True)).astype(
+        np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+    # gradient: custom VJP routes through the XLA form
+    g = jax.grad(lambda x_: jnp.sum(dwconv7x7(x_, k, b) ** 2))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(dwconv7x7_ref(x_, k, b) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_module_switch_param_compatible():
+    """DepthwiseConv7x7 stand-in: identical param tree to the old nn.Conv
+    form and bit-identical output on the XLA path."""
+    import flax.linen as nn
+
+    from unicorn_tpu.models.blocks import DepthwiseConv7x7
+
+    rng = np.random.RandomState(3)
+    C = 24
+    x = jnp.asarray(rng.rand(1, 9, 11, C).astype(np.float32))
+    old = nn.Conv(C, kernel_size=(7, 7), padding=((3, 3), (3, 3)),
+                  feature_group_count=C, dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    new = DepthwiseConv7x7(C, dtype=jnp.float32)
+    p_old = old.init(jax.random.PRNGKey(0), x)
+    p_new = new.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p_old)
+            == jax.tree_util.tree_structure(p_new))
+    assert (jax.tree.map(lambda a: a.shape, p_old)
+            == jax.tree.map(lambda a: a.shape, p_new))
+    np.testing.assert_array_equal(np.asarray(old.apply(p_old, x)),
+                                  np.asarray(new.apply(p_old, x)))
+
+
 def test_fused_block_ref_matches_flax_module():
     """convnext_block_ref (the VJP/backward path) == models.blocks.ConvNeXtBlock
     with the same weights."""

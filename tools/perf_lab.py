@@ -198,6 +198,83 @@ def main():
                 CX.ConvNeXtBlock = orig
         return
 
+    if exp == "dw_probe":
+        # Is XLA's grouped-conv lowering at the VPU roofline, or is there
+        # headroom for the dedicated Pallas dw kernel? Three measurements
+        # per trunk stage shape: XLA dw, Pallas dw, and a pure 49-FMA
+        # elementwise chain of the same element count (the VPU roofline for
+        # this op if shifts and layout were free).
+        from unicorn_tpu.ops.pallas_convnext import (
+            dwconv7x7_pallas, dwconv7x7_ref,
+        )
+        NS = 32
+        eps = jnp.float32(1e-20)
+
+        def scan_of(fn):
+            @jax.jit
+            def run(x, k, b):
+                def body(c, _):
+                    y = fn(c, k, b)
+                    return c + (jnp.mean(y) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, x, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        @jax.jit
+        def scan_fma(x, k, b):
+            # 49 multiply-adds per element, no shifts: pure VPU bound
+            def body(c, _):
+                acc = jnp.zeros_like(c, dtype=jnp.float32)
+                cf = c.astype(jnp.float32)
+                for i in range(49):
+                    acc = acc + cf * jnp.float32(1.0 + i * 1e-9)
+                return c + (jnp.mean(acc) * eps).astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c.astype(jnp.float32))
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        floor = t(scan_null, jnp.float32(1.0))
+        xla = scan_of(dwconv7x7_ref)
+        pls = scan_of(lambda x, k, b: dwconv7x7_pallas(x, k, b))
+        # trunk stage shapes at 800x1280 with block counts
+        stages = [((1, 200, 320, 96), 3), ((1, 100, 160, 192), 3),
+                  ((1, 50, 80, 384), 9), ((1, 25, 40, 768), 3)]
+        tot = {"xla": 0.0, "pallas": 0.0, "fma": 0.0}
+        for shape, nblk in stages:
+            B, Hs, Ws, C = shape
+            x = jnp.asarray(rng.rand(*shape).astype(np.float32)).astype(
+                jnp.bfloat16)
+            k = jnp.asarray((rng.randn(7, 7, 1, C) * 0.1).astype(np.float32))
+            b = jnp.asarray((rng.randn(C) * 0.1).astype(np.float32))
+            gflop = 2 * 49 * B * Hs * Ws * C / 1e9
+            row = {}
+            for nm, fn, args in (("xla", xla, (x, k, b)),
+                                 ("pallas", pls, (x, k, b)),
+                                 ("fma", scan_fma, (x, k, b))):
+                ms = max(t(fn, *args) - floor, 1e-6)
+                row[nm + "_ms"] = round(ms, 4)
+                row[nm + "_tflops"] = round(gflop / ms, 3)
+                tot[nm] += ms * nblk
+            log("dw_probe", shape=list(shape), gflop=round(gflop, 3), **row)
+        log("dw_probe", shape="trunk_total_27_blocks",
+            **{k + "_ms": round(v, 3) for k, v in tot.items()})
+        return
+
     if exp == "h2d_model":
         # pack + H2D cost inside a live model process: (a) idle device,
         # (b) while a chunk executes. Isolates tunnel-client CPU contention.

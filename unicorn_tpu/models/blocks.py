@@ -218,6 +218,42 @@ class Focus(nn.Module):
         return BaseConv(self.out_channels, self.ksize, self.stride, act=self.act, dtype=self.dtype)(x)
 
 
+_PALLAS_DW = False
+
+
+def set_pallas_dw(on: bool):
+    """Serving switch: route every ConvNeXt dw7x7 through the dedicated
+    Pallas kernel (ops/pallas_convnext.dwconv7x7) instead of XLA's grouped
+    conv. Off by default; flip BEFORE tracing (it changes the jitted
+    graph). Gradients still flow through the XLA form (custom VJP)."""
+    global _PALLAS_DW
+    _PALLAS_DW = bool(on)
+
+
+class DepthwiseConv7x7(nn.Module):
+    """Param-compatible stand-in for nn.Conv(dim, (7,7), groups=dim):
+    identical param names ('kernel' (7,7,1,C), 'bias' (C,)), shapes, and
+    lecun_normal/zeros init, so checkpoints and the torch converter see the
+    same tree — but the forward can route through the Pallas dw kernel
+    under set_pallas_dw (BASELINE.md roofline: the dw chain is the trunk's
+    VPU wall; this is the lever that attacks it without changing numerics
+    beyond bf16 accumulation order)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 1, self.dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.dim,), jnp.float32)
+        from unicorn_tpu.ops.pallas_convnext import dwconv7x7, dwconv7x7_ref
+        if _PALLAS_DW and x.ndim == 4 and jax.default_backend() == "tpu":
+            return dwconv7x7(x.astype(self.dtype), kernel, bias)
+        return dwconv7x7_ref(x.astype(self.dtype), kernel, bias)
+
+
 class ConvNeXtBlock(nn.Module):
     """ConvNeXt block (dw7x7 + LN + MLP + layer-scale), used both as backbone
     stage block and as the unified head's attention block
@@ -235,14 +271,7 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         inp = x
-        x = nn.Conv(
-            self.dim,
-            kernel_size=(7, 7),
-            padding=((3, 3), (3, 3)),
-            feature_group_count=self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        x = DepthwiseConv7x7(self.dim, dtype=self.dtype, name="Conv_0")(x)
         fast = _FAST_NORMS and self.dtype != jnp.float32
         x = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype if fast else jnp.float32,

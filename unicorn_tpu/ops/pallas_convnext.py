@@ -148,6 +148,110 @@ def convnext_block_pallas(x, p, exact_gelu: bool = False, eps: float = 1e-6,
     return out[:, :H, :, :C]
 
 
+def dwconv7x7_ref(x, kdw, bias):
+    """Plain-XLA depthwise 7x7 'SAME' conv, NHWC. kdw (7,7,1,C) or (7,7,C),
+    fp32 params applied in x.dtype (the nn.Conv(dtype=...) promotion rule)."""
+    dt = x.dtype
+    if kdw.ndim == 3:
+        kdw = kdw[:, :, None, :]
+    C = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x, kdw.astype(dt), (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    return y + bias.astype(dt)
+
+
+def dwconv7x7_pallas(x, kdw, bias, row_block: int = 16,
+                     interpret: bool = False):
+    """Depthwise 7x7 as a dedicated Pallas kernel: one bf16->fp32 convert
+    pass per row-slab, then 49 fp32 multiply-accumulates. The fused-block
+    kernel above pays a per-tap convert (3 VPU ops/tap); this one pays
+    49*2+1 ops/element and nothing else — a probe of how much of the
+    trunk's dw wall (BASELINE.md roofline table: ~1.7 ms/frame at 800x1280)
+    is XLA lowering overhead vs true VPU roofline.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    dt = x.dtype
+    if kdw.ndim == 4:
+        kdw = kdw[:, :, 0, :]
+    # quantize taps/bias to the compute dtype first (the nn.Conv promotion
+    # rule), so the only deviation from the XLA form is fp32 accumulation
+    kdw = kdw.astype(dt)
+    bias = bias.astype(dt)
+    Cp = _round_up(C, 128)
+    if Cp != C:
+        kdw = jnp.pad(kdw.astype(jnp.float32), ((0, 0), (0, 0), (0, Cp - C)))
+        b_dw = jnp.pad(bias.reshape(1, -1).astype(jnp.float32),
+                       ((0, 0), (0, Cp - C)))
+    else:
+        kdw = kdw.astype(jnp.float32)
+        b_dw = bias.reshape(1, -1).astype(jnp.float32)
+
+    TH = min(row_block, _round_up(H, 8))
+    H_p = _round_up(H, TH)
+    W_p = _round_up(W + 6, 8)
+    xp = jnp.pad(x, ((0, 0), (3, 3 + H_p - H), (3, W_p - W - 3), (0, Cp - C)))
+
+    def kern(xp_hbm, kdw_r, bdw_r, out_ref, slab, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(i * TH, TH + 6)], slab, sem)
+        cp.start()
+        cp.wait()
+        xf = slab[...].astype(jnp.float32)  # single convert pass
+        acc = jnp.zeros((TH, W, Cp), jnp.float32) + bdw_r[0][None, None, :]
+        for dy in range(7):
+            for dx in range(7):
+                acc = acc + (xf[dy:dy + TH, dx:dx + W, :]
+                             * kdw_r[dy, dx][None, None, :])
+        out_ref[0] = acc.astype(dt)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, H_p // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            full((7, 7, Cp)), full((1, Cp)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, Cp), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H_p, W, Cp), dt),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 6, W_p, Cp), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, kdw, b_dw)
+    return out[:, :H, :, :C]
+
+
+@jax.custom_vjp
+def dwconv7x7(x, kdw, bias):
+    """Pallas depthwise 7x7 with gradients routed through the XLA reference
+    (recompute-based custom VJP, same pattern as convnext_block)."""
+    return dwconv7x7_pallas(x, kdw, bias,
+                            interpret=jax.default_backend() != "tpu")
+
+
+def _dw_fwd(x, kdw, bias):
+    return dwconv7x7(x, kdw, bias), (x, kdw, bias)
+
+
+def _dw_bwd(res, g):
+    x, kdw, bias = res
+    _, vjp = jax.vjp(dwconv7x7_ref, x, kdw, bias)
+    return vjp(g)
+
+
+dwconv7x7.defvjp(_dw_fwd, _dw_bwd)
+
+
 def convnext_block(x, p, exact_gelu: bool = False, method: str = "auto"):
     """Dispatcher: fused Pallas on TPU, reference composition elsewhere.
     Gradients always flow through the reference composition (custom VJP)."""
