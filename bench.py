@@ -91,6 +91,12 @@ def main():
         from unicorn_tpu.models.blocks import set_fast_norms
 
         set_fast_norms(True)
+    if os.environ.get("BENCH_PALLAS_DW", "0") == "1":
+        # route every ConvNeXt dw7x7 through the dedicated Pallas kernel
+        # (ops/pallas_convnext.dwconv7x7) — A/B knob for the trunk VPU wall
+        from unicorn_tpu.models.blocks import set_pallas_dw
+
+        set_pallas_dw(True)
     model = Unicorn(
         num_classes=1, backbone_name=backbone, in_channels=in_ch,
         interact_mode="deform", n_layer_att=3, dtype=jnp.bfloat16,

@@ -198,6 +198,65 @@ def main():
                 CX.ConvNeXtBlock = orig
         return
 
+    if exp == "batch_stage":
+        # Localize the measured batch>1 per-frame regression (f2/f4, s2):
+        # scan the trunk and the head separately at batch 1 vs 2 and report
+        # ms/frame each — names WHICH stage loses efficiency when batched
+        # (the tunnel hides per-op profiles, so stage scans are the finest
+        # honest instrument here).
+        eps = jnp.float32(1e-20)
+        NS = 32
+
+        @jax.jit
+        def scan_trunk(p, f):
+            def body(c, _):
+                fpn_outs, feat16 = model.apply(p, c,
+                                               method=Unicorn.forward_backbone)
+                return c + (jnp.mean(feat16) * eps).astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, f, None, length=NS)
+            return jnp.mean(c.astype(jnp.float32))
+
+        @jax.jit
+        def scan_head(p, fpn_outs):
+            def body(c, _):
+                priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype)
+                               for f in c)
+                raw = model.apply(p, c, priors,
+                                  method=Unicorn.forward_head)
+                bump = (jnp.mean(raw[0]["obj"]) * eps)
+                return tuple(f + bump.astype(f.dtype) for f in c), ()
+            c, _ = jax.lax.scan(body, fpn_outs, None, length=NS)
+            return jnp.mean(c[0].astype(jnp.float32))
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        floor = t(scan_null, jnp.float32(1.0))
+        for Bf in (1, 2):
+            f = jnp.asarray(rng.rand(Bf, H, W, 3).astype(np.float32) * 255
+                            ).astype(jnp.bfloat16)
+            ms_t = t(scan_trunk, params, f) - floor
+            fpn_outs, _ = jax.jit(lambda p, f: model.apply(
+                p, f, method=Unicorn.forward_backbone))(params, f)
+            ms_h = t(scan_head, params, fpn_outs) - floor
+            log("batch_stage", batch=Bf,
+                trunk_ms_frame=round(ms_t / Bf, 3),
+                head_ms_frame=round(ms_h / Bf, 3))
+        return
+
     if exp == "dw_probe":
         # Is XLA's grouped-conv lowering at the VPU roofline, or is there
         # headroom for the dedicated Pallas dw kernel? Three measurements
@@ -249,12 +308,17 @@ def main():
             return best / NS * 1e3
 
         floor = t(scan_null, jnp.float32(1.0))
-        xla = scan_of(dwconv7x7_ref)
-        pls = scan_of(lambda x, k, b: dwconv7x7_pallas(x, k, b))
+        variants = [("xla", scan_of(dwconv7x7_ref))]
+        only = os.environ.get("DW_VARIANTS", "xla,dx_hoist,bf16,fma")
+        for v in ("naive", "dx_hoist", "bf16"):
+            variants.append((v, scan_of(
+                lambda x, k, b, v=v: dwconv7x7_pallas(x, k, b, variant=v))))
+        variants.append(("fma", scan_fma))
+        variants = [(n, f) for n, f in variants if n in only.split(",")]
         # trunk stage shapes at 800x1280 with block counts
         stages = [((1, 200, 320, 96), 3), ((1, 100, 160, 192), 3),
                   ((1, 50, 80, 384), 9), ((1, 25, 40, 768), 3)]
-        tot = {"xla": 0.0, "pallas": 0.0, "fma": 0.0}
+        tot = {nm: 0.0 for nm, _ in variants}
         for shape, nblk in stages:
             B, Hs, Ws, C = shape
             x = jnp.asarray(rng.rand(*shape).astype(np.float32)).astype(
@@ -263,10 +327,8 @@ def main():
             b = jnp.asarray((rng.randn(C) * 0.1).astype(np.float32))
             gflop = 2 * 49 * B * Hs * Ws * C / 1e9
             row = {}
-            for nm, fn, args in (("xla", xla, (x, k, b)),
-                                 ("pallas", pls, (x, k, b)),
-                                 ("fma", scan_fma, (x, k, b))):
-                ms = max(t(fn, *args) - floor, 1e-6)
+            for nm, fn in variants:
+                ms = max(t(fn, x, k, b) - floor, 1e-6)
                 row[nm + "_ms"] = round(ms, 4)
                 row[nm + "_tflops"] = round(gflop / ms, 3)
                 tot[nm] += ms * nblk

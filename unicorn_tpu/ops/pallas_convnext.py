@@ -162,13 +162,20 @@ def dwconv7x7_ref(x, kdw, bias):
 
 
 def dwconv7x7_pallas(x, kdw, bias, row_block: int = 16,
-                     interpret: bool = False):
-    """Depthwise 7x7 as a dedicated Pallas kernel: one bf16->fp32 convert
-    pass per row-slab, then 49 fp32 multiply-accumulates. The fused-block
-    kernel above pays a per-tap convert (3 VPU ops/tap); this one pays
-    49*2+1 ops/element and nothing else — a probe of how much of the
-    trunk's dw wall (BASELINE.md roofline table: ~1.7 ms/frame at 800x1280)
-    is XLA lowering overhead vs true VPU roofline.
+                     interpret: bool = False, variant: str = "dx_hoist"):
+    """Depthwise 7x7 as a dedicated Pallas kernel — a probe of how much of
+    the trunk's dw wall (BASELINE.md roofline table) is lowering overhead
+    vs true VPU roofline (pure-FMA bound measured 8.9 TFLOP/s at the
+    stage-0 shape vs XLA's 2.8).
+
+    variants (measured by perf_lab dw_probe2):
+      naive     49 slices of the fp32 slab, each misaligned in the sublane
+                (W) dim — 0.95 ms at stage-0, 4x SLOWER than XLA: Mosaic
+                realigns the whole slab per tap.
+      dx_hoist  7 shifted copies (one per dx), then 49 row-sliced (free,
+                untiled dim) aligned FMAs.
+      bf16      dx_hoist with bf16 multiply-accumulate (no fp32 convert);
+                one-rounding-per-tap drift, serving-only.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -202,13 +209,33 @@ def dwconv7x7_pallas(x, kdw, bias, row_block: int = 16,
             xp_hbm.at[b, pl.ds(i * TH, TH + 6)], slab, sem)
         cp.start()
         cp.wait()
-        xf = slab[...].astype(jnp.float32)  # single convert pass
-        acc = jnp.zeros((TH, W, Cp), jnp.float32) + bdw_r[0][None, None, :]
-        for dy in range(7):
+        if variant == "naive":
+            xf = slab[...].astype(jnp.float32)  # single convert pass
+            acc = (jnp.zeros((TH, W, Cp), jnp.float32)
+                   + bdw_r[0][None, None, :])
+            for dy in range(7):
+                for dx in range(7):
+                    acc = acc + (xf[dy:dy + TH, dx:dx + W, :]
+                                 * kdw_r[dy, dx][None, None, :])
+            out_ref[0] = acc.astype(dt)
+        elif variant == "bf16":
+            acc = jnp.broadcast_to(bdw_r[0][None, None, :].astype(dt),
+                                   (TH, W, Cp)).astype(dt)
             for dx in range(7):
-                acc = acc + (xf[dy:dy + TH, dx:dx + W, :]
-                             * kdw_r[dy, dx][None, None, :])
-        out_ref[0] = acc.astype(dt)
+                xs = slab[:, dx:dx + W, :]  # one sublane realign per dx
+                for dy in range(7):
+                    # row slices are the untiled dim: aligned, free
+                    acc = acc + xs[dy:dy + TH] * kdw_r[dy, dx][None, None, :].astype(dt)
+            out_ref[0] = acc
+        else:  # dx_hoist
+            acc = (jnp.zeros((TH, W, Cp), jnp.float32)
+                   + bdw_r[0][None, None, :])
+            for dx in range(7):
+                xs = slab[:, dx:dx + W, :].astype(jnp.float32)
+                for dy in range(7):
+                    acc = acc + (xs[dy:dy + TH]
+                                 * kdw_r[dy, dx][None, None, :])
+            out_ref[0] = acc.astype(dt)
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
