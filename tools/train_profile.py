@@ -82,38 +82,45 @@ def main():
                         no_decay_mask_fn=default_wd_mask)
     state = TrainState.create(params, tx)
 
+    # NOTE: params/images/targets are jit ARGUMENTS everywhere — closed-over
+    # device arrays become HLO constants that the tunnel ships inside every
+    # compile request (B=4 images alone are 98 MB; the request hit the
+    # HTTP 413 cap — same fix as bench.py).
     def scan_wrap(fn, n):
         """n applications, output folded into a scalar via an epsilon chain."""
         eps = jnp.float32(1e-20)
 
         @jax.jit
-        def run(c0):
+        def run(c0, *args):
             def body(c, _):
-                return c + fn() * eps, ()
+                return c + fn(*args) * eps, ()
             c, _ = jax.lax.scan(body, c0, None, length=n)
             return c
         return run
 
-    loss = lambda p: uni_loss_fn(model, p, images, targets, task_ids, (H, W),
-                                 bidirect=True, num_classes=8)
+    def loss(p, images, targets, task_ids):
+        return uni_loss_fn(model, p, images, targets, task_ids, (H, W),
+                           bidirect=True, num_classes=8)
 
     fwd_emb = scan_wrap(
-        lambda: jnp.mean(uni_forward_embeddings(model, state.params,
-                                                images)[1]).astype(jnp.float32), N)
-    fwd_loss = scan_wrap(lambda: loss(state.params)[0], N)
+        lambda p, im: jnp.mean(uni_forward_embeddings(
+            model, p, im)[1]).astype(jnp.float32), N)
+    fwd_loss = scan_wrap(
+        lambda p, im, tg, tid: loss(p, im, tg, tid)[0], N)
 
-    grad_fn = jax.value_and_grad(lambda p: loss(p)[0])
+    grad_fn = jax.value_and_grad(
+        lambda p, im, tg, tid: loss(p, im, tg, tid)[0])
 
     @jax.jit
-    def full_step(state):
-        l, grads = grad_fn(state.params)
+    def full_step(state, im, tg, tid):
+        l, grads = grad_fn(state.params, im, tg, tid)
         return state.apply_gradients(grads), l
 
     @jax.jit
-    def grads_only(state):
-        return grad_fn(state.params)[1]
+    def grads_only(state, im, tg, tid):
+        return grad_fn(state.params, im, tg, tid)[1]
 
-    grads = grads_only(state)
+    grads = grads_only(state, images, targets, task_ids)
     grads = jax.block_until_ready(grads)
 
     @jax.jit
@@ -137,20 +144,23 @@ def main():
     # single-application fetch floor: full_step/opt are timed once per call,
     # so each measurement carries one tunnel round-trip — subtract it
     floor1 = timed(null1, (c0,), 1, "null1")
-    t_emb = timed(fwd_emb, (c0,), N, "fwd_emb") - floor
-    t_fwd = timed(fwd_loss, (c0,), N, "fwd_loss") - floor
+    t_emb = timed(fwd_emb, (c0, state.params, images), N, "fwd_emb") - floor
+    t_fwd = timed(fwd_loss, (c0, state.params, images, targets, task_ids),
+                  N, "fwd_loss") - floor
 
-    def step_once(s):
-        s2, l = full_step(s)
+    def step_once(s, im, tg, tid):
+        s2, l = full_step(s, im, tg, tid)
         return l
-    t_step = timed(step_once, (state,), 1, "full_step") - floor1
+    t_step = timed(step_once, (state, images, targets, task_ids), 1,
+                   "full_step") - floor1
     t_opt = max(timed(lambda s: opt_only(s, grads), (state,), 1, "opt")
                 - floor1, 0.0)
 
     flops = None
     try:  # pre-optimization HLO flops (same accounting as the serving
         # 518.8 GFLOP figure); the compiled cost_analysis under-reports
-        ca = jax.jit(step_once).lower(state).cost_analysis()
+        ca = jax.jit(step_once).lower(state, images, targets,
+                                      task_ids).cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
