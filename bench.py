@@ -20,10 +20,15 @@ with, 3.07 MB is 0.12 ms/frame against ~6.5 ms of compute — fully hidden by
 the overlap demonstrated here. `extra.ingest` reports what was measured.
 
 Extras:
-  - sot_driver_fps: the REAL SOTDriver batched window fn (interaction +
+  - sot_driver_fps: the REAL SOTDriver per-frame fn (interaction +
     upsample + 16k x 16k correlation + SOT head + NMS + top-K pack) timed on
-    device via lax.scan over windows (r2 VERDICT item 3 — replaces the
-    stage-sum estimate).
+    device as a batch-1 lax.scan (r2 VERDICT item 3 — replaces the
+    stage-sum estimate); sot_driver_window8_fps is the vmapped 8-frame
+    variant (pays the measured batch>1 conv regression).
+  - vos_driver_fps_k4: the REAL VOSDriver per-frame fn (backbone + K=4
+    slot-batched interaction + correlation + SOT-mode head + CondInst
+    masks + full-res soft aggregation) on the mask-enabled model
+    (skip with BENCH_SKIP_VOS=1).
   - stage_ms: backbone / interaction+upsample+correlation / head+NMS+assoc
     breakdown via scanned stage timing minus a NULL-scan tunnel floor.
   - BENCH_MODEL=convnext_large adds the published-MOT17-config model size
@@ -61,6 +66,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_CPU") == "1":  # shape/compile smoke only
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -233,6 +240,40 @@ def main():
         carry, _ = jax.lax.scan(body, frames, None, length=max(N_SCAN // 8, 1))
         return jnp.mean(carry.astype(jnp.float32))
 
+    # ---- VOS driver: REAL per-frame track_fn + soft aggregation, K=4 object
+    # slots (mask-enabled model; the DAVIS/VOS serving path) ----
+    skip_vos = os.environ.get(
+        "BENCH_SKIP_VOS", "1" if skip_sot else "0") == "1"
+    if not skip_vos:
+        from unicorn_tpu.drivers.vos import VOSDriver
+
+        model_vos = model_sot.clone(use_mask=True)
+        params_vos = model_vos.init(jax.random.PRNGKey(0),
+                                    jnp.asarray(frame0_np),
+                                    method=Unicorn.init_all)
+        vdrv = VOSDriver(model_vos, params_vos, input_size=(H, W),
+                         max_objects=4)
+        Kv = 4
+        vmasks0 = np.zeros((Kv, H, W), np.float32)
+        for kk in range(Kv):
+            vmasks0[kk, 100 * (kk + 1):100 * (kk + 2), 200:400] = 1.0
+        vfeat1, vlbs = vdrv._init_fn(params_vos, jnp.asarray(frame0_np),
+                                     jnp.asarray(vmasks0))
+        vfeat = jnp.broadcast_to(vfeat1, (Kv,) + vfeat1.shape[1:])
+        vvalid = jnp.ones((Kv,), jnp.float32)
+
+        @jax.jit
+        def scan_vos_driver(params, feat_ref, lbs_ref, frame):
+            def body(carry, _):
+                dets, valid, masks = vdrv._track_fn_raw(
+                    params, feat_ref, lbs_ref, carry)
+                idx = vdrv._aggregate_raw(masks, vvalid)
+                carry = carry + (jnp.mean(idx.astype(jnp.float32))
+                                 * eps).astype(carry.dtype)
+                return carry, ()
+            carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
+            return jnp.mean(carry.astype(jnp.float32))
+
     # ---------------- stage breakdown (device-true, scanned) ----------------
     h16, w16 = H // 16, W // 16
     h8, w8 = H // 8, W // 8
@@ -323,10 +364,17 @@ def main():
         ms_sot_win = (_timed_scan(
             lambda c: scan_sot_driver_w8(params, feat_ref, lbs_ref, c),
             frames_u8, n_win, lambda o: o) - ms_floor * n_win / N_SCAN)
+    ms_vos = float("inf")
+    if not skip_vos:
+        vframe0 = jnp.asarray(frame0_np.astype(np.float32))
+        ms_vos = _timed_scan(
+            lambda c: scan_vos_driver(params_vos, vfeat, vlbs, c),
+            vframe0, N_SCAN, lambda o: o) - ms_floor
 
     extra = {
         "sot_driver_fps": round(1000.0 / ms_sot_seq, 2),
         "sot_driver_window8_fps": round(8000.0 / ms_sot_win, 2),
+        "vos_driver_fps_k4": round(1000.0 / ms_vos, 2),
         "stage_ms": {
             "backbone_fpn": round(ms_backbone, 3),
             "interaction_upsample_corr16k": round(ms_sot_core, 3),

@@ -87,15 +87,20 @@ def main():
     # compile request (B=4 images alone are 98 MB; the request hit the
     # HTTP 413 cap — same fix as bench.py).
     def scan_wrap(fn, n):
-        """n applications, output folded into a scalar via an epsilon chain."""
+        """n applications with the IMAGES as the scan carry, each iteration
+        perturbed by eps*output — the body must consume the carry or XLA
+        hoists the loop-invariant computation out of the scan and the
+        per-application time collapses to 1/n of truth (observed at B=4:
+        'fwd 11 ms' vs the real ~88)."""
         eps = jnp.float32(1e-20)
 
         @jax.jit
-        def run(c0, *args):
+        def run(images0, *args):
             def body(c, _):
-                return c + fn(*args) * eps, ()
-            c, _ = jax.lax.scan(body, c0, None, length=n)
-            return c
+                out = fn(c, *args)
+                return c + (out * eps).astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, images0, None, length=n)
+            return jnp.mean(c.astype(jnp.float32))
         return run
 
     def loss(p, images, targets, task_ids):
@@ -103,10 +108,10 @@ def main():
                            bidirect=True, num_classes=8)
 
     fwd_emb = scan_wrap(
-        lambda p, im: jnp.mean(uni_forward_embeddings(
+        lambda im, p: jnp.mean(uni_forward_embeddings(
             model, p, im)[1]).astype(jnp.float32), N)
     fwd_loss = scan_wrap(
-        lambda p, im, tg, tid: loss(p, im, tg, tid)[0], N)
+        lambda im, p, tg, tid: loss(p, im, tg, tid)[0], N)
 
     grad_fn = jax.value_and_grad(
         lambda p, im, tg, tid: loss(p, im, tg, tid)[0])
@@ -144,8 +149,8 @@ def main():
     # single-application fetch floor: full_step/opt are timed once per call,
     # so each measurement carries one tunnel round-trip — subtract it
     floor1 = timed(null1, (c0,), 1, "null1")
-    t_emb = timed(fwd_emb, (c0, state.params, images), N, "fwd_emb") - floor
-    t_fwd = timed(fwd_loss, (c0, state.params, images, targets, task_ids),
+    t_emb = timed(fwd_emb, (images, state.params), N, "fwd_emb") - floor
+    t_fwd = timed(fwd_loss, (images, state.params, targets, task_ids),
                   N, "fwd_loss") - floor
 
     def step_once(s, im, tg, tid):

@@ -134,6 +134,10 @@ class VOSDriver:
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
         self._aggregate = jax.jit(aggregate_fn)
+        # unjitted handles so bench.py can embed the REAL per-frame fns in a
+        # lax.scan (same pattern as SOTDriver._track_fn_raw)
+        self._track_fn_raw = track_fn
+        self._aggregate_raw = aggregate_fn
         self.feat_ref = None   # (K, H16, W16, C) per-slot reference features
         self.lbs_ref = None    # (K, 1, N8) per-slot label maps
         self.obj_valid = np.zeros((K,), np.float32)
