@@ -386,7 +386,11 @@ def main():
                             "tunnel H2D ~37 MB/s is a dev-tunnel artifact "
                             "(BASELINE.md)"),
         "model": backbone,
-        "flops_per_frame_gflop": 518.8 if backbone == "convnext_tiny" else None,
+        # lowered-HLO flops of forward_whole+decode (CPU-verified): tiny
+        # 518.8, large 1891.6 — large at 50 FPS sustains ~95 TFLOP/s (48%
+        # MFU; the bigger trunk amortizes its dw wall better than tiny's)
+        "flops_per_frame_gflop": {"convnext_tiny": 518.8,
+                                  "convnext_large": 1891.6}.get(backbone),
         "baseline_a100_fps": BASELINE_A100_FPS,
     }
 
