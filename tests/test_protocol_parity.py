@@ -218,3 +218,134 @@ def test_vos_frame_loop_parity(vos_pair):
     # the entry frame must carry object 3's GT mask verbatim (both sides)
     assert np.array_equal(ref_masks[1] == 3, mask2 == 3)
     assert np.array_equal(our_masks[1] == 3, mask2 == 3)
+
+
+def test_omni_embedding_rotation_parity(sot_pair):
+    """Omni MOT (QDTrack) frame-loop protocol vs the reference evaluator
+    loop (mot_evaluator.py:1004-1045 box path / 813-836 MOTS path): the
+    pre/cur dict ROTATION (frame 1 interacts cur with itself; frame t
+    interacts the RAW backbone features of t-1 — not the interacted ones —
+    with t), upsample to the s=8 embedding map, and per-detection
+    grid_sample center sampling (clamp -> align_corners=False, border).
+    The torch side replicates that loop verbatim on the reference model;
+    our MOTOmniDriver's per-frame detections, classes, and sampled
+    embeddings must match frame by frame. The test loops via
+    MOTOmniDriver.update (its real rotation state) and re-derives each
+    frame's raw step outputs from the pre-update state for comparison.
+    (Labels: the reference MOT17 path hardcodes ones; we keep the 8-class
+    det classes on both sides, matching the multi-class BDD omni path.)"""
+    import copy
+
+    import torch.nn.functional as F
+
+    from unicorn_tpu.data.preproc import letterbox
+    from unicorn_tpu.drivers.mot import MOTOmniDriver
+
+    try:
+        from torch_ref import REF_ROOT, load_reference
+    except ImportError:
+        from tests.torch_ref import REF_ROOT, load_reference
+    load_reference()  # installs the torchvision/... stubs boxes.py needs
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_boxes", os.path.join(REF_ROOT, "unicorn/utils/boxes.py"))
+    ref_boxes = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_boxes)
+    ref_postprocess = ref_boxes.postprocess
+
+    tm, jm, params = sot_pair
+    tm.eval()
+    frames = _clip(4, seed=7)
+    s = 8
+    CONF, NMS = 0.1, 0.65
+
+    # ---- torch side: verbatim evaluator loop on the reference model ----
+    ref_frames = []
+    pre_dict = None
+    with torch.no_grad():
+        for t, img in enumerate(frames):
+            lb, r = letterbox(img, (H, W))
+            xt = torch.from_numpy(
+                np.ascontiguousarray(lb.transpose(2, 0, 1))[None])
+            # mode="whole" body without its device="cuda" literals
+            fpn_outs, cur_dict = tm.forward_backbone(xt, run_fpn=True)
+            lbs = tuple(torch.zeros(1, 1, H // st, W // st)
+                        for st in (8, 16, 32))
+            raw = tm.head(fpn_outs, lbs, mode="mot")
+            outputs = ref_postprocess(raw, 8, CONF, NMS)
+            if t == 0:
+                pre_dict = copy.deepcopy(cur_dict)
+            _, new_cur = tm(seq_dict0=pre_dict, seq_dict1=cur_dict,
+                            mode="interaction")
+            emb = tm(feat=new_cur, mode="upsample")  # (1, C, H/8, W/8)
+            pre_dict = copy.deepcopy(cur_dict)
+            if outputs[0] is None:
+                ref_frames.append((np.zeros((0, 7)), np.zeros((0, 64))))
+                continue
+            out = outputs[0]
+            scores = out[:, 4] * out[:, 5]
+            keep = scores > 0.1
+            bboxes = out[keep, :4]
+            feats = []
+            for i in range(bboxes.size(0)):
+                x1, y1, x2, y2 = bboxes[i]
+                cx = (x1 + x2) / 2 / s - 0.5
+                cy = (y1 + y2) / 2 / s - 0.5
+                cx = (torch.clamp(cx, 0, W // s - 1) / (W // s - 1) - 0.5) * 2
+                cy = (torch.clamp(cy, 0, H // s - 1) / (H // s - 1) - 0.5) * 2
+                grid = torch.stack([cx, cy], -1).view(1, 1, 1, 2)
+                feats.append(F.grid_sample(
+                    emb, grid, mode="bilinear", padding_mode="border",
+                    align_corners=False).squeeze())
+            feats = (torch.stack(feats) if feats
+                     else torch.zeros((0, emb.size(1))))
+            ref_frames.append((out[keep].numpy(), feats.numpy()))
+
+    # ---- our side: MOTOmniDriver with its real rotation state ----
+    drv = MOTOmniDriver(jm, params, input_size=(H, W), num_classes=8,
+                        conf_thre=CONF, nms_thre=NMS, max_out=16)
+    jnp_ = drv._jnp
+    for t, img in enumerate(frames):
+        if drv.feat_prev is None:
+            feat_before = jnp_.zeros(*drv._feat16_shape)
+            has_prev = jnp_.asarray(False)
+        else:
+            feat_before = drv.feat_prev
+            has_prev = jnp_.asarray(True)
+        drv.update(img)
+        lb, _ = letterbox(img, (H, W))
+        dets, valid, embeds, feat_cur = drv._step(
+            params, jnp_.asarray(lb[None]), feat_before, has_prev)[:4]
+        # update()'s rotation must carry the RAW current backbone features
+        np.testing.assert_array_equal(np.asarray(drv.feat_prev),
+                                      np.asarray(feat_cur))
+        d = np.asarray(dets)[np.asarray(valid).astype(bool)]
+        emb_ours = np.asarray(embeds)[np.asarray(valid).astype(bool)]
+        keep = d[:, 4] * d[:, 5] > 0.1
+        d, emb_ours = d[keep], emb_ours[keep]
+        ref_out, ref_emb = ref_frames[t]
+        # the boosted random model floods detections (reference keeps 300+
+        # after NMS; our serving path caps max_out slots), so the assertion
+        # is slot-wise: every det we keep must exist in the reference's set
+        # with the same class and the same sampled embedding — which is
+        # exactly the rotation/center-sampling chain under test
+        assert len(d) >= 5, f"frame {t}: too few dets ({len(d)}) to test"
+        used = set()
+        for i in range(len(d)):
+            dist = np.abs(ref_out[:, :4] - d[i, :4]).sum(1)
+            j = int(np.argmin(dist))
+            assert dist[j] < 1.0, f"frame {t}: unmatched box {d[i, :4]}"
+            assert j not in used
+            used.add(j)
+            assert int(d[i, 6]) == int(ref_out[j, 6]), f"frame {t}: class"
+            np.testing.assert_allclose(
+                emb_ours[i], ref_emb[j], rtol=2e-3, atol=2e-3,
+                err_msg=f"frame {t} det {i}: embedding mismatch "
+                        "(pre/cur rotation or center sampling)")
+        # score-order head: our best det is the reference's best det
+        bi = int(np.argmax(d[:, 4] * d[:, 5]))
+        bj = int(np.argmax(ref_out[:, 4] * ref_out[:, 5]))
+        assert np.abs(ref_out[bj, :4] - d[bi, :4]).sum() < 1.0, (
+            f"frame {t}: top-scoring det differs")
