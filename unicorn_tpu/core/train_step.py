@@ -103,10 +103,16 @@ def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
 
 def det_mask_loss_fn(model, params, images, labels, masks, img_size,
                      use_l1=False, strides=(8, 16, 32), max_inst=24,
-                     sem_loss_on=False):
+                     sem_loss_on=False, boxinst=False, warmup_factor=1.0):
     """Instance-seg stage loss: det losses + CondInst mask dice over
     SimOTA-matched anchors (reference YOLOXHeadDetMask path,
-    yolo_head_det_mask.py:34-841). masks: (B, M, Hm, Wm)."""
+    yolo_head_det_mask.py:34-841). masks: (B, M, Hm, Wm).
+
+    boxinst=True switches the mask supervision to the box-supervised
+    BoxInst projection + pairwise losses (losses/boxinst.py; the reference
+    gates this via cfg MODEL.BOXINST.ENABLED, dynamic_mask_head.py:251-273)
+    — `masks` is then unused and `warmup_factor` scales the pairwise term
+    (min(iter/warmup_iters, 1))."""
     from ..losses.mask import condinst_mask_loss, semantic_focal_loss
 
     out = model.apply(params, images)
@@ -118,11 +124,25 @@ def det_mask_loss_fn(model, params, images, labels, masks, img_size,
         labels, boxes, flat["obj_logits"], flat["cls_logits"], flat["reg_raw"],
         xs, ys, ss, img_size, use_l1=use_l1,
     )
-    mask_l = condinst_mask_loss(
-        flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
-        assign.pred_iou, masks, flat["hw"], strides, max_inst=max_inst,
-        up_masks=up_mask,
-    )
+    if boxinst:
+        from ..losses.boxinst import boxinst_mask_loss
+
+        gt_valid = (jnp.sum(labels[..., 1:5], axis=2) > 0).astype(jnp.float32)
+        prj_l, pw_l = boxinst_mask_loss(
+            flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
+            assign.pred_iou, labels[..., 1:5], gt_valid, images,
+            flat["hw"], strides, max_inst=max_inst, up_masks=up_mask,
+            warmup_factor=warmup_factor,
+        )
+        mask_l = prj_l + pw_l
+        loss_dict["boxinst_prj_loss"] = prj_l
+        loss_dict["boxinst_pairwise_loss"] = pw_l
+    else:
+        mask_l = condinst_mask_loss(
+            flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
+            assign.pred_iou, masks, flat["hw"], strides, max_inst=max_inst,
+            up_masks=up_mask,
+        )
     total = loss_dict["total_loss"] + mask_l
     loss_dict["condinst_loss"] = mask_l
     if sem_loss_on and sem_logits is not None:
@@ -137,12 +157,21 @@ def det_mask_loss_fn(model, params, images, labels, masks, img_size,
 
 
 def make_det_mask_train_step(model, img_size, use_l1=False, max_inst=24,
-                             sem_loss_on=False, donate=True):
+                             sem_loss_on=False, donate=True, boxinst=False,
+                             boxinst_warmup_iters=10000):
+    """boxinst=True trains masks from boxes only (losses/boxinst.py); the
+    pairwise term warms up linearly over boxinst_warmup_iters, driven by
+    state.step (so resume keeps the schedule)."""
     def step(state, images, labels, masks):
+        warmup = (jnp.minimum(state.step.astype(jnp.float32)
+                              / float(boxinst_warmup_iters), 1.0)
+                  if boxinst else 1.0)
+
         def loss(params):
             return det_mask_loss_fn(model, params, images, labels, masks,
                                     img_size, use_l1, max_inst=max_inst,
-                                    sem_loss_on=sem_loss_on)
+                                    sem_loss_on=sem_loss_on, boxinst=boxinst,
+                                    warmup_factor=warmup)
 
         (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)

@@ -35,6 +35,10 @@ class ExpDetMask(ExpDet):
         self.exp_name = "unicorn_inst"
         self.train_mask_only = True
         self.d_rate = 4
+        # BoxInst box-supervised masks (losses/boxinst.py); mirrors the
+        # reference's cfg MODEL.BOXINST.* defaults (disabled)
+        self.boxinst = False
+        self.boxinst_warmup_iters = 10000
         self.max_epoch = 12
         self.pretrain_name = "unicorn_det_convnext_tiny_800x1280"
 
@@ -97,7 +101,11 @@ class ExpDetMask(ExpDet):
 
         return make_det_mask_train_step(
             self.get_model(), self.input_size,
-            use_l1=getattr(self, "always_l1", False))
+            use_l1=getattr(self, "always_l1", False),
+            # box-supervised BoxInst branch (reference cfg
+            # MODEL.BOXINST.ENABLED; off by default there too)
+            boxinst=getattr(self, "boxinst", False),
+            boxinst_warmup_iters=getattr(self, "boxinst_warmup_iters", 10000))
 
     def get_optimizer(self, batch_size, iters_per_epoch=1000):
         import optax
