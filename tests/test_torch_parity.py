@@ -247,3 +247,56 @@ def test_mask_head_parity():
     j_dec = decode_for_inference(raw, STRIDES, mode="mot")
     np.testing.assert_allclose(np.asarray(j_dec), t_out.numpy(),
                                atol=2e-4, rtol=1e-3, err_msg="decoded dets")
+
+
+def test_training_grad_parity(pair):
+    """BACKWARD parity: d(total_loss)/d(FPN features) through head + SimOTA
+    losses must match torch autograd on the converted weights. This pins the
+    assignment's no_grad semantics (reference unicorn_head.py:690
+    @torch.no_grad() vs the stop_gradient in losses/det.py:simota_assign) —
+    without the stop, grad leaks into the pairwise-IoU tower via the BCE
+    target derivative and this test fails."""
+    from unicorn_tpu.losses.det import yolox_losses
+    from unicorn_tpu.models.heads import decode_boxes, level_grids
+
+    tm, jm, params, imgs = pair
+    tx0 = torch.from_numpy(imgs[0].transpose(2, 0, 1)[None].copy())
+    with torch.no_grad():
+        t_fpn, _ = tm.forward_backbone(tx0)
+    t_fpn = [t.detach().clone().requires_grad_(True) for t in t_fpn]
+
+    labels = np.zeros((1, 10, 5), np.float32)
+    labels[0, 0] = [2, 40.0, 30.0, 36.0, 28.0]
+    labels[0, 1] = [5, 120.0, 64.0, 40.0, 44.0]
+
+    tm.head.train()
+    tm.head.use_l1 = True
+    zero_masks = [torch.zeros(1, 1, H // s, W // s) for s in STRIDES]
+    t_loss = tm.head(t_fpn, zero_masks, labels=torch.from_numpy(labels),
+                     imgs=tx0, mode="mot")
+    t_loss["total_loss"].backward()
+    t_grads = [t.grad.numpy() for t in t_fpn]
+    tm.head.eval()
+    tm.head.use_l1 = False
+
+    j_fpn0, _ = jm.apply(params, jnp.asarray(imgs[:1]),
+                         method=Unicorn.forward_backbone)
+    j_zero = tuple(jnp.zeros((1, H // s, W // s, 1)) for s in STRIDES)
+
+    def jloss(fpn):
+        raw = jm.apply(params, fpn, j_zero, method=Unicorn.forward_head)
+        fl = flatten_raw_outputs(raw, "mot")
+        pred_boxes = decode_boxes(fl["reg_raw"], fl["hw"], STRIDES)
+        xs, ys, sv = level_grids(fl["hw"], STRIDES)
+        ld, _ = yolox_losses(
+            jnp.asarray(labels), pred_boxes, fl["obj_logits"],
+            fl["cls_logits"], fl["reg_raw"], xs, ys, sv, (H, W), use_l1=True)
+        return ld["total_loss"]
+
+    j_grads = jax.grad(jloss)(j_fpn0)
+    for lvl, (jg, tg) in enumerate(zip(j_grads, t_grads)):
+        jg = np.asarray(jg).transpose(0, 3, 1, 2)
+        scale = np.abs(tg).max()
+        np.testing.assert_allclose(
+            jg, tg, rtol=5e-3, atol=2e-3 * scale,
+            err_msg=f"FPN level {lvl} input grads")

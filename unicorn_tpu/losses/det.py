@@ -153,7 +153,13 @@ def simota_assign(
     pred_iou = jnp.sum(matching * iou, axis=0)
     num_fg = jnp.sum(fg_mask.astype(jnp.float32))
     num_gt = jnp.sum(gt_valid.astype(jnp.float32))
-    return OTAResult(fg_mask, matched_gt, pred_iou, num_fg, num_gt)
+    # The reference computes the whole assignment under @torch.no_grad()
+    # (unicorn_head.py:690) — pred_iou feeds cls_target as a CONSTANT. Without
+    # this stop, grad would flow through the (M, A) pairwise-IoU tower via the
+    # BCE target derivative (a semantic difference AND dead bwd compute).
+    return jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                  OTAResult(fg_mask, matched_gt, pred_iou,
+                                            num_fg, num_gt))
 
 
 def yolox_losses(
