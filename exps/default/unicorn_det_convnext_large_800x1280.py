@@ -13,3 +13,5 @@ class Exp(ExpDet):
         self.input_size = (800, 1280)
         self.test_size = (800, 1280)
         self.remat = True  # convnext_large activations exceed HBM without it
+        # (remat="dw" is faster when it fits — measured on tiny; unverified at
+        # large-model HBM headroom, so the safe full-block remat stays default)

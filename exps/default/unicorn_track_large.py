@@ -12,3 +12,5 @@ class Exp(ExpTrack):
         self.in_channels = [384, 768, 1536]
         self.pretrain_name = 'unicorn_det_convnext_large_800x1280'
         self.remat = True  # convnext_large activations exceed HBM without it
+        # (remat="dw" is faster when it fits — measured on tiny; unverified at
+        # large-model HBM headroom, so the safe full-block remat stays default)

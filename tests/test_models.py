@@ -204,20 +204,23 @@ def test_remat_backbone_identical_loss_and_grads():
     imgs = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
     models = {
         r: ConvNeXt(depths=(1, 1, 2, 1), dims=(16, 32, 48, 64), remat=r)
-        for r in (False, True)
+        for r in (False, True, "dw")
     }
     params = models[False].init(jax.random.PRNGKey(0), imgs)
-    p2 = models[True].init(jax.random.PRNGKey(0), imgs)
-    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    for r in (True, "dw"):
+        pr = models[r].init(jax.random.PRNGKey(0), imgs)
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(pr)
 
     outs = {}
     for r, model in models.items():
         loss = lambda p: sum(jnp.sum(o * o) for o in model.apply(p, imgs))
         outs[r] = jax.value_and_grad(loss)(params)
-    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
-    for ga, gb in zip(jax.tree_util.tree_leaves(outs[False][1]),
-                      jax.tree_util.tree_leaves(outs[True][1])):
-        np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+    for r in (True, "dw"):
+        np.testing.assert_allclose(outs[False][0], outs[r][0], rtol=1e-6)
+        for ga, gb in zip(jax.tree_util.tree_leaves(outs[False][1]),
+                          jax.tree_util.tree_leaves(outs[r][1])):
+            np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
 
 
 def test_remat_swin_identical_loss():

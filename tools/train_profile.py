@@ -15,7 +15,7 @@ bwd is reported as full_step - fwd_loss - optimizer (the usual residual
 decomposition). MFU uses XLA cost analysis FLOPs of the full step.
 
 Env: TP_BATCH (default 1), TP_HW (default 800x1280), TP_NSCAN (default 8),
-TP_REMAT=1 to enable backbone remat. Appends one JSON line to stdout.
+TP_REMAT=1 full block remat, TP_REMAT=dw selective (save dw7x7 output). Appends one JSON line to stdout.
 """
 import json
 import os
@@ -58,7 +58,8 @@ def main():
     H, W = int(hw[0]), int(hw[1])
     B = int(os.environ.get("TP_BATCH", "1"))
     N = int(os.environ.get("TP_NSCAN", "8"))
-    remat = os.environ.get("TP_REMAT", "0") == "1"
+    remat_env = os.environ.get("TP_REMAT", "0")
+    remat = {"0": False, "1": True, "dw": "dw"}[remat_env]
 
     model = Unicorn(num_classes=8, backbone_name="convnext_tiny",
                     in_channels=(192, 384, 768), interact_mode="deform",

@@ -33,6 +33,10 @@ class ExpDet(BaseExp):
         self.use_attention = True
         self.n_layer_att = 3
         self.bf16 = True
+        # backbone remat: False | True (full block) | "dw" (selective —
+        # saves the VPU-serial dw7x7 output, recomputes the cheap MLP tail;
+        # measured B=4 800x1280: 114.9 vs 118.3 ms/sample vs full remat).
+        # Numerically identical either way; original note:
         # backbone block remat: numerically identical, ~6-12% step-time cost,
         # cuts activation residency ~40% (measured 800x1280 v5e: B=1 temp
         # 5.4->3.1 GB). Off for tiny (fits to B=2); large configs enable it.

@@ -14,6 +14,7 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import ad_checkpoint as _adc
 
 Dtype = Any
 
@@ -272,6 +273,10 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x):
         inp = x
         x = DepthwiseConv7x7(self.dim, dtype=self.dtype, name="Conv_0")(x)
+        # tag for the selective-remat policy (remat="dw"): the dw7x7 is the
+        # VPU-serial expensive op — save its output, recompute the cheap
+        # MXU/elementwise tail. No-op outside jax.checkpoint.
+        x = _adc.checkpoint_name(x, "dw_out")
         fast = _FAST_NORMS and self.dtype != jnp.float32
         x = nn.LayerNorm(
             epsilon=1e-6, dtype=self.dtype if fast else jnp.float32,

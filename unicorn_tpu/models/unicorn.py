@@ -48,7 +48,7 @@ class Unicorn(nn.Module):
     exact_gelu: bool = True         # erf GELU (torch parity) vs tanh (serving)
     use_raft: bool = False          # RAFT convex upsampling of masks
     up_rate: int = 8                # RAFT upsample factor (ref: 8 // d_rate)
-    remat: bool = False             # backbone block remat (training memory)
+    remat: Any = False              # backbone block remat: False|True|"dw"
     dtype: Any = jnp.float32
     # interaction/embedding stages run fp32 by default, matching the
     # reference's autocast-off region (unicorn.py:491-504)
@@ -181,7 +181,7 @@ class YOLOXDet(nn.Module):
     use_mask: bool = False       # instance-seg stage (YOLOXMask, yolox.py:54-80)
     sem_loss_on: bool = False
     exact_gelu: bool = True
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
