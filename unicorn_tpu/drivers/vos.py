@@ -251,22 +251,32 @@ class VOSDriver:
         for slot, oid in enumerate(self.obj_ids):
             if oid in self._entry_overlay:
                 agg_valid[slot] = 0.0
-        merged = np.asarray(self._aggregate(
-            masks, self._jnp.asarray(agg_valid)))
-        # map slot labels back to original object ids; unletterbox
-        Hm, Wm = merged.shape
-        H, W = self.orig_shape
-        d_rate_h = self.input_size[0] // Hm
-        rh = int(round(H * r)) // d_rate_h
-        rw = int(round(W * r)) // d_rate_h
-        crop = merged[:rh, :rw]
+        # Reference order (unicorn_vos.py:148-152 + 105-115): bilinearly
+        # resize each object's PROBABILITY map by 1/r to the original
+        # resolution, crop to (H, W), THEN soft-aggregate (bg = prod(1-p))
+        # and argmax — boundary decisions happen at original resolution.
+        # (The device argmax path, self._aggregate, is order-equivalent at
+        # input res and stays for serving/bench; this is the scored output.)
         import cv2
 
-        resized = cv2.resize(crop.astype(np.uint8), (W, H),
-                             interpolation=cv2.INTER_NEAREST)
-        out = np.zeros_like(resized)
+        H, W = self.orig_shape
+        probs_in = np.asarray(masks, np.float32) \
+            * agg_valid[:, None, None]                   # (K, H_in, W_in)
+        Hn = int(self.input_size[0] / r)
+        Wn = int(self.input_size[1] / r)
+        K = probs_in.shape[0]
+        probs = np.zeros((K, H, W), np.float32)
+        for k in range(K):
+            if agg_valid[k] <= 0:
+                continue
+            pr = cv2.resize(probs_in[k], (Wn, Hn),
+                            interpolation=cv2.INTER_LINEAR)[:H, :W]
+            probs[k, :pr.shape[0], :pr.shape[1]] = pr
+        bg = np.prod(1.0 - probs, axis=0, keepdims=True)
+        lab = np.argmax(np.concatenate([bg, probs], axis=0), axis=0)
+        out = np.zeros((H, W), dtype=np.uint8)
         for slot, oid in enumerate(self.obj_ids):
-            out[resized == slot + 1] = oid
+            out[lab == slot + 1] = oid
         for oid, gt in self._entry_overlay.items():
             out[gt] = oid
         self._entry_overlay = {}
