@@ -133,6 +133,20 @@ def main():
     def opt_only(state, grads):
         return state.apply_gradients(grads).step
 
+    bwd_split = os.environ.get("TP_BWD_SPLIT", "0") == "1"
+    t_emb_grad = None
+    if bwd_split:
+        # bwd decomposition: value_and_grad of the EMBEDDING stage alone
+        # (backbone x2 + interaction + upsample) — its bwd time separates
+        # trunk/interaction gradients from head/loss gradients in the full
+        # step's bwd residual
+        emb_grad_fn = jax.jit(jax.grad(
+            lambda p, im: jnp.sum(
+                uni_forward_embeddings(model, p, im)[1].astype(jnp.float32))))
+
+        def emb_grad_once(p, im):
+            return jax.tree_util.tree_leaves(emb_grad_fn(p, im))[0]
+
     @jax.jit
     def null(c0):
         def body(c, _):
@@ -161,6 +175,9 @@ def main():
                    "full_step") - floor1
     t_opt = max(timed(lambda s: opt_only(s, grads), (state,), 1, "opt")
                 - floor1, 0.0)
+    if bwd_split:
+        t_emb_grad = timed(emb_grad_once, (state.params, images), 1,
+                           "emb_grad") - floor1
 
     flops = None
     try:  # pre-optimization HLO flops (same accounting as the serving
@@ -186,6 +203,9 @@ def main():
             "full_step": round(t_step, 1),
             "optimizer": round(t_opt, 1),
             "bwd_residual": round(t_step - t_fwd - t_opt, 1),
+            **({"emb_fwd_plus_bwd": round(t_emb_grad, 1),
+                "emb_bwd_est": round(t_emb_grad - t_emb, 1)}
+               if t_emb_grad is not None else {}),
         },
         "fetch_floor_ms": round(floor1, 1),
         "ms_per_sample": round(t_step / B, 1),
