@@ -131,11 +131,12 @@ def test_boxinst_train_step():
                      width=0.25, in_channels=(256, 512, 1024),
                      use_attention=False, n_layer_att=0, use_mask=True)
     B, Mi, d_rate = 1, 6, 4
-    # smooth gradient image: neighbors are color-similar, so the pairwise
-    # weight (sim >= 0.3 inside the box) has support
+    # gently varying image: neighbors are color-similar, so the pairwise
+    # weight (sim >= 0.3 inside the box) has support regardless of the
+    # BGR/RGB interpretation (losses treat pipeline images as BGR)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     images = jnp.asarray(np.stack(
-        [100 + yy, 80 + xx * 0.5, 120 + (yy + xx) * 0.25],
+        [100 + yy * 0.2, 80 + xx * 0.1, 120 + (yy + xx) * 0.05],
         axis=-1)[None].clip(0, 255))
     labels = np.zeros((B, Mi, 5), np.float32)
     labels[0, 0] = [1, 30, 30, 20, 20]

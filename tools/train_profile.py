@@ -59,7 +59,10 @@ def main():
     B = int(os.environ.get("TP_BATCH", "1"))
     N = int(os.environ.get("TP_NSCAN", "8"))
     remat_env = os.environ.get("TP_REMAT", "0")
-    remat = {"0": False, "1": True, "dw": "dw"}[remat_env]
+    try:
+        remat = {"0": False, "1": True, "dw": "dw"}[remat_env]
+    except KeyError:
+        sys.exit(f"TP_REMAT={remat_env!r}: valid values are 0, 1, dw")
 
     model = Unicorn(num_classes=8, backbone_name="convnext_tiny",
                     in_channels=(192, 384, 768), interact_mode="deform",

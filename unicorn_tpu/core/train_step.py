@@ -103,7 +103,8 @@ def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
 
 def det_mask_loss_fn(model, params, images, labels, masks, img_size,
                      use_l1=False, strides=(8, 16, 32), max_inst=24,
-                     sem_loss_on=False, boxinst=False, warmup_factor=1.0):
+                     sem_loss_on=False, boxinst=False, warmup_factor=1.0,
+                     d_rate=4):
     """Instance-seg stage loss: det losses + CondInst mask dice over
     SimOTA-matched anchors (reference YOLOXHeadDetMask path,
     yolo_head_det_mask.py:34-841). masks: (B, M, Hm, Wm).
@@ -132,7 +133,7 @@ def det_mask_loss_fn(model, params, images, labels, masks, img_size,
             flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
             assign.pred_iou, labels[..., 1:5], gt_valid, images,
             flat["hw"], strides, max_inst=max_inst, up_masks=up_mask,
-            warmup_factor=warmup_factor,
+            warmup_factor=warmup_factor, d_rate=d_rate,
         )
         mask_l = prj_l + pw_l
         loss_dict["boxinst_prj_loss"] = prj_l
@@ -158,7 +159,7 @@ def det_mask_loss_fn(model, params, images, labels, masks, img_size,
 
 def make_det_mask_train_step(model, img_size, use_l1=False, max_inst=24,
                              sem_loss_on=False, donate=True, boxinst=False,
-                             boxinst_warmup_iters=10000):
+                             boxinst_warmup_iters=10000, d_rate=4):
     """boxinst=True trains masks from boxes only (losses/boxinst.py); the
     pairwise term warms up linearly over boxinst_warmup_iters, driven by
     state.step (so resume keeps the schedule)."""
@@ -171,7 +172,7 @@ def make_det_mask_train_step(model, img_size, use_l1=False, max_inst=24,
             return det_mask_loss_fn(model, params, images, labels, masks,
                                     img_size, use_l1, max_inst=max_inst,
                                     sem_loss_on=sem_loss_on, boxinst=boxinst,
-                                    warmup_factor=warmup)
+                                    warmup_factor=warmup, d_rate=d_rate)
 
         (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)

@@ -134,6 +134,7 @@ class VOSDriver:
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
         self._aggregate = jax.jit(aggregate_fn)
+        self._cast16 = jax.jit(lambda m: m.astype(jnp.float16))
         # unjitted handles so bench.py can embed the REAL per-frame fns in a
         # lax.scan (same pattern as SOTDriver._track_fn_raw)
         self._track_fn_raw = track_fn
@@ -260,10 +261,15 @@ class VOSDriver:
         import cv2
 
         H, W = self.orig_shape
-        probs_in = np.asarray(masks, np.float32) \
+        # fp16 on device halves the per-frame fetch volume over the
+        # latency-bound host link (argmax-grade precision is plenty)
+        probs_in = np.asarray(self._cast16(masks), np.float32) \
             * agg_valid[:, None, None]                   # (K, H_in, W_in)
-        Hn = int(self.input_size[0] / r)
-        Wn = int(self.input_size[1] / r)
+        # round, not floor: fp error in 1/r must not drop the last row/col
+        # of the original resolution (e.g. DAVIS 854 -> int(1280/r)=853,
+        # which would force that column to background forever)
+        Hn = int(round(self.input_size[0] / r))
+        Wn = int(round(self.input_size[1] / r))
         K = probs_in.shape[0]
         probs = np.zeros((K, H, W), np.float32)
         for k in range(K):

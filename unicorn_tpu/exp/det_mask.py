@@ -105,7 +105,8 @@ class ExpDetMask(ExpDet):
             # box-supervised BoxInst branch (reference cfg
             # MODEL.BOXINST.ENABLED; off by default there too)
             boxinst=getattr(self, "boxinst", False),
-            boxinst_warmup_iters=getattr(self, "boxinst_warmup_iters", 10000))
+            boxinst_warmup_iters=getattr(self, "boxinst_warmup_iters", 10000),
+            d_rate=self.d_rate)
 
     def get_optimizer(self, batch_size, iters_per_epoch=1000):
         import optax

@@ -15,6 +15,10 @@ BoxInst paper's published formulation (Tian et al., CVPR 2021):
 Everything is static-shape: neighborhoods are unrolled shifts (k and
 dilation are Python ints), instances ride the same fixed top-K anchor slots
 as the fully-supervised CondInst loss (losses/mask.py).
+
+Note: the reference reads cfg MODEL.BOXINST.BOTTOM_PIXELS_REMOVED
+(dynamic_mask_head.py:111) but its repo never consumes it (the consumer is
+non-vendored AdelaiDet prep code), so this port omits it too.
 """
 from __future__ import annotations
 
@@ -22,11 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.mask_head import anchor_locations_and_levels
-from ..ops.dynamic_conv import (
-    aligned_bilinear,
-    convex_upsample,
-    dynamic_mask_logits,
-)
+from .mask import dice_per_instance, select_topk_mask_logits
 
 
 def unfold_wo_center(x, kernel_size: int, dilation: int):
@@ -63,19 +63,16 @@ def compute_pairwise_term(mask_logits, kernel_size: int = 3,
     return -log_same
 
 
-def _proj_dice(a, b, eps=1e-5):
-    inter = jnp.sum(a * b, axis=-1)
-    union = jnp.sum(a ** 2, axis=-1) + jnp.sum(b ** 2, axis=-1) + eps
-    return 1.0 - 2.0 * inter / union
-
-
 def compute_project_term(mask_scores, gt_bitmasks):
     """(N, H, W) each -> (N,) : dice between max-projections onto both axes,
     summed (the BoxInst projection loss — the box supervises only the mask's
     row/column supports; reference dynamic_mask_head.py:7-16 sums x and y
-    before the instance mean)."""
-    lx = _proj_dice(jnp.max(mask_scores, axis=1), jnp.max(gt_bitmasks, axis=1))
-    ly = _proj_dice(jnp.max(mask_scores, axis=2), jnp.max(gt_bitmasks, axis=2))
+    before the instance mean). Dice formula shared with the supervised loss
+    (losses/mask.dice_per_instance — same eps/normalization)."""
+    lx = dice_per_instance(jnp.max(mask_scores, axis=1),
+                           jnp.max(gt_bitmasks, axis=1))
+    ly = dice_per_instance(jnp.max(mask_scores, axis=2),
+                           jnp.max(gt_bitmasks, axis=2))
     return lx + ly
 
 
@@ -131,7 +128,9 @@ def boxinst_mask_loss(
     ctrl, mask_feats, fg_mask, matched_gt, pred_iou,
     gt_boxes,        # (B, M, 4) cxcywh, input scale
     gt_valid,        # (B, M)
-    images,          # (B, H, W, 3) RGB 0-255 (the raw training frames)
+    images,          # (B, H, W, 3) 0-255 training frames; BGR by default —
+                     # the repo's data pipeline is cv2/BGR end to end
+                     # (data/preproc.py letterbox, transforms.py HSV aug)
     hw_list, strides,
     max_inst: int = 48,
     up_masks=None, up_rate: int = 8,
@@ -139,11 +138,14 @@ def boxinst_mask_loss(
     pairwise_size: int = 3, pairwise_dilation: int = 2,
     color_thresh: float = 0.3,
     warmup_factor=1.0,
+    bgr: bool = True,
 ):
     """Box-supervised replacement for condinst_mask_loss: returns
     (loss_prj, loss_pairwise * warmup_factor) with the same fixed top-K
-    anchor slotting. warmup_factor may be a traced scalar
-    (min(iter/warmup_iters, 1), dynamic_mask_head.py:267)."""
+    anchor slotting (losses/mask.select_topk_mask_logits). warmup_factor
+    may be a traced scalar (min(iter/warmup_iters, 1),
+    dynamic_mask_head.py:267). bgr=True flips channels before the LAB
+    conversion so the color-pairwise term sees true R/G/B."""
     B, A = fg_mask.shape
     locs, lvls = anchor_locations_and_levels(hw_list, strides)
     H, W = images.shape[1:3]
@@ -151,23 +153,17 @@ def boxinst_mask_loss(
 
     # LAB color similarity at the mask grid (adet downsamples the image to
     # mask stride before the similarity)
-    imgs_small = jax.image.resize(images, (B, Hm, Wm, 3), "bilinear")
+    rgb = images[..., ::-1] if bgr else images
+    imgs_small = jax.image.resize(rgb, (B, Hm, Wm, 3), "bilinear")
     sim = jax.vmap(lambda im: images_color_similarity(
         rgb_to_lab(im), pairwise_size, pairwise_dilation))(imgs_small)
 
     def per_image(ctrl_i, mf_i, fg_i, mgt_i, piou_i, gtb_i, gtv_i, sim_i,
                   upm_i):
-        score = jnp.where(fg_i, piou_i + 1.0, 0.0)
-        topv, topi = jax.lax.top_k(score, max_inst)
-        valid = (topv > 0.0).astype(jnp.float32)
-        params = ctrl_i[topi]
-        logits = dynamic_mask_logits(mf_i, params, locs[topi], lvls[topi])
-        if upm_i is not None:
-            logits = convex_upsample(logits, upm_i, up_rate)
-        else:
-            logits = aligned_bilinear(logits, 2)
-        if logits.shape[1:] != (Hm, Wm):
-            logits = jax.image.resize(logits, (max_inst, Hm, Wm), "bilinear")
+        valid_b, topi, logits = select_topk_mask_logits(
+            ctrl_i, mf_i, fg_i, piou_i, locs, lvls, max_inst, upm_i,
+            up_rate, Hm, Wm)
+        valid = valid_b.astype(jnp.float32)
         bms = boxes_to_bitmasks(gtb_i, gtv_i, Hm, Wm, float(d_rate))
         tgts = bms[mgt_i[topi]]                       # (K, Hm, Wm)
         scores = jax.nn.sigmoid(logits)

@@ -31,6 +31,29 @@ def dice_per_instance(scores, targets):
     return 1.0 - 2.0 * inter / union
 
 
+def select_topk_mask_logits(ctrl_i, mf_i, fg_i, piou_i, locs, lvls,
+                            max_inst, upm_i, up_rate, Hm, Wm):
+    """Shared CondInst slot machinery (single image): top-K fg anchors by
+    matched IoU (+1 so iou=0 fg still beats bg), dynamic-conv mask decode,
+    RAFT/bilinear upsample, and a resize fallback to the target mask grid.
+    Used by both the fully-supervised dice loss below and the BoxInst
+    box-supervised loss (losses/boxinst.py) so slot selection cannot drift.
+
+    Returns (valid (K,) bool, topi (K,) int anchor idx, logits (K, Hm, Wm)).
+    """
+    score = jnp.where(fg_i, piou_i + 1.0, 0.0)
+    topv, topi = jax.lax.top_k(score, max_inst)
+    valid = topv > 0.0
+    logits = dynamic_mask_logits(mf_i, ctrl_i[topi], locs[topi], lvls[topi])
+    if upm_i is not None:
+        logits = convex_upsample(logits, upm_i, up_rate)
+    else:
+        logits = aligned_bilinear(logits, 2)        # stride 8 -> 4
+    if logits.shape[1:] != (Hm, Wm):
+        logits = jax.image.resize(logits, (max_inst, Hm, Wm), "bilinear")
+    return valid, topi, logits
+
+
 def condinst_mask_loss(
     ctrl,            # (B, A, 169) controller outputs
     mask_feats,      # (B, H8, W8, 8)
@@ -50,21 +73,9 @@ def condinst_mask_loss(
     Hm, Wm = gt_masks.shape[2:]
 
     def per_image(ctrl_i, mf_i, fg_i, mgt_i, piou_i, gtm_i, upm_i):
-        # top-K fg anchors by matched IoU
-        score = jnp.where(fg_i, piou_i + 1.0, 0.0)  # +1 so iou=0 fg still beats bg
-        topv, topi = jax.lax.top_k(score, max_inst)
-        valid = topv > 0.0
-        params = ctrl_i[topi]                       # (K, 169)
-        ilocs = locs[topi]
-        ilvls = lvls[topi]
-        logits = dynamic_mask_logits(mf_i, params, ilocs, ilvls)  # (K, H8, W8)
-        if upm_i is not None:
-            logits = convex_upsample(logits, upm_i, up_rate)
-        else:
-            logits = aligned_bilinear(logits, 2)    # stride 8 -> 4
-        # match gt spatial size
-        if logits.shape[1:] != (Hm, Wm):
-            logits = jax.image.resize(logits, (max_inst, Hm, Wm), "bilinear")
+        valid, topi, logits = select_topk_mask_logits(
+            ctrl_i, mf_i, fg_i, piou_i, locs, lvls, max_inst, upm_i,
+            up_rate, Hm, Wm)
         scores = jax.nn.sigmoid(logits)
         tgts = gtm_i[mgt_i[topi]]                   # (K, Hm, Wm)
         d = dice_per_instance(scores, tgts)

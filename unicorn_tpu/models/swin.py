@@ -143,7 +143,10 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     dtype: Any = jnp.float32
-    # per-block grad remat (reference swin_transformer.py use_checkpoint role)
+    # per-block grad remat (reference swin_transformer.py use_checkpoint
+    # role). The selective remat="dw" policy is ConvNeXt-only (there is no
+    # dw7x7 here); any truthy value — including "dw" passed through a
+    # backbone-agnostic config — means full block remat.
     remat: bool = False
 
     @nn.compact
