@@ -562,3 +562,18 @@ def test_track_omni_mots_cli_end_to_end(tmp_path, monkeypatch, capsys):
 
     files = os.listdir(result_dir)
     assert files, "no MOTS results written"
+
+
+def test_get_evaluator_mesh_kwarg_compat():
+    """tools/eval.py passes mesh= to every exp's get_evaluator; lock the
+    signature so a uni/track exp cannot regress to TypeError (ADVICE r2)."""
+    import inspect
+
+    from unicorn_tpu.exp.det import ExpDet
+    from unicorn_tpu.exp.det_mask import ExpDetMask
+    from unicorn_tpu.exp.track import ExpTrack
+    from unicorn_tpu.exp.track_mask import ExpTrackMask
+
+    for cls in (ExpDet, ExpDetMask, ExpTrack, ExpTrackMask):
+        sig = inspect.signature(cls.get_evaluator)
+        assert "mesh" in sig.parameters, cls.__name__
