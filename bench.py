@@ -371,7 +371,59 @@ def main():
             lambda c: scan_vos_driver(params_vos, vfeat, vlbs, c),
             vframe0, N_SCAN, lambda o: o) - ms_floor
 
+    # ---------------- training: one uni train step, B=1 ----------------
+    # Driver-recorded training throughput (README's train tables come from
+    # tools/train_profile.py; this stamps one number into BENCH_r*.json).
+    # Same trunk/head as the serving model, production uni loss (bidirect,
+    # SimOTA, correlation), AdamW+EMA state. BENCH_TRAIN=0 skips.
+    train_ms = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        from unicorn_tpu.core.train_state import (
+            TrainState, default_wd_mask, make_optimizer,
+        )
+        from unicorn_tpu.core.train_step import uni_loss_fn
+
+        timages = jnp.asarray((rng.rand(1, 2, H, W, 3) * 255)
+                              .astype(np.float32))
+        ttg = np.zeros((1, 2, 60, 6), np.float32)
+        for k in range(10):
+            ttg[0, :, k] = [0, 100 + 20 * k, 80 + 10 * k, 60, 80, k + 1]
+        ttargets = jnp.asarray(ttg)
+        ttask = jnp.asarray([2], jnp.int32)
+        tx = make_optimizer(lambda s: 1e-4, kind="adamw",
+                            no_decay_mask_fn=default_wd_mask)
+        tstate = TrainState.create(params, tx)
+        grad_fn = jax.value_and_grad(lambda p, im, tg, tid: uni_loss_fn(
+            model, p, im, tg, tid, (H, W), bidirect=True, num_classes=1)[0])
+
+        @jax.jit
+        def train_once(state, im, tg, tid):
+            loss, grads = grad_fn(state.params, im, tg, tid)
+            return state.apply_gradients(grads), loss
+
+        @jax.jit
+        def null1(x):
+            return x * jnp.float32(1.0000001)
+
+        tstate, tl = train_once(tstate, timages, ttargets, ttask)
+        _ = float(tl)  # compile + warm
+        floor1 = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(null1(jnp.float32(1.0)))
+            floor1 = min(floor1, time.perf_counter() - t0)
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tstate, tl = train_once(tstate, timages, ttargets, ttask)
+            _ = float(tl)
+            best = min(best, time.perf_counter() - t0)
+        train_ms = max((best - floor1) * 1000.0, 0.0)
+        del tstate
+
     extra = {
+        "uni_train_ms_per_sample_b1": (round(train_ms, 1)
+                                       if train_ms is not None else None),
         "sot_driver_fps": round(1000.0 / ms_sot_seq, 2),
         "sot_driver_window8_fps": round(8000.0 / ms_sot_win, 2),
         "vos_driver_fps_k4": round(1000.0 / ms_vos, 2),
