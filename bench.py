@@ -40,6 +40,7 @@ BASELINE.md from measured FLOPs, measured launch counts, and public specs.
 """
 import json
 import os
+import sys
 import threading
 import time
 from functools import partial
@@ -377,7 +378,8 @@ def main():
     # Same trunk/head as the serving model, production uni loss (bidirect,
     # SimOTA, correlation), AdamW+EMA state. BENCH_TRAIN=0 skips.
     train_ms = None
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
+    try:
+      if os.environ.get("BENCH_TRAIN", "1") == "1":
         from unicorn_tpu.core.train_state import (
             TrainState, default_wd_mask, make_optimizer,
         )
@@ -420,6 +422,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         train_ms = max((best - floor1) * 1000.0, 0.0)
         del tstate
+    except Exception as e:  # never let the train extra kill the headline
+        print(f"# train metric skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        train_ms = None
 
     extra = {
         "uni_train_ms_per_sample_b1": (round(train_ms, 1)
