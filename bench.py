@@ -362,9 +362,12 @@ def main():
         ms_sot_seq = _timed_scan(
             lambda c: scan_sot_driver(params, feat_ref, lbs_ref, c),
             frames_u8[:1], N_SCAN, lambda o: o) - ms_floor
+        # ms_floor is the per-application floor share measured over N_SCAN
+        # apps; the w8 call runs only n_win apps, so its per-app floor share
+        # scales UP by N_SCAN/n_win (one fetch amortized over fewer apps)
         ms_sot_win = (_timed_scan(
             lambda c: scan_sot_driver_w8(params, feat_ref, lbs_ref, c),
-            frames_u8, n_win, lambda o: o) - ms_floor * n_win / N_SCAN)
+            frames_u8, n_win, lambda o: o) - ms_floor * N_SCAN / n_win)
     ms_vos = float("inf")
     if not skip_vos:
         vframe0 = jnp.asarray(frame0_np.astype(np.float32))

@@ -150,7 +150,7 @@ def test_ytvos_loader_meta_and_mid_video_objects(tmp_path):
     (vdir / "meta.json").write_text(json.dumps(meta))
     seqs = load_ytvos(root=str(root))
     assert len(seqs) == 1
-    assert seqs[0].object_ids == ["1", "2"]
+    assert seqs[0].object_ids == [1, 2]  # ints, numerically sorted
     assert len(seqs[0].frames) == 2 and len(seqs[0].masks) == 2
     with pytest.raises(FileNotFoundError):
         load_ytvos(root=str(tmp_path / "nope"))

@@ -261,16 +261,26 @@ class Trainer:
         evaluator = self.exp.get_evaluator()
         model = self.model
 
-        @jax.jit
-        def forward(params, images):
-            raw = model.apply(params, images)
-            if isinstance(raw, tuple):
-                raw = raw[0]
-            return decode_for_inference(raw, (8, 16, 32), mode="mot")
+        from ..evaluators.coco_inst_evaluator import COCOInstEvaluator
+
+        if isinstance(evaluator, COCOInstEvaluator):
+            # mask exps: the inst evaluator consumes the decode+NMS+CondInst
+            # forward ((dets, valid, masks) per image), not the det decode
+            forward = self.exp.get_inst_forward(model)
+        else:
+            @jax.jit
+            def forward(params, images):
+                raw = model.apply(params, images)
+                if isinstance(raw, tuple):
+                    raw = raw[0]
+                return decode_for_inference(raw, (8, 16, 32), mode="mot")
 
         params = self.state.ema_params or self.state.params
         metrics = evaluator.evaluate(forward, params, max_images=1000)
-        ap = metrics.get("AP", 0.0)
+        # det evals report "AP"; the inst evaluator prefixes ("mask_AP"
+        # when gt has masks, else "box_AP")
+        ap = metrics.get("AP", metrics.get("mask_AP",
+                                           metrics.get("box_AP", 0.0)))
         self.logger.info("eval: %s", metrics)
         self._log_metrics({"epoch": self.epoch, "eval": True,
                            **{k: float(v) for k, v in metrics.items()

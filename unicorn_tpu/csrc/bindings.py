@@ -180,6 +180,11 @@ def pack_frames_s2d4(frames: np.ndarray) -> Optional[np.ndarray]:
         return None
     frames = np.ascontiguousarray(frames)
     n, h, w, c = frames.shape
+    if h % 4 or w % 4:
+        # match the numpy fallback, which raises on the reshape — the native
+        # kernel would otherwise silently crop the remainder rows/cols
+        raise ValueError(f"pack_frames_s2d4 needs H, W divisible by 4, "
+                         f"got {h}x{w}")
     out = np.empty((n, h // 4, w // 4, 16 * c), np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.pack_frames_s2d4(frames.ctypes.data_as(u8p), n, h, w, c,

@@ -252,8 +252,10 @@ def load_ytvos(root=None, year="2018", split="valid"):
         frames = [os.path.join(jdir, f) for f in sorted(os.listdir(jdir))]
         masks = ([os.path.join(adir, f) for f in sorted(os.listdir(adir))]
                  if os.path.isdir(adir) else [])
-        obj_ids = sorted(meta[name]["objects"]) if "objects" in meta[name] \
-            else None
+        # meta.json object keys are strings — sort numerically and store
+        # ints so they compare against np.unique(mask) labels
+        obj_ids = (sorted(int(k) for k in meta[name]["objects"])
+                   if "objects" in meta[name] else None)
         seqs.append(Sequence(name, frames, np.zeros((1, 4)), masks=masks,
                              object_ids=obj_ids, dataset=f"yt{year}"))
     return seqs

@@ -57,7 +57,9 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
       value: (B, L, H, W, M, D) per-level value maps split into M heads.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
-      method: "gather" | "onehot" | "pallas" | "auto" (pallas on TPU).
+      method: "gather" | "onehot" | "onehot_factored" | "pallas" |
+        "auto" (onehot_factored on TPU — measured 4.2 ms vs pallas 10.0 at
+        the 8k-query SOT shape; gather on CPU).
 
     Returns:
       (B, Lq, M * D)
