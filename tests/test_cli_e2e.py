@@ -643,3 +643,68 @@ def test_trainer_in_training_eval_inst_exp(tmp_path, monkeypatch, capsys):
 
     Trainer.evaluate_and_save_best(t)   # must not raise
     assert saved == ["best"]            # ap >= 0 beats the -1 sentinel
+
+
+def test_trainer_in_training_eval_track_exp(tmp_path, monkeypatch):
+    """Trainer.evaluate_and_save_best with a uni/track exp: runs a COCO box
+    eval over the MOT val set (get_trainer_evaluator — reference
+    unicorn_track.py:402-443 role), NOT the MOT-metrics evaluator whose
+    evaluate() has a different contract (r3 review)."""
+    import logging
+
+    import cv2
+    import jax
+    import optax
+
+    from unicorn_tpu.core.train_state import TrainState
+    from unicorn_tpu.core.trainer import Trainer
+    from unicorn_tpu.exp.base import get_exp
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    datadir = str(tmp_path / "data")
+    img_dir = os.path.join(datadir, "mot", "test")
+    ann_dir = os.path.join(datadir, "mot", "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    H, W = 64, 96
+    images, anns = [], []
+    for i in range(2):
+        img = np.zeros((H, W, 3), np.uint8)
+        x, y, w, h = 20 + 10 * i, 15, 30, 30
+        img[y:y + h, x:x + w] = 200
+        cv2.imwrite(os.path.join(img_dir, f"{i:06d}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i:06d}.jpg",
+                       "height": H, "width": W})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+    with open(os.path.join(ann_dir, "test_tiny.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    exp_file = tmp_path / "exp_cli_track.py"
+    exp_file.write_text(TRACK_EXP)
+    monkeypatch.setenv("UNICORN_DATADIR", datadir)
+
+    exp = get_exp(str(exp_file))
+    model = exp.get_model()
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, H, W, 3), np.float32),
+                        method=Unicorn.init_all)
+
+    class Stub:
+        pass
+
+    t = Stub()
+    t.exp = exp
+    t.model = model
+    t.state = TrainState.create(params, optax.sgd(1e-4), use_ema=False)
+    t.logger = logging.getLogger("test")
+    t.best_ap = -1.0
+    t.epoch = 0
+    t.output_dir = str(tmp_path / "out")
+    os.makedirs(t.output_dir, exist_ok=True)
+    t._log_metrics = lambda rec: None
+    saved = []
+    t.save_ckpt = lambda name: saved.append(name)
+
+    Trainer.evaluate_and_save_best(t)   # must not raise
+    assert saved == ["best"]

@@ -258,7 +258,7 @@ class Trainer:
 
         from ..models.heads import decode_for_inference
 
-        evaluator = self.exp.get_evaluator()
+        evaluator = self.exp.get_trainer_evaluator()
         model = self.model
 
         from ..evaluators.coco_inst_evaluator import COCOInstEvaluator

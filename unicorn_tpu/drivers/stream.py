@@ -28,6 +28,10 @@ def pack_frames_np(frames: np.ndarray) -> np.ndarray:
     ~0.7 ms/frame (tiny-minor-dim relayout) no matter how it is phrased.
     Patch-major (dy, dx, c) order matches models.convnext.space_to_depth_4x4.
     """
+    n, h, w, c = frames.shape
+    if h % 4 or w % 4:
+        raise ValueError(f"pack_frames_np needs H, W divisible by 4 "
+                         f"(letterboxed input), got {h}x{w}")
     if frames.dtype == np.uint8 and frames.ndim == 4:
         # native row-streaming packer (csrc/pack.cpp): ~2.0 vs 3.4 ms/frame
         # numpy transpose-copy at 800x1280 on one core; bit-identical
@@ -39,7 +43,6 @@ def pack_frames_np(frames: np.ndarray) -> np.ndarray:
                 return out
         except Exception:
             pass
-    n, h, w, c = frames.shape
     xp = frames.reshape(n, h // 4, 4, w // 4, 4, c)
     return np.ascontiguousarray(xp.transpose(0, 1, 3, 2, 4, 5)).reshape(
         n, h // 4, w // 4, 16 * c)

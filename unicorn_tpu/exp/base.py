@@ -36,6 +36,13 @@ class BaseExp(ABC):
     def get_lr_scheduler(self, lr, iters_per_epoch):
         raise NotImplementedError
 
+    def get_trainer_evaluator(self, batch_size=1):
+        """Evaluator for the Trainer's in-training eval + best-ckpt loop.
+        Defaults to get_evaluator(); track exps override with a COCO box
+        evaluator — the reference evaluates detection AP during uni
+        training (unicorn_track.py:402-443), not MOT metrics."""
+        return self.get_evaluator(batch_size=batch_size)
+
     def get_evaluator(self):
         raise NotImplementedError
 

@@ -261,6 +261,26 @@ class ExpTrack(BaseExp):
 
         return MOTEvaluator(exp=self)
 
+    def get_trainer_evaluator(self, batch_size=1):
+        """In-training box-AP eval over the COCO-format MOT val set (the
+        reference uni trainer runs a COCOEvaluator on MOTDataset during
+        tracking training, unicorn_track.py:402-443); the MOT-metrics
+        evaluator above is the tools/track.py path."""
+        from ..data.datasets.coco import COCODataset
+        from ..data.transforms import ValTransform
+        from ..evaluators.coco_evaluator import COCOEvaluator
+
+        data_dir = os.path.join(get_unicorn_datadir(), "mot")
+        ds = COCODataset(
+            data_dir=data_dir, json_file=self.test_ann, name=self.test_name,
+            img_size=self.test_size, preproc=ValTransform(),
+        )
+        return COCOEvaluator(
+            ds, self.test_size, conf_thre=self.test_conf,
+            nms_thre=self.nmsthre, num_classes=self.num_classes,
+            batch_size=batch_size,
+        )
+
     def eval(self, model, params, evaluator):
         return evaluator.evaluate(model, params)
 
