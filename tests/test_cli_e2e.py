@@ -579,17 +579,40 @@ def test_get_evaluator_mesh_kwarg_compat():
         assert "mesh" in sig.parameters, cls.__name__
 
 
+def _stub_trainer(tmp_path, exp, model, params):
+    """Duck-typed stand-in carrying exactly the attributes
+    Trainer.evaluate_and_save_best reads; returns (stub, saved_names)."""
+    import logging
+
+    import optax
+
+    from unicorn_tpu.core.train_state import TrainState
+
+    class Stub:
+        pass
+
+    t = Stub()
+    t.exp = exp
+    t.model = model
+    t.state = TrainState.create(params, optax.sgd(1e-4), use_ema=False)
+    t.logger = logging.getLogger("test")
+    t.best_ap = -1.0
+    t.epoch = 0
+    t.output_dir = str(tmp_path / "out")
+    os.makedirs(t.output_dir, exist_ok=True)
+    t._log_metrics = lambda rec: None
+    saved = []
+    t.save_ckpt = lambda name: saved.append(name)
+    return t, saved
+
+
 def test_trainer_in_training_eval_inst_exp(tmp_path, monkeypatch, capsys):
     """Trainer.evaluate_and_save_best with a mask exp: the COCOInstEvaluator
     needs the inst forward ((dets, valid, masks)), not the det decode —
     regression for the silent in-training-eval breakage (r3 review)."""
-    import logging
-
     import cv2
     import jax
-    import optax
 
-    from unicorn_tpu.core.train_state import TrainState
     from unicorn_tpu.core.trainer import Trainer
     from unicorn_tpu.evaluators import rle
     from unicorn_tpu.exp.base import get_exp
@@ -624,22 +647,7 @@ def test_trainer_in_training_eval_inst_exp(tmp_path, monkeypatch, capsys):
     model = exp.get_model()
     params = model.init(jax.random.PRNGKey(0),
                         np.zeros((1, H, W, 3), np.float32))
-
-    class Stub:  # just enough Trainer state for the method under test
-        pass
-
-    t = Stub()
-    t.exp = exp
-    t.model = model
-    t.state = TrainState.create(params, optax.sgd(1e-4), use_ema=False)
-    t.logger = logging.getLogger("test")
-    t.best_ap = -1.0
-    t.epoch = 0
-    t.output_dir = str(tmp_path / "out")
-    os.makedirs(t.output_dir, exist_ok=True)
-    t._log_metrics = lambda rec: None
-    saved = []
-    t.save_ckpt = lambda name: saved.append(name)
+    t, saved = _stub_trainer(tmp_path, exp, model, params)
 
     Trainer.evaluate_and_save_best(t)   # must not raise
     assert saved == ["best"]            # ap >= 0 beats the -1 sentinel
@@ -650,13 +658,9 @@ def test_trainer_in_training_eval_track_exp(tmp_path, monkeypatch):
     eval over the MOT val set (get_trainer_evaluator — reference
     unicorn_track.py:402-443 role), NOT the MOT-metrics evaluator whose
     evaluate() has a different contract (r3 review)."""
-    import logging
-
     import cv2
     import jax
-    import optax
 
-    from unicorn_tpu.core.train_state import TrainState
     from unicorn_tpu.core.trainer import Trainer
     from unicorn_tpu.exp.base import get_exp
     from unicorn_tpu.models.unicorn import Unicorn
@@ -689,22 +693,7 @@ def test_trainer_in_training_eval_track_exp(tmp_path, monkeypatch):
     params = model.init(jax.random.PRNGKey(0),
                         np.zeros((1, H, W, 3), np.float32),
                         method=Unicorn.init_all)
-
-    class Stub:
-        pass
-
-    t = Stub()
-    t.exp = exp
-    t.model = model
-    t.state = TrainState.create(params, optax.sgd(1e-4), use_ema=False)
-    t.logger = logging.getLogger("test")
-    t.best_ap = -1.0
-    t.epoch = 0
-    t.output_dir = str(tmp_path / "out")
-    os.makedirs(t.output_dir, exist_ok=True)
-    t._log_metrics = lambda rec: None
-    saved = []
-    t.save_ckpt = lambda name: saved.append(name)
+    t, saved = _stub_trainer(tmp_path, exp, model, params)
 
     Trainer.evaluate_and_save_best(t)   # must not raise
     assert saved == ["best"]

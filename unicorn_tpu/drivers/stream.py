@@ -32,7 +32,7 @@ def pack_frames_np(frames: np.ndarray) -> np.ndarray:
     if h % 4 or w % 4:
         raise ValueError(f"pack_frames_np needs H, W divisible by 4 "
                          f"(letterboxed input), got {h}x{w}")
-    if frames.dtype == np.uint8 and frames.ndim == 4:
+    if frames.dtype == np.uint8:  # ndim==4 guaranteed by the unpack above
         # native row-streaming packer (csrc/pack.cpp): ~2.0 vs 3.4 ms/frame
         # numpy transpose-copy at 800x1280 on one core; bit-identical
         try:

@@ -99,6 +99,11 @@ class COCOEvaluator:
             for k in range(len(det)):
                 x1, y1, x2, y2 = boxes[k]
                 cls_idx = int(det[k, 6])
+                if cls_idx >= len(self.dataset.class_ids):
+                    # model emits more classes than the val json defines
+                    # (e.g. 8-class uni head scored on the 1-category MOT
+                    # val) — such detections are unscoreable, skip them
+                    continue
                 out.append({
                     "image_id": img_id,
                     "category_id": self.dataset.class_ids[cls_idx],

@@ -41,7 +41,12 @@ class BaseExp(ABC):
         Defaults to get_evaluator(); track exps override with a COCO box
         evaluator — the reference evaluates detection AP during uni
         training (unicorn_track.py:402-443), not MOT metrics."""
-        return self.get_evaluator(batch_size=batch_size)
+        import inspect
+
+        # tolerate subclasses implementing the documented no-arg signature
+        if "batch_size" in inspect.signature(self.get_evaluator).parameters:
+            return self.get_evaluator(batch_size=batch_size)
+        return self.get_evaluator()
 
     def get_evaluator(self):
         raise NotImplementedError

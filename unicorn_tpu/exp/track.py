@@ -92,6 +92,9 @@ class ExpTrack(BaseExp):
         self.nmsthre = 0.65
         self.test_ann = "test.json"
         self.test_name = "test"
+        # in-training eval root (reference unicorn_track.py:109: the MOT
+        # Challenge COCO-format val, even for BDD-trained exps)
+        self.test_data_dir = None  # defaults to $UNICORN_DATADIR/mot
         # -----------------  other config ------------------ #
         self.sot_only = False
         self.mot_only = False
@@ -270,7 +273,8 @@ class ExpTrack(BaseExp):
         from ..data.transforms import ValTransform
         from ..evaluators.coco_evaluator import COCOEvaluator
 
-        data_dir = os.path.join(get_unicorn_datadir(), "mot")
+        data_dir = getattr(self, "test_data_dir", None) or os.path.join(
+            get_unicorn_datadir(), "mot")
         ds = COCODataset(
             data_dir=data_dir, json_file=self.test_ann, name=self.test_name,
             img_size=self.test_size, preproc=ValTransform(),
