@@ -283,3 +283,77 @@ def test_uni_loader_workers_parallel():
         seen_tasks.add(int(tids[0]))
     loader.stop()
     assert seen_tasks == {1, 2}  # alternation still flips across batches
+
+
+def _mini_mot_json(path, n_imgs=2):
+    """Minimal COCO-video json the MOTOmniDataset can open."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = {
+        "images": [{"id": i, "file_name": f"{i}.jpg", "video_id": -1,
+                    "frame_id": 0, "height": 64, "width": 64}
+                   for i in range(n_imgs)],
+        "annotations": [{"id": i, "image_id": i, "category_id": 1,
+                         "bbox": [4, 4, 20, 20], "area": 400, "iscrowd": 0,
+                         "track_id": -1} for i in range(n_imgs)],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    json.dump(d, open(path, "w"))
+
+
+def test_track_exp_default_mix_weights(tmp_path, monkeypatch, caplog):
+    """ExpTrack assembles the reference's default mix
+    (unicorn_track.py:283-332): motchallenge MOT group weighted [2,6,1,1],
+    SOT group COCOSOT+LaSOT+GOT10K+TrackingNet [1,1,1,1]; datasets whose
+    files are absent are skipped with a logged warning and the weight
+    vector renormalized over the survivors."""
+    import logging
+
+    from unicorn_tpu.exp.track import ExpTrack
+
+    monkeypatch.setenv("UNICORN_DATADIR", str(tmp_path))
+    # only MOT17 + CrowdHuman present
+    _mini_mot_json(str(tmp_path / "mot" / "annotations" / "train_omni.json"))
+    _mini_mot_json(
+        str(tmp_path / "crowdhuman" / "annotations" / "train.json"))
+
+    exp = ExpTrack()
+    exp.mot_test_name = "motchallenge"
+
+    # spec surface matches the reference groups exactly
+    assert [(n, w) for n, w, _ in exp._sot_dataset_specs(str(tmp_path))] == \
+        [("COCOSOT", 1), ("LaSOT", 1), ("GOT10K", 1), ("TrackingNet", 1)]
+    assert [(n, w) for n, w, _ in exp._mot_dataset_specs(str(tmp_path))] == \
+        [("MOT17", 2), ("CrowdHuman", 6), ("CityPersons", 1), ("ETHZ", 1)]
+
+    with caplog.at_level(logging.WARNING, logger="unicorn_tpu"):
+        ds = exp.get_dataset()
+    # MOT group: the two present datasets with their reference weights,
+    # renormalized (2:6 -> 0.25:0.75)
+    mot = ds.mot_dataset
+    assert len(mot.datasets) == 2
+    np.testing.assert_allclose(mot.p_datasets, [2 / 8, 6 / 8])
+    # SOT group: nothing present -> None, and each skip was announced
+    assert ds.sot_dataset is None
+    skipped = [r.message for r in caplog.records]
+    for name in ("COCOSOT", "LaSOT", "GOT10K", "TrackingNet",
+                 "CityPersons", "ETHZ"):
+        assert any(name in m for m in skipped), f"no skip warning for {name}"
+
+
+def test_track_exp_bdd_mix(tmp_path, monkeypatch):
+    """bdd100k mot_test_name keeps the single-dataset BDD group
+    (unicorn_track.py:304-315)."""
+    from unicorn_tpu.exp.track import ExpTrack
+
+    monkeypatch.setenv("UNICORN_DATADIR", str(tmp_path))
+    exp = ExpTrack()
+    assert [(n, w) for n, w, _ in exp._mot_dataset_specs(str(tmp_path))] == \
+        [("BDD100K", 1)]
+    import pytest as _pytest
+
+    exp.mot_test_name = "nonsense"
+    with _pytest.raises(ValueError):
+        exp._mot_dataset_specs(str(tmp_path))

@@ -120,6 +120,107 @@ def test_trainer_no_aug_transition(tmp_path):
     assert closed == [True]
 
 
+def _fixed_uni_batches(n, bs=2, h=H, w=W, m=5):
+    """Deterministic synthetic uni batches (images, targets, task_ids)."""
+    rng = np.random.RandomState(7)
+    batches = []
+    for _ in range(n):
+        images = (rng.rand(bs, 2, h, w, 3) * 255).astype(np.float32)
+        t = np.zeros((bs, m, 6), np.float32)
+        t[:, 0] = [0, h // 2, w // 2, 20, 20, 1]
+        targets = np.stack([t, t], 1)
+        task_ids = np.asarray(([1, 2] * bs)[:bs], np.int32)
+        batches.append((images, targets, task_ids))
+    return batches
+
+
+def _run_steps(trainer, batches):
+    from unicorn_tpu.parallel.mesh import shard_batch
+
+    for b in batches:
+        sb = shard_batch(trainer.mesh, b)
+        trainer.state, _ = trainer.step_fn(trainer.state, *sb)
+
+
+def test_resume_restores_optimizer_state_bit_identical(tmp_path):
+    """Checkpoint mid-run (mid-grad-accumulation, so the MultiSteps mini_step
+    counter is nonzero) + resume must reproduce the uninterrupted run
+    bit-identically: params, EMA, AdamW moments, and the accumulation counter
+    all continue (reference trainer.py:476-485 resumes model+optimizer+best_ap).
+    """
+    import jax
+
+    from unicorn_tpu.core.checkpoint import wait_for_checkpoints
+
+    def make_trainer(subdir, resume=False):
+        exp = TinyExp(str(tmp_path / subdir))
+        exp.use_grad_acc = True
+        exp.grad_acc_step = 2
+        args = {"batch_size": 2}
+        if resume:
+            args["resume"] = True
+        tr = Trainer(exp, args)
+        tr.before_train()
+        return tr
+
+    batches = _fixed_uni_batches(6)
+
+    # A: uninterrupted 6 steps
+    tr_a = make_trainer("a")
+    _run_steps(tr_a, batches)
+
+    # B: 3 steps (checkpoint lands mid-accumulation: mini_step == 1),
+    # save, then resume in a fresh trainer and run the remaining 3
+    tr_b = make_trainer("b")
+    _run_steps(tr_b, batches[:3])
+    tr_b.epoch = 2
+    tr_b.best_ap = 0.375
+    tr_b.save_ckpt("latest")
+    wait_for_checkpoints()
+
+    tr_c = make_trainer("b", resume=True)
+    assert tr_c.start_epoch == 3
+    assert tr_c.best_ap == 0.375
+    # the accumulation counter resumed nonzero — the regression VERDICT r3
+    # flagged (a fresh MultiSteps restarts at 0)
+    mini_step = jax.tree_util.tree_leaves(tr_c.state.opt_state)[0]
+    assert int(np.asarray(mini_step)) == 1
+    _run_steps(tr_c, batches[3:])
+
+    flat_a = jax.tree_util.tree_flatten(jax.device_get(
+        (tr_a.state.params, tr_a.state.ema_params, tr_a.state.opt_state)))[0]
+    flat_c = jax.tree_util.tree_flatten(jax.device_get(
+        (tr_c.state.params, tr_c.state.ema_params, tr_c.state.opt_state)))[0]
+    assert len(flat_a) == len(flat_c)
+    for xa, xc in zip(flat_a, flat_c):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xc))
+    assert int(tr_a.state.step) == int(tr_c.state.step) == 6
+
+
+def test_resume_without_opt_state_falls_back(tmp_path):
+    """Old checkpoints (params/EMA/epoch only) still resume — with fresh
+    optimizer moments and a warning rather than a crash."""
+    import jax
+
+    from unicorn_tpu.core.checkpoint import save_checkpoint
+
+    exp = TinyExp(str(tmp_path))
+    tr = Trainer(exp, {"batch_size": 2})
+    tr.before_train()
+    old = {
+        "params": jax.device_get(tr.state.params),
+        "ema_params": jax.device_get(tr.state.ema_params),
+        "epoch": 1, "step": 5,
+    }
+    save_checkpoint(os.path.join(str(tmp_path), "tiny_test"), old, "latest")
+
+    exp2 = TinyExp(str(tmp_path))
+    tr2 = Trainer(exp2, {"batch_size": 2, "resume": True})
+    tr2.before_train()
+    assert tr2.start_epoch == 1
+    assert int(tr2.state.step) == 5
+
+
 def test_async_checkpoint_roundtrip(tmp_path):
     """Non-blocking save + wait_for_checkpoints == blocking save contents."""
     import numpy as np

@@ -81,3 +81,74 @@ def test_saliency_dataset(tmp_path):
     _, res, m = frames[0]
     np.testing.assert_array_equal(res[0, :4], [15, 10, 35, 20])
     assert res[0, 5] == 1.0
+
+
+def test_mots_video_dataset(tmp_path):
+    """MOTSVideoDataset (reference mots_mot.py MOTSMOTDataset role): 2-frame
+    temporal samples over the converted MOTS COCO-video json with RLE masks
+    and persistent track ids."""
+    import json
+
+    from unicorn_tpu.data.datasets.vos import MOTSVideoDataset
+    from unicorn_tpu.evaluators import rle as rle_codec
+
+    root = str(tmp_path)
+    h, w = 48, 48
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    img_id = ann_id = 1
+    for f in range(1, 4):
+        fname = f"seq01/img1/{f:06d}.jpg"
+        os.makedirs(os.path.join(root, "seq01", "img1"), exist_ok=True)
+        cv2.imwrite(os.path.join(root, fname),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "video_id": 1, "frame_id": f,
+                       "file_name": fname, "height": h, "width": w})
+        for oid in (1, 2):
+            m = np.zeros((h, w), np.uint8)
+            y, x = 4 + 2 * f + 10 * oid, 6 + f + 12 * oid
+            m[y:y + 6, x:x + 8] = 1
+            anns.append({"id": ann_id, "image_id": img_id, "category_id": 1,
+                         "track_id": oid, "iscrowd": 0,
+                         "bbox": [float(x), float(y), 8.0, 6.0],
+                         "area": 48.0,
+                         "segmentation": rle_codec.encode(m)})
+            ann_id += 1
+        img_id += 1
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "pedestrian"}]},
+              open(os.path.join(root, "annotations", "train_mots.json"), "w"))
+
+    ds = MOTSVideoDataset(root)
+    assert len(ds) == 3
+    frames = ds.pull_item_omni(0, 2)
+    assert len(frames) == 2
+    for img, res, masks in frames:
+        assert img.shape == (h, w, 3)
+        assert res.shape == (2, 6)
+        assert masks.shape == (h, w, 2)
+        assert set(res[:, 5]) == {1.0, 2.0}  # persistent track ids
+        # boxes tight on the decoded masks
+        np.testing.assert_array_equal(
+            _boxes_from_masks(masks), res[:, :4] + [0, 0, 0, 0])
+
+
+def test_track_mask_exp_mix_specs(tmp_path, monkeypatch):
+    """Mask-stage mix matches unicorn_track_mask.py:187-229: VOS group
+    [COCO-inst, Saliency, DAVIS, YouTubeVOS] all weight 1; MOTS group is
+    BDD (bdd100k) or COCO-person + MOTS-Challenge (motchallenge)."""
+    from unicorn_tpu.exp.track_mask import ExpTrackMask
+
+    monkeypatch.setenv("UNICORN_DATADIR", str(tmp_path))
+    exp = ExpTrackMask()
+    assert [(n, w) for n, w, _ in exp._vos_dataset_specs(str(tmp_path))] == \
+        [("COCO-inst", 1), ("Saliency", 1), ("DAVIS", 1), ("YouTubeVOS", 1)]
+    assert [(n, w) for n, w, _ in exp._mots_dataset_specs(str(tmp_path))] == \
+        [("BDD-MOTS", 1)]
+    exp.mot_test_name = "motchallenge"
+    assert [(n, w) for n, w, _ in exp._mots_dataset_specs(str(tmp_path))] == \
+        [("COCO-person", 1), ("MOTS-Challenge", 1)]
+    # nothing on disk -> both groups empty, no crash
+    ds = exp.get_dataset()
+    assert ds.sot_dataset is None and ds.mot_dataset is None

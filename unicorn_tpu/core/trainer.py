@@ -112,14 +112,40 @@ class Trainer:
         state = TrainState.create(params, tx, use_ema=getattr(exp, "ema", True))
         if self.args.get("resume"):
             try:
-                loaded = load_checkpoint(self.output_dir, "latest")
+                # Full resume restores model + optimizer + best_ap like the
+                # reference (trainer.py:476-485): AdamW moments and the
+                # MultiSteps accumulation counter continue, not restart.
+                # Target-structured restore rebuilds the optax NamedTuple
+                # opt_state tree; older checkpoints without opt_state fall
+                # back to params-only with a warning.
+                target = {
+                    "params": state.params,
+                    "ema_params": state.ema_params
+                    if state.ema_params is not None else state.params,
+                    "opt_state": state.opt_state,
+                    "epoch": 0, "step": 0, "best_ap": 0.0,
+                }
+                try:
+                    loaded = load_checkpoint(self.output_dir, "latest",
+                                             target=target)
+                    opt_state = loaded["opt_state"]
+                except FileNotFoundError:
+                    raise
+                except Exception:
+                    loaded = load_checkpoint(self.output_dir, "latest")
+                    opt_state = state.opt_state
+                    self.logger.warning(
+                        "checkpoint has no (or mismatched) optimizer state; "
+                        "resuming with fresh optimizer moments")
                 state = state.replace(
-                    params=loaded["params"], opt_state=state.opt_state,
+                    params=loaded["params"], opt_state=opt_state,
                     ema_params=loaded.get("ema_params", loaded["params"]),
-                    step=np.asarray(loaded.get("step", 0)),
+                    step=np.asarray(loaded.get("step", 0), np.int32),
                 )
                 self.start_epoch = int(loaded.get("epoch", 0))
-                self.logger.info("resumed from epoch %d", self.start_epoch)
+                self.best_ap = float(loaded.get("best_ap", 0.0))
+                self.logger.info("resumed from epoch %d (best_ap %.4f)",
+                                 self.start_epoch, self.best_ap)
             except FileNotFoundError:
                 self.logger.info("no checkpoint to resume; starting fresh")
         self.state = replicate_state(self.mesh, state)
@@ -307,7 +333,9 @@ class Trainer:
             "params": state.params,
             "ema_params": state.ema_params if state.ema_params is not None
             else state.params,
+            "opt_state": state.opt_state,
             "epoch": self.epoch + 1,
             "step": int(state.step),
+            "best_ap": float(self.best_ap),
         }, name, blocking=False)  # async write; train() waits on exit
         self.logger.info("saved checkpoint %s (epoch %d)", name, self.epoch + 1)

@@ -205,3 +205,68 @@ class COCOMOTSDataset:
             res = np.asarray(objs, np.float32)
             mk = np.stack(masks, axis=2)
         return [(img.copy(), res.copy(), mk.copy()) for _ in range(num_frames)]
+
+
+class MOTSVideoDataset:
+    """MOTS-Challenge video MOTS training (reference mots_mot.py:69-181,
+    MOTSMOTDataset): 2-frame temporal samples with per-instance RLE masks
+    and persistent track ids. Consumes the COCO-video json written by
+    ``tools/convert_datasets.py mots`` (RLE segmentations + video_id/
+    frame_id/track_id), instead of re-parsing gt.txt per item."""
+
+    def __init__(self, data_dir, json_file="train_mots.json", max_gap=30):
+        self.data_dir = data_dir
+        self.coco = COCOJson(os.path.join(data_dir, "annotations", json_file))
+        self.max_gap = max_gap
+        self.ids = self.coco.get_img_ids()
+        # group frames by video for temporal sampling; keep only frames
+        # with at least one annotation (empty MOTS frames teach nothing)
+        from collections import defaultdict
+
+        self.video_frames = defaultdict(list)
+        for img_id in self.ids:
+            im = self.coco.imgs[img_id]
+            if self.coco.load_anns_for_img(img_id):
+                self.video_frames[im.get("video_id", -1)].append(
+                    (im.get("frame_id", 0), img_id))
+        for v in self.video_frames.values():
+            v.sort()
+        self.ids = [i for v in self.video_frames.values() for _, i in v]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load(self, img_id):
+        from ...evaluators import rle as rle_codec
+
+        im = self.coco.imgs[img_id]
+        img = _read_img(os.path.join(self.data_dir, im["file_name"]))
+        h, w = im["height"], im["width"]
+        objs, masks = [], []
+        for a in self.coco.load_anns_for_img(img_id):
+            if a.get("iscrowd", 0):
+                continue
+            m = a.get("segmentation")
+            m = rle_codec.decode(m) if isinstance(m, dict) else None
+            if m is None or m.sum() == 0:
+                continue
+            x, y, bw, bh = a["bbox"]
+            objs.append([x, y, x + bw, y + bh, 0, a.get("track_id", -1)])
+            masks.append(m)
+        if not objs:
+            return img, np.zeros((0, 6), np.float32), np.zeros((h, w, 0),
+                                                               np.uint8)
+        return img, np.asarray(objs, np.float32), np.stack(masks, axis=2)
+
+    def pull_item_omni(self, seq_id, num_frames=2):
+        img_id = self.ids[seq_id]
+        im = self.coco.imgs[img_id]
+        frames_avail = self.video_frames[im.get("video_id", -1)]
+        fid = im.get("frame_id", 0)
+        pos = [f for f, _ in frames_avail].index(fid)
+        lo = max(0, pos - self.max_gap)
+        hi = min(len(frames_avail) - 1, pos + self.max_gap)
+        out = []
+        for p in [pos, random.randint(lo, hi)][:num_frames]:
+            out.append(self._load(frames_avail[p][1]))
+        return out

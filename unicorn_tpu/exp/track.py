@@ -98,7 +98,11 @@ class ExpTrack(BaseExp):
         # -----------------  other config ------------------ #
         self.sot_only = False
         self.mot_only = False
-        self.mot_test_name = "bdd100k"
+        self.mot_test_name = "bdd100k"  # "bdd100k" or "motchallenge"
+        # COCO train split feeding COCOSOT (reference unicorn_track.py:283-287
+        # inherits these from the det exp)
+        self.train_ann = "instances_train2017.json"
+        self.train_name = "train2017"
 
     # ---- factories ----
 
@@ -159,55 +163,111 @@ class ExpTrack(BaseExp):
         return _unflatten(flat_uni)
 
     def get_dataset(self, sot_datasets=None, mot_datasets=None):
-        """Build the alternating OmniDatasetPlus (unicorn_track.py:199-278).
-        Dataset roots resolved under UNICORN_DATADIR; missing datasets are
-        skipped (so partial-data environments still train)."""
-        from ..data.datasets.mot import MOTOmniDataset
+        """Build the alternating OmniDatasetPlus with the reference's full
+        default training mix (unicorn_track.py:283-332):
+
+        - SOT group: COCOSOT + LaSOT + GOT10K + TrackingNet, weights [1,1,1,1]
+        - MOT group, ``mot_test_name == "bdd100k"``: BDD100K, weight [1]
+        - MOT group, ``mot_test_name == "motchallenge"``: MOT17 + CrowdHuman +
+          CityPersons + ETHZ, weights **[2, 6, 1, 1]** (unicorn_track.py:330)
+
+        Dataset roots resolve under UNICORN_DATADIR. A dataset whose files
+        are absent is skipped with a LOGGED warning (partial-data
+        environments still train, on a renormalized weight vector); any
+        other loader error (bad json, schema drift) propagates instead of
+        silently shrinking the mix."""
         from ..data.datasets.omni import OmniDataset, OmniDatasetPlus
-        from ..data.datasets.sot import Got10k, Lasot
 
         root = get_unicorn_datadir()
+        sot_weights = mot_weights = None
         if sot_datasets is None:
-            sot_datasets = []
-            for cls, path in ((Lasot, os.path.join(root, "LaSOT")),
-                              (Got10k, os.path.join(root, "GOT10K", "train"))):
-                try:
-                    ds = cls(path)
-                    if len(ds):
-                        sot_datasets.append(ds)
-                except Exception:
-                    pass
+            sot_datasets, sot_weights = self._build_group(
+                self._sot_dataset_specs(root))
         if mot_datasets is None:
-            mot_datasets = []
-            if self.mot_test_name == "bdd100k":
-                # BDD group (unicorn_track.py:301-311): native scalabel loader
-                from ..data.datasets.bdd import BDDOmniDataset
-
-                try:
-                    ds = BDDOmniDataset(os.path.join(root, "bdd100k"), "train")
-                    if len(ds):
-                        mot_datasets.append(ds)
-                except Exception:
-                    pass
-            else:
-                # MOT-Challenge group: MOT17+CrowdHuman+... merged omni json
-                mot_dir = os.path.join(root, "mot")
-                try:
-                    ds = MOTOmniDataset(mot_dir, "train_omni.json", "train")
-                    if len(ds):
-                        mot_datasets.append(ds)
-                except Exception:
-                    pass
+            mot_datasets, mot_weights = self._build_group(
+                self._mot_dataset_specs(root))
         if self.mot_only:
             sot_datasets = []
         if self.sot_only:
             mot_datasets = []
-        sot = OmniDataset(sot_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
+        sot = OmniDataset(sot_datasets, p_datasets=sot_weights,
+                          samples_per_epoch=self.samples_per_epoch // 2) \
             if sot_datasets else None
-        mot = OmniDataset(mot_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
+        mot = OmniDataset(mot_datasets, p_datasets=mot_weights,
+                          samples_per_epoch=self.samples_per_epoch // 2) \
             if mot_datasets else None
         return OmniDatasetPlus(sot, mot, self.samples_per_epoch,
                                mode=self.train_mode)
+
+    def _sot_dataset_specs(self, root):
+        """(name, weight, builder) triples for the SOT group
+        (reference get_sot_dataset, unicorn_track.py:283-300)."""
+        from ..data.datasets.sot import COCOSOT, Got10k, Lasot, TrackingNet
+
+        def coco_sot():
+            from ..data.datasets.coco import COCODataset
+
+            return COCOSOT(COCODataset(
+                data_dir=self.data_dir or os.path.join(root, "coco"),
+                json_file=self.train_ann, name=self.train_name,
+                img_size=self.input_size))
+
+        return [
+            ("COCOSOT", 1, coco_sot),
+            ("LaSOT", 1, lambda: Lasot(os.path.join(root, "LaSOT"))),
+            ("GOT10K", 1,
+             lambda: Got10k(os.path.join(root, "GOT10K", "train"))),
+            ("TrackingNet", 1,
+             lambda: TrackingNet(os.path.join(root, "TrackingNet"))),
+        ]
+
+    def _mot_dataset_specs(self, root):
+        """(name, weight, builder) triples for the MOT group
+        (reference get_mot_dataset, unicorn_track.py:304-332)."""
+        from ..data.datasets.mot import MOTOmniDataset
+
+        if self.mot_test_name == "bdd100k":
+            from ..data.datasets.bdd import BDDOmniDataset
+
+            return [("BDD100K", 1, lambda: BDDOmniDataset(
+                os.path.join(root, "bdd100k"), "train"))]
+        if self.mot_test_name == "motchallenge":
+            return [
+                ("MOT17", 2, lambda: MOTOmniDataset(
+                    os.path.join(root, "mot"), "train_omni.json", "train")),
+                ("CrowdHuman", 6, lambda: MOTOmniDataset(
+                    os.path.join(root, "crowdhuman"), "train.json",
+                    "CrowdHuman_train")),
+                ("CityPersons", 1, lambda: MOTOmniDataset(
+                    os.path.join(root, "Cityscapes"), "train.json", None,
+                    img_root=os.path.join(root, "Cityscapes"))),
+                ("ETHZ", 1, lambda: MOTOmniDataset(
+                    os.path.join(root, "ETHZ"), "train.json", None,
+                    img_root=os.path.join(root, "ETHZ"))),
+            ]
+        raise ValueError(f"Unsupported mot_test_name: {self.mot_test_name}")
+
+    @staticmethod
+    def _build_group(specs):
+        """Instantiate (name, weight, builder) specs, skipping — loudly —
+        only datasets whose files are missing."""
+        import logging
+
+        log = logging.getLogger("unicorn_tpu")
+        datasets, weights = [], []
+        for name, weight, build in specs:
+            try:
+                ds = build()
+            except (FileNotFoundError, NotADirectoryError) as e:
+                log.warning("training mix: %s not found (%s); skipped",
+                            name, e)
+                continue
+            if len(ds) == 0:
+                log.warning("training mix: %s is empty; skipped", name)
+                continue
+            datasets.append(ds)
+            weights.append(weight)
+        return datasets, (weights or None)
 
     def get_data_loader(self, batch_size, is_distributed=False):
         from ..data.loader import UniLoader

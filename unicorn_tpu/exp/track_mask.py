@@ -70,65 +70,85 @@ class ExpTrackMask(ExpTrack):
         return tx
 
     def get_dataset(self, vos_datasets=None, mots_datasets=None):
-        """VOS datasets = COCO-MOTS + Saliency + DAVIS + YouTubeVOS; MOTS =
-        BDD-MOTS / COCO-person+MOTS (reference unicorn_track_mask.py:189-220).
-        Missing dataset roots are skipped."""
+        """Mask-stage mix (reference unicorn_track_mask.py:187-229):
+
+        - VOS group: COCO-inst + Saliency + DAVIS + YouTubeVOS [1,1,1,1]
+        - MOTS group, bdd100k: BDD seg_track_20 [1]
+        - MOTS group, motchallenge: COCO-person + MOTS-Challenge [1,1]
+
+        Missing dataset roots are skipped with a logged warning; other
+        loader errors propagate (same policy as ExpTrack.get_dataset)."""
+        from ..data.datasets.omni import OmniDataset, OmniDatasetPlus
+
+        from .det import get_unicorn_datadir
+
+        root = get_unicorn_datadir()
+        vos_weights = mots_weights = None
+        if vos_datasets is None:
+            vos_datasets, vos_weights = self._build_group(
+                self._vos_dataset_specs(root))
+        if mots_datasets is None:
+            mots_datasets, mots_weights = self._build_group(
+                self._mots_dataset_specs(root))
+        if self.mot_only:
+            vos_datasets = []
+        if self.sot_only:
+            mots_datasets = []
+        vos = OmniDataset(vos_datasets, p_datasets=vos_weights,
+                          samples_per_epoch=self.samples_per_epoch // 2) \
+            if vos_datasets else None
+        mots = OmniDataset(mots_datasets, p_datasets=mots_weights,
+                           samples_per_epoch=self.samples_per_epoch // 2) \
+            if mots_datasets else None
+        return OmniDatasetPlus(vos, mots, self.samples_per_epoch,
+                               mode=self.train_mode)
+
+    def _vos_dataset_specs(self, root):
+        """(name, weight, builder) for the VOS group (reference
+        get_sot_dataset of the mask exp, unicorn_track_mask.py:187-200)."""
         import os
 
-        from ..data.datasets.omni import OmniDataset, OmniDatasetPlus
         from ..data.datasets.vos import (
             COCOMOTSDataset,
             DAVISTrainDataset,
             SaliencyDataset,
             YoutubeVOSDataset,
         )
-        from .det import get_unicorn_datadir
 
-        root = get_unicorn_datadir()
-        if vos_datasets is None:
-            vos_datasets = []
-            for cls, args in ((DAVISTrainDataset, (os.path.join(root, "DAVIS"),)),
-                              (YoutubeVOSDataset, (os.path.join(root, "ytbvos18"),)),
-                              (SaliencyDataset, (os.path.join(root, "saliency"),)),
-                              (COCOMOTSDataset, (os.path.join(root, "coco"),))):
-                try:
-                    ds = cls(*args)
-                    if len(ds):
-                        vos_datasets.append(ds)
-                except Exception:
-                    pass
-        if mots_datasets is None:
-            mots_datasets = []
-            if getattr(self, "mot_test_name", "") == "bdd100k":
-                # BDD group: seg_track_20 scalabel rles
-                # (reference bdd_omni_mots.py:15-143)
-                from ..data.datasets.bdd import BDDOmniMOTSDataset
+        return [
+            ("COCO-inst", 1, lambda: COCOMOTSDataset(
+                self.data_dir or os.path.join(root, "coco"),
+                json_file=self.train_ann, name=self.train_name)),
+            ("Saliency", 1,
+             lambda: SaliencyDataset(os.path.join(root, "saliency"))),
+            ("DAVIS", 1,
+             lambda: DAVISTrainDataset(os.path.join(root, "DAVIS"))),
+            ("YouTubeVOS", 1,
+             lambda: YoutubeVOSDataset(os.path.join(root, "ytbvos18"))),
+        ]
 
-                try:
-                    ds = BDDOmniMOTSDataset(os.path.join(root, "bdd100k"),
-                                            "train")
-                    if len(ds):
-                        mots_datasets.append(ds)
-                except Exception:
-                    pass
-            else:
-                try:
-                    ds = COCOMOTSDataset(os.path.join(root, "coco"),
-                                         person_only=True)
-                    if len(ds):
-                        mots_datasets.append(ds)
-                except Exception:
-                    pass
-        if self.mot_only:
-            vos_datasets = []
-        if self.sot_only:
-            mots_datasets = []
-        vos = OmniDataset(vos_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
-            if vos_datasets else None
-        mots = OmniDataset(mots_datasets, samples_per_epoch=self.samples_per_epoch // 2) \
-            if mots_datasets else None
-        return OmniDatasetPlus(vos, mots, self.samples_per_epoch,
-                               mode=self.train_mode)
+    def _mots_dataset_specs(self, root):
+        """(name, weight, builder) for the MOTS group (reference
+        get_mot_dataset of the mask exp, unicorn_track_mask.py:203-229)."""
+        import os
+
+        from ..data.datasets.vos import COCOMOTSDataset, MOTSVideoDataset
+
+        if self.mot_test_name == "bdd100k":
+            from ..data.datasets.bdd import BDDOmniMOTSDataset
+
+            return [("BDD-MOTS", 1, lambda: BDDOmniMOTSDataset(
+                os.path.join(root, "bdd100k"), "train"))]
+        if self.mot_test_name == "motchallenge":
+            return [
+                ("COCO-person", 1, lambda: COCOMOTSDataset(
+                    self.data_dir or os.path.join(root, "coco"),
+                    json_file=self.train_ann, name=self.train_name,
+                    person_only=True)),
+                ("MOTS-Challenge", 1, lambda: MOTSVideoDataset(
+                    os.path.join(root, "MOTS"))),
+            ]
+        raise ValueError(f"Unsupported mot_test_name: {self.mot_test_name}")
 
     def get_data_loader(self, batch_size, is_distributed=False):
         from ..data.loader import UniMaskLoader
