@@ -48,6 +48,16 @@ from functools import partial
 import numpy as np
 
 BASELINE_A100_FPS = 84.0  # BASELINE.md derivation (upper bound for the ref)
+# unicorn_track_tiny_rt (640x1024, the published LaSOT-67.1 parity point):
+# same BASELINE.md method — the 509x15us dispatch floor is resolution-
+# independent, the compute term scales by 0.64x pixels; see BASELINE.md
+# "rt derivation". Most-reference-favorable end of the band.
+BASELINE_A100_RT_FPS = 90.0
+# SOT / VOS serving loops (unicorn_sot.py:78-109 / unicorn_vos.py:157-203),
+# derived in BASELINE.md "SOT/VOS derivation" from tools/ref_launch_count.py
+# leaf-op counts + our parity-tested graph FLOPs. Favorable ends.
+BASELINE_A100_SOT_FPS = 67.0
+BASELINE_A100_VOS_K4_FPS = 29.0
 
 
 def _timed_scan(fn, carry, n, fetch):
@@ -69,6 +79,9 @@ def main():
 
     if os.environ.get("BENCH_CPU") == "1":  # shape/compile smoke only
         jax.config.update("jax_platforms", "cpu")
+        if int(os.environ.get("BENCH_MESH", "1")) > 1:  # mesh-path smoke
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["BENCH_MESH"]))
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -200,6 +213,82 @@ def main():
     stop_ingest.set()
     fps = n_chunks * CHUNK / dt
 
+    # ------- rt config row: unicorn_track_tiny_rt serving size (640x1024,
+    # the published LaSOT-67.1 / BDD-37.5 parity point, model_zoo.md:104-113).
+    # Same pipeline, same params (fully-convolutional; the learned pos-emb
+    # resizes bilinearly), its own BASELINE.md-derived denominator.
+    # BENCH_RT: "" -> run iff the primary row is 800x1280; "0" -> skip;
+    # "HxW" -> explicit size (CPU smoke uses a tiny one). -------
+    rt_fps = None
+    rt_env = os.environ.get("BENCH_RT", "")
+    rt_hw = None
+    if rt_env not in ("", "0", "1"):
+        rt_hw = tuple(int(x) for x in rt_env.split("x"))
+    elif rt_env == "1" or (rt_env == "" and (H, W) == (800, 1280)):
+        rt_hw = (640, 1024)
+    if rt_hw is not None:
+        Hr, Wr = rt_hw
+        pipe_rt = StreamingMOTPipeline(
+            model, params, input_size=(Hr, Wr), num_classes=1, conf_thre=0.1,
+            nms_thre=0.8, max_dets=64, max_tracks=64, track_thresh=0.6,
+            match_thresh=0.9, n_cand=128, frame_batch=min(FB, CHUNK),
+            compiler_options=copts,
+        )
+        chunks_rt = [
+            jnp.asarray(pack_frames_np(
+                (rng.rand(CHUNK, Hr, Wr, 3) * 255).astype(np.uint8)))
+            for _ in range(2)
+        ]
+        _ = np.asarray(pipe_rt.run_chunk(chunks_rt[0]))
+        _ = np.asarray(pipe_rt.run_chunk(chunks_rt[1]))
+        pipe_rt.reset()
+        inflight = []
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            out = pipe_rt.run_chunk(chunks_rt[i % 2])
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            inflight.append(out)
+            if len(inflight) >= depth:
+                _ = np.asarray(inflight.pop(0))
+        while inflight:
+            _ = np.asarray(inflight.pop(0))
+        rt_fps = n_chunks * CHUNK / (time.perf_counter() - t0)
+
+    # ------- multi-chip: stream-sharded MultiStreamMOT over an N-device
+    # mesh (BENCH_MESH=N; default = all visible devices). One sequence of
+    # ticks is submitted asynchronously and fetched once, so per-tick
+    # dispatch overlaps device execution. No-op with a single device. -------
+    mesh_stats = None
+    n_mesh = int(os.environ.get("BENCH_MESH", str(len(jax.devices()))))
+    if n_mesh > 1 and len(jax.devices()) >= n_mesh:
+        from jax.sharding import Mesh
+
+        from unicorn_tpu.drivers.stream import MultiStreamMOT
+
+        smesh = Mesh(np.asarray(jax.devices()[:n_mesh]), ("stream",))
+        ms = MultiStreamMOT(
+            model, params, n_streams=n_mesh, mesh=smesh, input_size=(H, W),
+            num_classes=1, conf_thre=0.1, nms_thre=0.8, max_dets=64,
+            max_tracks=64, track_thresh=0.6, match_thresh=0.9, n_cand=128)
+        mframes = jnp.asarray(
+            rng.rand(n_mesh, H, W, 3).astype(np.float32) * 255)
+        with smesh:
+            _ = np.asarray(ms.tick(mframes))
+            _ = np.asarray(ms.tick(mframes))
+            n_ticks = max(N_SCAN // 4, 4)
+            t0 = time.perf_counter()
+            outs = None
+            for _i in range(n_ticks):
+                outs = ms.tick(mframes)
+            _ = np.asarray(outs)
+            mdt = time.perf_counter() - t0
+        mesh_stats = {"devices": n_mesh,
+                      "stream_fps": round(n_mesh * n_ticks / mdt, 2),
+                      "fps_per_chip": round(n_ticks / mdt, 2)}
+
     # ---------------- SOT: real driver window fn, scanned ----------------
     skip_sot = os.environ.get("BENCH_SKIP_SOT", "0") == "1"
     from unicorn_tpu.drivers.sot import SOTDriver
@@ -264,7 +353,25 @@ def main():
         vvalid = jnp.ones((Kv,), jnp.float32)
 
         @jax.jit
-        def scan_vos_driver(params, feat_ref, lbs_ref, frame):
+        def scan_vos_driver(params, feat_ref1, lbs_ref, frame):
+            """Shared-reference serving path (all K objects entered at frame
+            0, the DAVIS case): ONE interaction + ONE K-row correlation per
+            frame — the same sharing the reference's per-entry-group
+            get_det_results does (unicorn_vos.py:159-186)."""
+            def body(carry, _):
+                dets, valid, masks = vdrv._track_fn_shared_raw(
+                    params, feat_ref1, lbs_ref, carry)
+                idx = vdrv._aggregate_raw(masks, vvalid)
+                carry = carry + (jnp.mean(idx.astype(jnp.float32))
+                                 * eps).astype(carry.dtype)
+                return carry, ()
+            carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
+            return jnp.mean(carry.astype(jnp.float32))
+
+        @jax.jit
+        def scan_vos_driver_multiref(params, feat_ref, lbs_ref, frame):
+            """General per-slot-reference path (objects entered on different
+            frames): K interactions + K correlations per frame."""
             def body(carry, _):
                 dets, valid, masks = vdrv._track_fn_raw(
                     params, feat_ref, lbs_ref, carry)
@@ -368,11 +475,14 @@ def main():
         ms_sot_win = (_timed_scan(
             lambda c: scan_sot_driver_w8(params, feat_ref, lbs_ref, c),
             frames_u8, n_win, lambda o: o) - ms_floor * N_SCAN / n_win)
-    ms_vos = float("inf")
+    ms_vos = ms_vos_multiref = float("inf")
     if not skip_vos:
         vframe0 = jnp.asarray(frame0_np.astype(np.float32))
         ms_vos = _timed_scan(
-            lambda c: scan_vos_driver(params_vos, vfeat, vlbs, c),
+            lambda c: scan_vos_driver(params_vos, vfeat1, vlbs, c),
+            vframe0, N_SCAN, lambda o: o) - ms_floor
+        ms_vos_multiref = _timed_scan(
+            lambda c: scan_vos_driver_multiref(params_vos, vfeat, vlbs, c),
             vframe0, N_SCAN, lambda o: o) - ms_floor
 
     # ---------------- training: one uni train step, B=1 ----------------
@@ -433,9 +543,21 @@ def main():
     extra = {
         "uni_train_ms_per_sample_b1": (round(train_ms, 1)
                                        if train_ms is not None else None),
+        "rt_fps": round(rt_fps, 2) if rt_fps is not None else None,
+        "rt_vs_baseline": (round(rt_fps / BASELINE_A100_RT_FPS, 3)
+                           if rt_fps is not None else None),
+        "rt_baseline_a100_fps": BASELINE_A100_RT_FPS,
+        "mesh": mesh_stats,
         "sot_driver_fps": round(1000.0 / ms_sot_seq, 2),
+        "sot_vs_baseline": round(1000.0 / ms_sot_seq
+                                 / BASELINE_A100_SOT_FPS, 3),
+        "sot_baseline_a100_fps": BASELINE_A100_SOT_FPS,
         "sot_driver_window8_fps": round(8000.0 / ms_sot_win, 2),
         "vos_driver_fps_k4": round(1000.0 / ms_vos, 2),
+        "vos_vs_baseline": round(1000.0 / ms_vos
+                                 / BASELINE_A100_VOS_K4_FPS, 3),
+        "vos_baseline_a100_fps": BASELINE_A100_VOS_K4_FPS,
+        "vos_driver_fps_k4_multiref": round(1000.0 / ms_vos_multiref, 2),
         "stage_ms": {
             "backbone_fpn": round(ms_backbone, 3),
             "interaction_upsample_corr16k": round(ms_sot_core, 3),

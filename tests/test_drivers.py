@@ -132,3 +132,38 @@ def test_mot_driver_bytetrack():
         img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
         online = driver.update(img)
     assert isinstance(online, list)
+
+
+def test_vos_shared_ref_path_matches_general():
+    """The shared-reference fast path (one interaction + one K-row
+    correlation, matching the reference's per-entry-group get_det_results,
+    unicorn_vos.py:159-186) must produce the same dets/masks as the general
+    per-slot path when every slot shares the entry frame."""
+    model, params = _model_params(use_mask=True)
+    driver = VOSDriver(model, params, input_size=(H, W), max_objects=3,
+                       conf_thre=0.0)
+    rng = np.random.RandomState(2)
+    img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+    mask = np.zeros((48, 56), np.uint8)
+    mask[5:20, 5:20] = 1
+    mask[25:40, 30:50] = 2
+    driver.initialize(img, mask)
+    assert driver.shared_ref
+    frame, _ = driver._preproc((rng.rand(48, 56, 3) * 255).astype(np.uint8))
+
+    d_sh, v_sh, m_sh = jax.tree_util.tree_map(np.asarray, driver._track_fn_shared(
+        params, driver.feat_ref1, driver.lbs_ref, frame))
+    d_g, v_g, m_g = jax.tree_util.tree_map(np.asarray, driver._track_fn(
+        params, driver.feat_ref, driver.lbs_ref, frame))
+    np.testing.assert_array_equal(v_sh, v_g)
+    np.testing.assert_allclose(d_sh, d_g, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(m_sh, m_g, rtol=2e-4, atol=2e-3)
+
+    # mid-video entry flips the driver off the fast path
+    img3 = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+    mask3 = np.zeros((48, 56), np.uint8)
+    mask3[10:22, 40:54] = 3
+    driver.add_objects(img3, mask3)
+    assert not driver.shared_ref
+    out_mask, _ = driver.track((rng.rand(48, 56, 3) * 255).astype(np.uint8))
+    assert out_mask is not None

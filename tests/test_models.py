@@ -284,3 +284,38 @@ def test_fast_norms_serving_drift_bounded():
     np.testing.assert_allclose(bf_fast[..., 4:], bf_exact[..., 4:], atol=2e-2)
     # boxes drift bounded relative to the stride-8 cell size
     np.testing.assert_allclose(bf_fast[..., :4], bf_exact[..., :4], atol=1.0)
+
+
+def test_swin_family_surface():
+    """Full Swin family (reference swin_transformer.py:447-661 via
+    swin_config.py): tiny/small/base/large constructors exist with the
+    standard embed/depth/head configs, and the smallest one runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from unicorn_tpu.models.swin import (
+        SWIN_BUILDERS, SWIN_OUT_CHANNELS, swin_base, swin_large, swin_small,
+    )
+
+    cfgs = {
+        "swin_tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+        "swin_small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+        "swin_base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+        "swin_large": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
+    }
+    for name, (dim, depths, heads) in cfgs.items():
+        m = SWIN_BUILDERS[name]()
+        assert (m.embed_dim, tuple(m.depths), tuple(m.num_heads)) == \
+            (dim, depths, heads), name
+        # stride-8/16/32 channels: 2*dim, 4*dim, 8*dim
+        assert SWIN_OUT_CHANNELS[name] == (2 * dim, 4 * dim, 8 * dim)
+    assert swin_small().depths == (2, 2, 18, 2)
+    assert swin_base().embed_dim == 128
+    assert swin_large().num_heads == (6, 12, 24, 48)
+
+    m = SWIN_BUILDERS["swin_tiny"]()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(params, x)
+    assert [o.shape for o in outs] == [(1, 8, 8, 192), (1, 4, 4, 384),
+                                       (1, 2, 2, 768)]

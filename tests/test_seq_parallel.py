@@ -1,0 +1,97 @@
+"""Sequence-parallel SOT/VOS serving (drivers/seq_parallel.py): S sequences
+sharded over a "seq" mesh must produce the SAME per-sequence outputs as the
+single-device driver fn run sequence by sequence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from unicorn_tpu.drivers.seq_parallel import (
+    make_sot_seq_parallel_fn,
+    make_vos_seq_parallel_fn,
+)
+from unicorn_tpu.drivers.sot import SOTDriver
+from unicorn_tpu.drivers.vos import VOSDriver
+from unicorn_tpu.models.unicorn import Unicorn
+
+H, W = 64, 64
+S = 4
+
+
+def _model(use_mask=False):
+    return Unicorn(num_classes=1, backbone_name="csp_darknet", depth=0.33,
+                   width=0.25, in_channels=(256, 512, 1024),
+                   interact_mode="conv", n_layer_att=0, use_attention=False,
+                   use_mask=use_mask)
+
+
+def test_sot_seq_parallel_matches_sequential():
+    model = _model()
+    rng = np.random.RandomState(0)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame0,
+                        method=Unicorn.init_all)
+    drv = SOTDriver(model, params, input_size=(H, W), conf_thre=0.001,
+                    max_inst=3)
+
+    feat_refs, lbs_refs, frames = [], [], []
+    for s in range(S):
+        f0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        box = jnp.asarray(
+            np.array([[20.0 + 4 * s, 24.0 + 3 * s, 16.0, 12.0]], np.float32))
+        fr, lr = drv._init_fn(params, f0, box)
+        feat_refs.append(fr)
+        lbs_refs.append(lr)
+        frames.append((rng.rand(H, W, 3) * 255).astype(np.uint8))
+    feat_refs = jnp.stack(feat_refs)
+    lbs_refs = jnp.stack(lbs_refs)
+    frames = jnp.asarray(np.stack(frames))
+
+    mesh = Mesh(np.asarray(jax.devices()[:S]), ("seq",))
+    fn = make_sot_seq_parallel_fn(drv, mesh)
+    packed_sp = np.asarray(fn(params, feat_refs, lbs_refs, frames))
+    assert packed_sp.shape == (S, 3, 8)
+
+    for s in range(S):
+        ref = np.asarray(drv._track_fn(params, feat_refs[s], lbs_refs[s],
+                                       frames[s][None]))
+        np.testing.assert_allclose(packed_sp[s], ref, rtol=2e-4, atol=2e-3)
+
+
+def test_vos_seq_parallel_matches_sequential():
+    model = _model(use_mask=True)
+    rng = np.random.RandomState(1)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame0,
+                        method=Unicorn.init_all)
+    K = 2
+    drv = VOSDriver(model, params, input_size=(H, W), max_objects=K,
+                    conf_thre=0.001)
+
+    feat_refs, lbs_refs, frames = [], [], []
+    for s in range(S):
+        f0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        masks = np.zeros((K, H, W), np.float32)
+        masks[0, 8 + s:28 + s, 10:30] = 1.0
+        masks[1, 36:56, 30 - s:50 - s] = 1.0
+        fr1, lr = drv._init_fn(params, f0, jnp.asarray(masks))
+        feat_refs.append(jnp.broadcast_to(fr1, (K,) + fr1.shape[1:]))
+        lbs_refs.append(lr)
+        frames.append(rng.rand(H, W, 3).astype(np.float32) * 255)
+    feat_refs = jnp.stack(feat_refs)
+    lbs_refs = jnp.stack(lbs_refs)
+    frames = jnp.asarray(np.stack(frames))
+
+    mesh = Mesh(np.asarray(jax.devices()[:S]), ("seq",))
+    fn = make_vos_seq_parallel_fn(drv, mesh)
+    dets_sp, valid_sp, masks_sp = jax.tree_util.tree_map(
+        np.asarray, fn(params, feat_refs, lbs_refs, frames))
+    assert dets_sp.shape[:2] == (S, K)
+    assert masks_sp.shape == (S, K, H, W)
+
+    for s in (0, S - 1):
+        dets, valid, masks = jax.tree_util.tree_map(
+            np.asarray,
+            drv._track_fn(params, feat_refs[s], lbs_refs[s], frames[s][None]))
+        np.testing.assert_allclose(dets_sp[s], dets, rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(masks_sp[s], masks, rtol=2e-4, atol=2e-3)

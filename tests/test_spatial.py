@@ -49,6 +49,13 @@ def test_spatial_forward_matches_single_device():
     dets_1, valid_1 = jax.tree_util.tree_map(
         np.asarray, jax.jit(single)(params, jnp.asarray(frames_np)))
 
+    # fp reduction order differs under sharding (GN psums), so a candidate
+    # whose score sits exactly at conf_thre could legitimately flip its
+    # valid bit. Require agreement only where the single-device score is
+    # clear of the threshold; for this fixture every candidate is.
+    score = dets_1[..., 4] * dets_1[..., 5]
+    clear = ~valid_1.astype(bool) | (np.abs(score - 0.01) > 1e-4)
+    assert clear.all(), "fixture has near-threshold scores; adjust conf_thre"
     assert np.array_equal(valid_sp, valid_1)
     m = valid_1.astype(bool)
     np.testing.assert_allclose(dets_sp[m], dets_1[m], rtol=2e-4, atol=2e-3)

@@ -257,6 +257,166 @@ def main():
                 head_ms_frame=round(ms_h / Bf, 3))
         return
 
+    if exp == "head_bisect":
+        # Per-SUBGRAPH bisection of the batch>1 head regression
+        # (VERDICT r4 item 1): the head is stem(1x1) + 3 ConvNeXt att blocks
+        # + two 4-deep 3x3x256 towers per level + merged preds + decode/NMS.
+        # Time each subgraph standalone at B=1 vs B=2 per level, standalone
+        # random weights (the regression is a lowering/shape property, not a
+        # weights property). Names WHICH subgraph loses efficiency batched.
+        eps = jnp.float32(1e-20)
+        NS = 32
+        hidden = 256
+        levels = [(H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32)]
+
+        def scan_convs(n_convs, k):
+            @jax.jit
+            def run(x, w):
+                def body(c, _):
+                    y = c
+                    for _i in range(n_convs):
+                        y = jax.lax.conv_general_dilated(
+                            y, w, (1, 1),
+                            ((k // 2, k // 2), (k // 2, k // 2)),
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                        y = jax.nn.silu(y)
+                    return c + (jnp.mean(y) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, x, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        floor = t(scan_null, jnp.float32(1.0))
+        for li, (h, w) in enumerate(levels):
+            for Bf in (1, 2):
+                x = jnp.asarray(rng.rand(Bf, h, w, hidden)
+                                .astype(np.float32)).astype(jnp.bfloat16)
+                w3 = jnp.asarray(rng.rand(3, 3, hidden, hidden)
+                                 .astype(np.float32) * 0.05
+                                 ).astype(jnp.bfloat16)
+                ms_tower = t(scan_convs(8, 3), x, w3) - floor
+                w1 = jnp.asarray(rng.rand(1, 1, hidden, hidden)
+                                 .astype(np.float32) * 0.05
+                                 ).astype(jnp.bfloat16)
+                ms_stem = t(scan_convs(1, 1), x, w1) - floor
+                log("head_bisect", level=li, hw=f"{h}x{w}", batch=Bf,
+                    towers8x3x3_ms_frame=round(ms_tower / Bf, 3),
+                    stem1x1_ms_frame=round(ms_stem / Bf, 3))
+        # decode+NMS end of the head at B=1/2 (model-based)
+        from unicorn_tpu.models.heads import decode_for_inference
+        from unicorn_tpu.ops.nms import postprocess_device
+
+        for Bf in (1, 2):
+            f = jnp.asarray(rng.rand(Bf, H, W, 3).astype(np.float32) * 255
+                            ).astype(jnp.bfloat16)
+            fpn_outs, _ = jax.jit(lambda p, f: model.apply(
+                p, f, method=Unicorn.forward_backbone))(params, f)
+
+            @jax.jit
+            def scan_head_tail(p, c):
+                def body(c, _):
+                    priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype)
+                                   for f in c)
+                    raw = model.apply(p, c, priors,
+                                      method=Unicorn.forward_head)
+                    dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
+                    dets, valid = postprocess_device(
+                        dec, num_classes=1, conf_thre=0.1, nms_thre=0.8,
+                        n_cand=128, max_out=64)
+                    bump = (jnp.mean(dets) * eps)
+                    return tuple(f + bump.astype(f.dtype) for f in c), ()
+                c, _ = jax.lax.scan(body, c, None, length=NS)
+                return jnp.mean(c[0].astype(jnp.float32))
+
+            ms_full = t(scan_head_tail, params, fpn_outs) - floor
+            log("head_bisect", part="full_head_decode_nms", batch=Bf,
+                ms_frame=round(ms_full / Bf, 3))
+        return
+
+    if exp == "dw_bwd":
+        # A/B the dw7x7 BACKWARD (VERDICT r4 item 4): XLA autodiff of the
+        # grouped conv (filter grad = batch_group_count conv) vs the
+        # restructured custom VJP (ops/pallas_convnext.dw_grads_restructured)
+        # at the four trunk stage shapes, B=1 and B=4.
+        from unicorn_tpu.ops.pallas_convnext import (
+            dw_grads_restructured, dwconv7x7_ref,
+        )
+
+        eps = jnp.float32(1e-20)
+        NS = 16
+        stages = [(H // 4, W // 4, 96), (H // 8, W // 8, 192),
+                  (H // 16, W // 16, 384), (H // 32, W // 32, 768)]
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        floor = t(scan_null, jnp.float32(1.0))
+        for (h, w, c) in stages:
+            for Bt in (1, 4):
+                x = jnp.asarray(rng.rand(Bt, h, w, c).astype(np.float32)
+                                ).astype(jnp.bfloat16)
+                k = jnp.asarray(rng.rand(7, 7, 1, c).astype(np.float32) * .1)
+                b = jnp.zeros((c,), jnp.float32)
+
+                def loss(x, k, b):
+                    return jnp.sum(dwconv7x7_ref(x, k, b)
+                                   .astype(jnp.float32) ** 2)
+
+                @jax.jit
+                def scan_auto(x, k, b):
+                    def body(cr, _):
+                        gx, gk, gb = jax.grad(loss, argnums=(0, 1, 2))(
+                            cr, k, b)
+                        return cr + (jnp.mean(gk) * eps).astype(cr.dtype) \
+                            + gx * jnp.asarray(0, cr.dtype), ()
+                    cr, _ = jax.lax.scan(body, x, None, length=NS)
+                    return jnp.mean(cr.astype(jnp.float32))
+
+                @jax.jit
+                def scan_restruct(x, k, b):
+                    def body(cr, _):
+                        dy = dwconv7x7_ref(cr, k, b)  # stand-in cotangent
+                        gx, gk, gb = dw_grads_restructured(cr, k, dy)
+                        return cr + (jnp.mean(gk) * eps).astype(cr.dtype) \
+                            + gx * jnp.asarray(0, cr.dtype), ()
+                    cr, _ = jax.lax.scan(body, x, None, length=NS)
+                    return jnp.mean(cr.astype(jnp.float32))
+
+                ms_a = t(scan_auto, x, k, b) - floor
+                ms_r = t(scan_restruct, x, k, b) - floor
+                log("dw_bwd", hw=f"{h}x{w}", C=c, batch=Bt,
+                    autodiff_ms=round(ms_a, 3),
+                    restructured_ms=round(ms_r, 3))
+        return
+
     if exp == "dw_probe":
         # Is XLA's grouped-conv lowering at the VPU roofline, or is there
         # headroom for the dedicated Pallas dw kernel? Three measurements

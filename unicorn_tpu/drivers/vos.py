@@ -49,35 +49,17 @@ class VOSDriver:
             lbs = resize_bilinear_torch(obj_masks[..., None], H8, W8)
             return feat16, lbs.reshape(K, 1, H8 * W8)
 
-        def track_fn(params, feat_ref, lbs_ref, frame):
-            """feat_ref: (K, H16, W16, C) per-slot reference features (objects
-            entering mid-video carry their own entry frame, reference
-            unicorn_vos.py:86-101); lbs_ref: (K, 1, N8) per-slot label maps.
-            Interaction runs batched over the K (ref, cur) pairs."""
-            from ..ops.pallas_correlation import correlation_propagate_auto
-
-            fpn_outs, feat_cur = model.apply(params, frame,
-                                             method=Unicorn.forward_backbone)
-            cur_k = jnp.broadcast_to(feat_cur, (K,) + feat_cur.shape[1:])
-            new_ref, new_cur = model.apply(
-                params, feat_ref.astype(jnp.float32),
-                cur_k.astype(jnp.float32),
-                method=Unicorn.forward_interaction)
-            emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
-            emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
-            _, h8, w8, c = emb_cur.shape
-            priors_k = correlation_propagate_auto(
-                emb_ref.reshape(K, h8 * w8, c).astype(jnp.float32),
-                emb_cur.reshape(K, h8 * w8, c).astype(jnp.float32),
-                lbs_ref,
-            ).reshape(K, h8, w8, 1)  # one prior map per object slot
-
+        def head_tail(params, fpn_outs, priors_k):
+            """Shared tail from the per-slot prior maps on: SOT-mode head
+            over the K object slots + CondInst mask decode + full-res probs.
+            priors_k: (K, H8, W8, 1)."""
             # head over K object-slots: broadcast fpn feats along batch
+            kh, kw = priors_k.shape[1], priors_k.shape[2]
             fpn_k = tuple(jnp.broadcast_to(f, (K,) + f.shape[1:]) for f in fpn_outs)
             priors = (
                 priors_k,
-                resize_bilinear_torch(priors_k, h8 // 2, w8 // 2),
-                resize_bilinear_torch(priors_k, h8 // 4, w8 // 4),
+                resize_bilinear_torch(priors_k, kh // 2, kw // 2),
+                resize_bilinear_torch(priors_k, kh // 4, kw // 4),
             )
             priors = tuple(p.astype(f.dtype) for p, f in zip(priors, fpn_k))
             raw = model.apply(params, fpn_k, priors, method=Unicorn.forward_head)
@@ -121,6 +103,59 @@ class VOSDriver:
                     masks_up = aligned_bilinear(masks_up, d_up)
             return dets, valid, masks_up
 
+        def track_fn(params, feat_ref, lbs_ref, frame):
+            """General (mixed-entry) path. feat_ref: (K, H16, W16, C)
+            per-slot reference features (objects entering mid-video carry
+            their own entry frame, reference unicorn_vos.py:86-101);
+            lbs_ref: (K, 1, N8) per-slot label maps. Interaction runs
+            batched over the K (ref, cur) pairs."""
+            from ..ops.pallas_correlation import correlation_propagate_auto
+
+            fpn_outs, feat_cur = model.apply(params, frame,
+                                             method=Unicorn.forward_backbone)
+            cur_k = jnp.broadcast_to(feat_cur, (K,) + feat_cur.shape[1:])
+            new_ref, new_cur = model.apply(
+                params, feat_ref.astype(jnp.float32),
+                cur_k.astype(jnp.float32),
+                method=Unicorn.forward_interaction)
+            emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
+            emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
+            _, h8, w8, c = emb_cur.shape
+            priors_k = correlation_propagate_auto(
+                emb_ref.reshape(K, h8 * w8, c).astype(jnp.float32),
+                emb_cur.reshape(K, h8 * w8, c).astype(jnp.float32),
+                lbs_ref,
+            ).reshape(K, h8, w8, 1)  # one prior map per object slot
+            return head_tail(params, fpn_outs, priors_k)
+
+        def track_fn_shared(params, feat_ref1, lbs_ref, frame):
+            """Shared-reference fast path: when every live object entered on
+            the SAME frame (the DAVIS-standard case), the reference itself
+            computes ONE interaction + upsample + transfer matrix for the
+            whole group and rides all K label maps over it
+            (unicorn_vos.py:159-186: get_det_results is per entry group, the
+            per-object loop only does values @ trans_mat + head). This path
+            mirrors that: interaction and the 16k-token correlation run once
+            (K rides the correlation's value rows), head/mask still per slot.
+            feat_ref1: (1, H16, W16, C); lbs_ref: (K, 1, N8)."""
+            from ..ops.pallas_correlation import correlation_propagate_auto
+
+            fpn_outs, feat_cur = model.apply(params, frame,
+                                             method=Unicorn.forward_backbone)
+            new_ref, new_cur = model.apply(
+                params, feat_ref1.astype(jnp.float32),
+                feat_cur.astype(jnp.float32),
+                method=Unicorn.forward_interaction)
+            emb_ref = model.apply(params, new_ref, method=Unicorn.forward_upsample)
+            emb_cur = model.apply(params, new_cur, method=Unicorn.forward_upsample)
+            _, h8, w8, c = emb_cur.shape
+            priors_k = correlation_propagate_auto(
+                emb_ref.reshape(1, h8 * w8, c).astype(jnp.float32),
+                emb_cur.reshape(1, h8 * w8, c).astype(jnp.float32),
+                lbs_ref.reshape(1, K, h8 * w8),
+            ).reshape(K, h8, w8, 1)
+            return head_tail(params, fpn_outs, priors_k)
+
         def aggregate_fn(mask_probs, obj_valid):
             """Soft-aggregate (K, Hm, Wm) probs into an indexed map
             (unicorn_vos.py:102-122): p_k / (1-p_k) odds normalization with
@@ -133,6 +168,8 @@ class VOSDriver:
 
         self._init_fn = jax.jit(init_fn)
         self._track_fn = jax.jit(track_fn)
+        self._track_fn_shared = jax.jit(track_fn_shared)
+        self._track_fn_shared_raw = track_fn_shared
         self._aggregate = jax.jit(aggregate_fn)
         self._cast16 = jax.jit(lambda m: m.astype(jnp.float16))
         # unjitted handles so bench.py can embed the REAL per-frame fns in a
@@ -193,8 +230,13 @@ class VOSDriver:
         self.obj_valid[: len(self.obj_ids)] = 1.0
         feat16, self.lbs_ref = self._init_fn(
             self.params, frame, self._jnp.asarray(lb))
+        self.feat_ref1 = feat16  # (1, ...) single shared reference
         self.feat_ref = self._jnp.broadcast_to(
             feat16, (K,) + feat16.shape[1:])
+        # all objects share this entry frame -> the shared-reference fast
+        # path applies (one interaction + one correlation, like the
+        # reference's per-entry-group get_det_results)
+        self.shared_ref = True
         self.scale = r
         self.orig_shape = mask.shape
 
@@ -222,6 +264,7 @@ class VOSDriver:
             return
         feat16, lbs_new = self._init_fn(self.params, frame,
                                         self._jnp.asarray(lb))
+        self.shared_ref = False  # mixed entry frames -> per-slot references
         for slot, oid in slots:
             self.feat_ref = self.feat_ref.at[slot].set(feat16[0])
             self.lbs_ref = self.lbs_ref.at[slot].set(lbs_new[slot])
@@ -233,8 +276,12 @@ class VOSDriver:
         """Returns (indexed mask (H_orig, W_orig) with original object ids,
         per-object boxes dict)."""
         frame, r = self._preproc(image)
-        dets, valid, masks = self._track_fn(self.params, self.feat_ref,
-                                            self.lbs_ref, frame)
+        if getattr(self, "shared_ref", False):
+            dets, valid, masks = self._track_fn_shared(
+                self.params, self.feat_ref1, self.lbs_ref, frame)
+        else:
+            dets, valid, masks = self._track_fn(self.params, self.feat_ref,
+                                                self.lbs_ref, frame)
         boxes = {}
         dets = np.asarray(dets)
         for slot, oid in enumerate(self.obj_ids):

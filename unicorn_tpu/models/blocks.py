@@ -249,10 +249,14 @@ class DepthwiseConv7x7(nn.Module):
                             (7, 7, 1, self.dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.dim,), jnp.float32)
-        from unicorn_tpu.ops.pallas_convnext import dwconv7x7, dwconv7x7_ref
+        from unicorn_tpu.ops import pallas_convnext as pc
         if _PALLAS_DW and x.ndim == 4 and jax.default_backend() == "tpu":
-            return dwconv7x7(x.astype(self.dtype), kernel, bias)
-        return dwconv7x7_ref(x.astype(self.dtype), kernel, bias)
+            return pc.dwconv7x7(x.astype(self.dtype), kernel, bias)
+        if pc._DW_CUSTOM_VJP and x.ndim == 4:
+            # training switch (set_dw_custom_vjp): same forward program,
+            # restructured backward (see ops/pallas_convnext.py)
+            return pc.dwconv7x7_cvjp(x.astype(self.dtype), kernel, bias)
+        return pc.dwconv7x7_ref(x.astype(self.dtype), kernel, bias)
 
 
 class ConvNeXtBlock(nn.Module):

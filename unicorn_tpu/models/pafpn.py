@@ -35,9 +35,11 @@ def build_backbone(name: str, depth: float, width: float, dtype=jnp.float32,
         return (fn(dtype=dtype, exact_gelu=exact_gelu, remat=remat),
                 CONVNEXT_OUT_CHANNELS[name])
     if name.startswith("swin"):
-        from .swin import SWIN_OUT_CHANNELS, swin_tiny
+        from .swin import SWIN_BUILDERS, SWIN_OUT_CHANNELS
 
-        return swin_tiny(dtype=dtype, remat=remat), SWIN_OUT_CHANNELS["swin_tiny"]
+        key = name if name in SWIN_BUILDERS else "swin_tiny"
+        return (SWIN_BUILDERS[key](dtype=dtype, remat=remat),
+                SWIN_OUT_CHANNELS[key])
     if name == "resnet50":
         return ResNet50(dtype=dtype), (512, 1024, 2048)
     if name == "csp_darknet":

@@ -191,5 +191,28 @@ def swin_tiny(dtype=jnp.float32, remat=False):
                            num_heads=(3, 6, 12, 24), dtype=dtype, remat=remat)
 
 
+def swin_small(dtype=jnp.float32, remat=False):
+    """Swin-S (reference swin_transformer.py:447-661 family via
+    swin_config.py: embed 96, depths [2,2,18,2], heads [3,6,12,24])."""
+    return SwinTransformer(embed_dim=96, depths=(2, 2, 18, 2),
+                           num_heads=(3, 6, 12, 24), dtype=dtype, remat=remat)
+
+
+def swin_base(dtype=jnp.float32, remat=False):
+    return SwinTransformer(embed_dim=128, depths=(2, 2, 18, 2),
+                           num_heads=(4, 8, 16, 32), dtype=dtype, remat=remat)
+
+
+def swin_large(dtype=jnp.float32, remat=False):
+    return SwinTransformer(embed_dim=192, depths=(2, 2, 18, 2),
+                           num_heads=(6, 12, 24, 48), dtype=dtype, remat=remat)
+
+
+SWIN_BUILDERS = {"swin_tiny": swin_tiny, "swin_small": swin_small,
+                 "swin_base": swin_base, "swin_large": swin_large}
+
 SWIN_OUT_CHANNELS = {"swin_tiny_patch4_window7_224": (192, 384, 768),
-                     "swin_tiny": (192, 384, 768)}
+                     "swin_tiny": (192, 384, 768),
+                     "swin_small": (192, 384, 768),
+                     "swin_base": (256, 512, 1024),
+                     "swin_large": (384, 768, 1536)}

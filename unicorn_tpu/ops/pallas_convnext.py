@@ -279,6 +279,80 @@ def _dw_bwd(res, g):
 dwconv7x7.defvjp(_dw_fwd, _dw_bwd)
 
 
+# ---------------------------------------------------------------------------
+# dw7x7 custom-VJP with RESTRUCTURED gradients (training-path attack on the
+# dw wall, VERDICT r3 item 4). XLA's autodiff of a feature-grouped conv
+# computes the filter gradient as a batch_group_count=C conv — historically
+# the worst-lowered conv form on TPU. This VJP recomputes both grads in
+# forms the TPU lowers well:
+#   dx: depthwise conv of dy with the spatially-flipped kernel — byte-for-
+#       byte the SAME grouped-conv program as the forward (XLA's best dw
+#       lowering, BASELINE.md dw_probe).
+#   dW: 49 shifted multiply-reduce taps on the padded input, H-shift
+#       hoisted (H is an untiled dim on TPU: H-slices are free; only the 7
+#       W-shifts pay a sublane realign), each tap a lane-preserving
+#       (B,H,W,C)->(C,) reduction that XLA fuses into one pass per tap.
+# Numerics: identical contractions in fp32 accumulation; allclose-tested
+# against jax.vjp of the reference form (tests/test_pallas_convnext.py).
+# ---------------------------------------------------------------------------
+
+_DW_CUSTOM_VJP = False
+
+
+def set_dw_custom_vjp(on: bool):
+    """Training switch: route ConvNeXt dw7x7 through the restructured-
+    gradient VJP below. Flip BEFORE tracing the train step."""
+    global _DW_CUSTOM_VJP
+    _DW_CUSTOM_VJP = bool(on)
+
+
+def dw_grads_restructured(x, kdw, dy):
+    """(dx, dkdw, dbias) for y = dwconv7x7_ref(x, kdw, bias), restructured
+    per the note above. x, dy: (B, H, W, C); kdw (7,7,1,C)."""
+    dt = dy.dtype
+    B, H, W, C = x.shape
+    if kdw.ndim == 3:
+        kdw = kdw[:, :, None, :]
+    # input grad: correlation with the flipped kernel == the forward program
+    kflip = kdw[::-1, ::-1]
+    dx = jax.lax.conv_general_dilated(
+        dy, kflip.astype(dt), (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+    # filter grad: dW[u,v,c] = sum_{b,i,j} xpad[b,i+u,j+v,c] * dy[b,i,j,c]
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    dyf = dy.astype(jnp.float32)
+    rows = []
+    for u in range(7):
+        xu = jax.lax.dynamic_slice_in_dim(xp, u, H, axis=1)  # H-shift: free
+        taps = []
+        for v in range(7):
+            xv = jax.lax.dynamic_slice_in_dim(xu, v, W, axis=2)
+            taps.append(jnp.sum(xv * dyf, axis=(0, 1, 2)))   # (C,)
+        rows.append(jnp.stack(taps))                         # (7, C)
+    dkdw = jnp.stack(rows)[:, :, None, :]                    # (7, 7, 1, C)
+    dbias = jnp.sum(dyf, axis=(0, 1, 2))
+    return dx, dkdw, dbias
+
+
+@jax.custom_vjp
+def dwconv7x7_cvjp(x, kdw, bias):
+    """XLA forward (identical program to dwconv7x7_ref) + restructured VJP."""
+    return dwconv7x7_ref(x, kdw, bias)
+
+
+def _dwc_fwd(x, kdw, bias):
+    return dwconv7x7_ref(x, kdw, bias), (x, kdw)
+
+
+def _dwc_bwd(res, g):
+    x, kdw = res
+    dx, dkdw, dbias = dw_grads_restructured(x, kdw, g)
+    return dx, dkdw.astype(jnp.float32), dbias.astype(jnp.float32)
+
+
+dwconv7x7_cvjp.defvjp(_dwc_fwd, _dwc_bwd)
+
+
 def convnext_block(x, p, exact_gelu: bool = False, method: str = "auto"):
     """Dispatcher: fused Pallas on TPU, reference composition elsewhere.
     Gradients always flow through the reference composition (custom VJP)."""

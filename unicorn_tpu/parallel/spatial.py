@@ -33,7 +33,13 @@ from ..ops.nms import postprocess_device
 
 
 def spatial_sharding(mesh: Mesh, axis: str = "sp") -> NamedSharding:
-    """(N, H, W, C) images sharded along H over the `axis` mesh axis."""
+    """(N, H, W, C) images sharded along H over the `axis` mesh axis.
+
+    For even load balance H should be divisible by
+    ``strides[-1] * mesh.shape[axis]`` (i.e. every shard holds the same
+    number of rows at the deepest stride-32 map). GSPMD pads uneven shards
+    silently — the result stays correct but the largest shard sets the
+    step time. `spatial_detect_fn` asserts this at trace time."""
     return NamedSharding(mesh, P(None, axis, None, None))
 
 
@@ -48,8 +54,14 @@ def spatial_detect_fn(model: Unicorn, mesh: Mesh, axis: str = "sp",
     """
     rep = NamedSharding(mesh, P())
     img_sh = spatial_sharding(mesh, axis)
+    n_sp = mesh.shape[axis]
 
     def detect(params, frames):
+        # uneven shards are silently padded by GSPMD: correct, but the
+        # largest shard sets the latency — demand even division instead
+        assert frames.shape[1] % (strides[-1] * n_sp) == 0, (
+            f"H={frames.shape[1]} must divide {strides[-1]}*{n_sp} "
+            f"(deepest stride x sp shards) for even spatial partitioning")
         raw, _ = model.apply(params, frames, method=Unicorn.forward_whole)
         dec = decode_for_inference(raw, strides, mode="mot")
         # decoded anchors are tiny vs the feature maps: let the partitioner
