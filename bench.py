@@ -54,10 +54,11 @@ BASELINE_A100_FPS = 84.0  # BASELINE.md derivation (upper bound for the ref)
 # "rt derivation". Most-reference-favorable end of the band.
 BASELINE_A100_RT_FPS = 90.0
 # SOT / VOS serving loops (unicorn_sot.py:78-109 / unicorn_vos.py:157-203),
-# derived in BASELINE.md "SOT/VOS derivation" from tools/ref_launch_count.py
-# leaf-op counts + our parity-tested graph FLOPs. Favorable ends.
-BASELINE_A100_SOT_FPS = 67.0
-BASELINE_A100_VOS_K4_FPS = 29.0
+# derived in BASELINE.md "SOT/VOS serving baselines" from
+# tools/ref_launch_count.py leaf-op counts + our parity-tested graph FLOPs.
+# Most-reference-favorable ends of the derived bands.
+BASELINE_A100_SOT_FPS = 79.0
+BASELINE_A100_VOS_K4_FPS = 38.0
 
 
 def _timed_scan(fn, carry, n, fetch):
@@ -112,6 +113,13 @@ def main():
         from unicorn_tpu.models.blocks import set_fast_norms
 
         set_fast_norms(True)
+    if os.environ.get("BENCH_DW_VJP", "0") == "1":
+        # route the ConvNeXt dw7x7 BACKWARD through the restructured
+        # custom VJP (ops/pallas_convnext.dw_grads_restructured) — affects
+        # the uni_train_ms extra only (serving never differentiates)
+        from unicorn_tpu.ops.pallas_convnext import set_dw_custom_vjp
+
+        set_dw_custom_vjp(True)
     if os.environ.get("BENCH_PALLAS_DW", "0") == "1":
         # route every ConvNeXt dw7x7 through the dedicated Pallas kernel
         # (ops/pallas_convnext.dwconv7x7) — A/B knob for the trunk VPU wall

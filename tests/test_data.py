@@ -328,8 +328,16 @@ def test_track_exp_default_mix_weights(tmp_path, monkeypatch, caplog):
     assert [(n, w) for n, w, _ in exp._mot_dataset_specs(str(tmp_path))] == \
         [("MOT17", 2), ("CrowdHuman", 6), ("CityPersons", 1), ("ETHZ", 1)]
 
-    with caplog.at_level(logging.WARNING, logger="unicorn_tpu"):
-        ds = exp.get_dataset()
+    # setup_logger (run by any earlier Trainer test) sets propagate=False on
+    # this logger; caplog captures via root propagation, so restore it here
+    log = logging.getLogger("unicorn_tpu")
+    old_propagate = log.propagate
+    log.propagate = True
+    try:
+        with caplog.at_level(logging.WARNING, logger="unicorn_tpu"):
+            ds = exp.get_dataset()
+    finally:
+        log.propagate = old_propagate
     # MOT group: the two present datasets with their reference weights,
     # renormalized (2:6 -> 0.25:0.75)
     mot = ds.mot_dataset
