@@ -317,9 +317,56 @@ def main():
                 log("head_bisect", level=li, hw=f"{h}x{w}", batch=Bf,
                     towers8x3x3_ms_frame=round(ms_tower / Bf, 3),
                     stem1x1_ms_frame=round(ms_stem / Bf, 3))
-        # decode+NMS end of the head at B=1/2 (model-based)
+        # attention blocks alone (3 ConvNeXt blocks, 256ch, stride-8 map):
+        # the dw7x7-bearing part of the head
+        from unicorn_tpu.models.blocks import ConvNeXtBlock
+
+        att = ConvNeXtBlock(hidden, layer_scale_init_value=1.0,
+                            dtype=jnp.bfloat16, exact_gelu=False)
+        h0, w0 = levels[0]
+        att_params = att.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, h0, w0, hidden), jnp.bfloat16))
+
+        for Bf in (1, 2):
+            x = jnp.asarray(rng.rand(Bf, h0, w0, hidden)
+                            .astype(np.float32)).astype(jnp.bfloat16)
+
+            @jax.jit
+            def scan_att(p, c):
+                def body(c, _):
+                    y = c
+                    for _i in range(3):
+                        y = att.apply(p, y)
+                    return c + (jnp.mean(y) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, c, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+
+            ms_att = t(scan_att, att_params, x) - floor
+            log("head_bisect", part="att3_convnext_stride8", batch=Bf,
+                ms_frame=round(ms_att / Bf, 3))
+
+        # decode+NMS alone at B=1/2 (no head convs: zero raw maps)
         from unicorn_tpu.models.heads import decode_for_inference
         from unicorn_tpu.ops.nms import postprocess_device
+
+        for Bf in (1, 2):
+            dec_in = jnp.asarray(
+                rng.rand(Bf, sum(h * w for h, w in levels), 13)
+                .astype(np.float32))
+
+            @jax.jit
+            def scan_nms(c):
+                def body(c, _):
+                    dets, valid = postprocess_device(
+                        c, num_classes=1, conf_thre=0.1, nms_thre=0.8,
+                        n_cand=128, max_out=64)
+                    return c + (jnp.mean(dets) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, c, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+
+            ms_nms = t(scan_nms, dec_in) - floor
+            log("head_bisect", part="decode_nms", batch=Bf,
+                ms_frame=round(ms_nms / Bf, 3))
 
         for Bf in (1, 2):
             f = jnp.asarray(rng.rand(Bf, H, W, 3).astype(np.float32) * 255
