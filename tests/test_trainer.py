@@ -236,3 +236,55 @@ def test_async_checkpoint_roundtrip(tmp_path):
     loaded = load_checkpoint(str(tmp_path), "async_ck")
     np.testing.assert_array_equal(loaded["params"]["w"], state["params"]["w"])
     assert int(loaded["epoch"]) == 3
+
+
+def test_resume_from_explicit_ckpt_and_start_epoch(tmp_path):
+    """--ckpt with --resume resumes from that path; --start_epoch overrides
+    the stored epoch (reference trainer.py:469-483: start_epoch - 1)."""
+    exp = TinyExp(str(tmp_path / "x"))
+    tr = Trainer(exp, {"batch_size": 2})
+    tr.before_train()
+    tr.epoch = 4
+    tr.best_ap = 0.5
+    tr.save_ckpt("special")
+    from unicorn_tpu.core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    ckpt_path = os.path.join(str(tmp_path / "x"), "tiny_test", "special")
+
+    exp2 = TinyExp(str(tmp_path / "y"))
+    tr2 = Trainer(exp2, {"batch_size": 2, "resume": True, "ckpt": ckpt_path})
+    tr2.before_train()
+    assert tr2.start_epoch == 5
+    assert tr2.best_ap == 0.5
+
+    exp3 = TinyExp(str(tmp_path / "z"))
+    tr3 = Trainer(exp3, {"batch_size": 2, "resume": True, "ckpt": ckpt_path,
+                         "start_epoch": 3})
+    tr3.before_train()
+    assert tr3.start_epoch == 2  # reference: args.start_epoch - 1
+
+
+def test_finetune_ckpt_without_resume_loads_params_only(tmp_path):
+    """--ckpt WITHOUT --resume = fine-tune: params load (shape-tolerant),
+    epoch/optimizer start fresh (reference trainer.py:494-499)."""
+    import jax
+
+    exp = TinyExp(str(tmp_path / "src"))
+    tr = Trainer(exp, {"batch_size": 2})
+    tr.before_train()
+    tr.epoch = 7
+    tr.save_ckpt("latest")
+    from unicorn_tpu.core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+    ckpt_path = os.path.join(str(tmp_path / "src"), "tiny_test", "latest")
+
+    exp2 = TinyExp(str(tmp_path / "dst"))
+    tr2 = Trainer(exp2, {"batch_size": 2, "ckpt": ckpt_path})
+    tr2.before_train()
+    assert tr2.start_epoch == 0  # fresh schedule
+    a = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

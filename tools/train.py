@@ -20,6 +20,14 @@ def make_parser():
     parser.add_argument("-n", "--name", default=None, type=str)
     parser.add_argument("-b", "--batch-size", type=int, default=8)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("-c", "--ckpt", default=None, type=str,
+                        help="checkpoint path: with --resume, resume from it "
+                             "instead of <output>/latest; without, load its "
+                             "params for fine-tuning (reference "
+                             "trainer.py:466-501 resume_train semantics)")
+    parser.add_argument("--start_epoch", default=None, type=int,
+                        help="override the resumed start epoch "
+                             "(reference args.start_epoch)")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="exp config overrides: key value ...")
@@ -41,7 +49,8 @@ def main():
     if args.seed is not None:
         exp.seed = args.seed
     trainer = Trainer(exp, {"batch_size": args.batch_size,
-                            "resume": args.resume})
+                            "resume": args.resume, "ckpt": args.ckpt,
+                            "start_epoch": args.start_epoch})
     trainer.train()
 
 

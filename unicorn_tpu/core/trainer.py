@@ -111,6 +111,12 @@ class Trainer:
         tx = exp.get_optimizer(self.batch_size, self.iters_per_epoch)
         state = TrainState.create(params, tx, use_ema=getattr(exp, "ema", True))
         if self.args.get("resume"):
+            # reference resume_train (trainer.py:466-489): resume from
+            # args.ckpt when given, else <output>/latest
+            ckpt_dir, ckpt_name = self.output_dir, "latest"
+            if self.args.get("ckpt"):
+                ckpt_dir, ckpt_name = os.path.split(
+                    os.path.abspath(self.args["ckpt"]))
             try:
                 # Full resume restores model + optimizer + best_ap like the
                 # reference (trainer.py:476-485): AdamW moments and the
@@ -126,13 +132,13 @@ class Trainer:
                     "epoch": 0, "step": 0, "best_ap": 0.0,
                 }
                 try:
-                    loaded = load_checkpoint(self.output_dir, "latest",
+                    loaded = load_checkpoint(ckpt_dir, ckpt_name,
                                              target=target)
                     opt_state = loaded["opt_state"]
                 except FileNotFoundError:
                     raise
                 except Exception:
-                    loaded = load_checkpoint(self.output_dir, "latest")
+                    loaded = load_checkpoint(ckpt_dir, ckpt_name)
                     opt_state = state.opt_state
                     self.logger.warning(
                         "checkpoint has no (or mismatched) optimizer state; "
@@ -143,11 +149,26 @@ class Trainer:
                     step=np.asarray(loaded.get("step", 0), np.int32),
                 )
                 self.start_epoch = int(loaded.get("epoch", 0))
+                if self.args.get("start_epoch") is not None:
+                    # reference: args.start_epoch - 1 overrides the stored one
+                    self.start_epoch = int(self.args["start_epoch"]) - 1
                 self.best_ap = float(loaded.get("best_ap", 0.0))
                 self.logger.info("resumed from epoch %d (best_ap %.4f)",
                                  self.start_epoch, self.best_ap)
             except FileNotFoundError:
                 self.logger.info("no checkpoint to resume; starting fresh")
+        elif self.args.get("ckpt"):
+            # fine-tune load (reference trainer.py:494-499): params only,
+            # shape-mismatch-tolerant, optimizer/epoch fresh
+            from .checkpoint import load_matching
+
+            ckpt_dir, ckpt_name = os.path.split(
+                os.path.abspath(self.args["ckpt"]))
+            loaded = load_checkpoint(ckpt_dir, ckpt_name)
+            state = state.replace(
+                params=load_matching(state.params, loaded["params"]))
+            self.logger.info("loaded fine-tune checkpoint %s",
+                             self.args["ckpt"])
         self.state = replicate_state(self.mesh, state)
         # multi-host: each process loads only its share of the global batch
         # (reference DistributedSampler role); shard_batch assembles the
