@@ -365,3 +365,49 @@ def test_track_exp_bdd_mix(tmp_path, monkeypatch):
     exp.mot_test_name = "nonsense"
     with _pytest.raises(ValueError):
         exp._mot_dataset_specs(str(tmp_path))
+
+
+def test_default_mix_through_uni_loader(tmp_path, monkeypatch):
+    """The new default SOT mix's COCOSOT path feeds the real UniLoader:
+    build a mini on-disk COCO train set, let ExpTrack assemble the mix
+    (COCOSOT the only present dataset), and draw real 2-frame batches."""
+    import json
+
+    from unicorn_tpu.exp.track import ExpTrack
+
+    monkeypatch.setenv("UNICORN_DATADIR", str(tmp_path))
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "train2017").mkdir()
+    import cv2
+
+    rng = np.random.RandomState(0)
+    images, annos = [], []
+    for i in range(3):
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(str(root / "train2017" / name),
+                    (rng.rand(60, 80, 3) * 255).astype(np.uint8))
+        images.append({"id": i + 1, "file_name": name,
+                       "width": 80, "height": 60})
+        annos.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                      "bbox": [10, 10, 30, 24], "area": 720, "iscrowd": 0})
+    json.dump({"images": images, "annotations": annos,
+               "categories": [{"id": 1, "name": "person"}]},
+              open(root / "annotations" / "instances_train2017.json", "w"))
+
+    exp = ExpTrack()
+    exp.input_size = (64, 64)
+    exp.max_labels = 5
+    exp.samples_per_epoch = 4
+    exp.sot_only = True  # only the SOT group (COCOSOT) is on disk
+    loader = exp.get_data_loader(batch_size=2)
+    it = iter(loader)
+    imgs, targets, task_ids = next(it)
+    assert imgs.shape == (2, 2, 64, 64, 3)
+    assert targets.shape == (2, 2, 5, 6)
+    assert set(np.asarray(task_ids)) == {1}  # SOT task
+    # the duplicated-frame COCOSOT sample carries exactly one valid box
+    valid = (targets[..., 2:4] > 0).all(-1)
+    assert valid.sum(axis=-1).max() >= 1
+    if hasattr(loader, "close"):
+        loader.close()
