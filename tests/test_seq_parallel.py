@@ -95,3 +95,50 @@ def test_vos_seq_parallel_matches_sequential():
             drv._track_fn(params, feat_refs[s], lbs_refs[s], frames[s][None]))
         np.testing.assert_allclose(dets_sp[s], dets, rtol=2e-4, atol=2e-3)
         np.testing.assert_allclose(masks_sp[s], masks, rtol=2e-4, atol=2e-3)
+
+
+def test_run_dataset_sot_parallel_matches_sequential(tmp_path):
+    """The lockstep multi-sequence runner (harness/running.py) must emit the
+    SAME per-sequence box files as the sequential runner — including slot
+    retirement and refill with unequal sequence lengths."""
+    import cv2
+
+    from unicorn_tpu.harness.datasets import Sequence
+    from unicorn_tpu.harness.running import (
+        run_dataset_sot, run_dataset_sot_parallel,
+    )
+
+    model = _model()
+    rng = np.random.RandomState(3)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame0,
+                        method=Unicorn.init_all)
+
+    # 3 sequences of different lengths over 2 slots -> forces a refill
+    seqs = []
+    for si, n_frames in enumerate((3, 5, 4)):
+        paths = []
+        for t in range(n_frames):
+            img = (rng.rand(52, 60, 3) * 255).astype(np.uint8)
+            x, y = 8 + 3 * t + 2 * si, 6 + 2 * t
+            img[y:y + 14, x:x + 16] = [240, 200, 60]
+            p = str(tmp_path / f"s{si}_f{t}.jpg")
+            cv2.imwrite(p, img)
+            paths.append(p)
+        seqs.append(Sequence(name=f"seq{si}", frames=paths,
+                             ground_truth_rect=np.array(
+                                 [[8.0 + 2 * si, 6.0, 16.0, 14.0]])))
+
+    def factory():
+        return SOTDriver(model, params, input_size=(H, W), conf_thre=0.0,
+                         max_inst=3)
+
+    res_seq = run_dataset_sot(factory, seqs, verbose=False)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("seq",))
+    drv = factory()
+    res_par = run_dataset_sot_parallel(drv, seqs, mesh, verbose=False)
+
+    assert set(res_par) == set(res_seq) == {"seq0", "seq1", "seq2"}
+    for name in res_seq:
+        np.testing.assert_allclose(res_par[name], res_seq[name], atol=1e-2)

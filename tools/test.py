@@ -20,6 +20,10 @@ def make_parser():
     p.add_argument("-c", "--ckpt", default=None)
     p.add_argument("--result-dir", default="test_results")
     p.add_argument("--max-seqs", type=int, default=None)
+    p.add_argument("--parallel-seqs", type=int, default=0,
+                   help="SOT only: run N sequences in lockstep over an "
+                        "N-device 'seq' mesh (one sequence per chip; "
+                        "harness.running.run_dataset_sot_parallel)")
     # NOT argparse.REMAINDER: with a leading positional (tracker name)
     # REMAINDER swallows every following option (see tools/demo.py).
     p.add_argument("opts", nargs="*")
@@ -60,11 +64,22 @@ def main():
     if args.tracker == "unicorn_sot":
         from unicorn_tpu.drivers.sot import SOTDriver
         from unicorn_tpu.harness.analysis import evaluate_sot
-        from unicorn_tpu.harness.running import run_dataset_sot
+        from unicorn_tpu.harness.running import (
+            run_dataset_sot, run_dataset_sot_parallel,
+        )
 
-        results = run_dataset_sot(
-            lambda: SOTDriver(model, params, exp.test_size),
-            sequences, result_dir, max_seqs=args.max_seqs)
+        if args.parallel_seqs > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.devices()[:args.parallel_seqs]),
+                        ("seq",))
+            results = run_dataset_sot_parallel(
+                SOTDriver(model, params, exp.test_size), sequences, mesh,
+                result_dir=result_dir, max_seqs=args.max_seqs)
+        else:
+            results = run_dataset_sot(
+                lambda: SOTDriver(model, params, exp.test_size),
+                sequences, result_dir, max_seqs=args.max_seqs)
         gts = {s.name: s.ground_truth_rect for s in sequences
                if len(s.ground_truth_rect) > 1}
         if gts:

@@ -124,21 +124,32 @@ class SOTDriver:
             self.params, frame, self._jnp.asarray(box))
         self.state = list(init_bbox_xywh)
 
+    @staticmethod
+    def update_state_from_packed(packed, r, state, input_size):
+        """Host-side best-box state carry from one packed (max_inst, 8)
+        result (clamp -> rescale -> xywh; carry on empty frames —
+        unicorn_sot.py:57-75). Shared by track()/track_window() and the
+        lockstep multi-sequence runner (harness/running.py) so all paths
+        apply identical protocol logic."""
+        dets = packed[packed[:, 7] > 0.5]
+        if len(dets):
+            boxes = dets[:, :4].copy()
+            H, W = input_size
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, W)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, H)
+            best = boxes[0] / r
+            state = [float(best[0]), float(best[1]),
+                     float(best[2] - best[0]), float(best[3] - best[1])]
+        return state
+
     def track(self, image):
         """Returns {"target_bbox": [x, y, w, h]} in original image coords."""
         self.frame_id += 1
         frame, r = self._preproc_u8(image)
         packed = np.asarray(self._track_fn(self.params, self.feat_ref,
                                            self.lbs_ref, frame))
-        dets = packed[packed[:, 7] > 0.5]
-        if len(dets):
-            boxes = dets[:, :4]
-            H, W = self.input_size
-            boxes[:, 0::2] = boxes[:, 0::2].clip(0, W)
-            boxes[:, 1::2] = boxes[:, 1::2].clip(0, H)
-            best = boxes[0] / r
-            self.state = [float(best[0]), float(best[1]),
-                          float(best[2] - best[0]), float(best[3] - best[1])]
+        self.state = self.update_state_from_packed(
+            packed, r, self.state, self.input_size)
         return {"target_bbox": list(self.state)}
 
     def track_window(self, images, window: int = 8):
@@ -164,17 +175,9 @@ class SOTDriver:
             packed = np.asarray(self._track_batch_fn(
                 self.params, self.feat_ref, self.lbs_ref,
                 self._jnp.stack(frames)))
-            H, W = self.input_size
             for k, r in enumerate(rs):
                 self.frame_id += 1
-                dets = packed[k][packed[k][:, 7] > 0.5]
-                if len(dets):
-                    boxes = dets[:, :4]
-                    boxes[:, 0::2] = boxes[:, 0::2].clip(0, W)
-                    boxes[:, 1::2] = boxes[:, 1::2].clip(0, H)
-                    best = boxes[0] / r
-                    self.state = [float(best[0]), float(best[1]),
-                                  float(best[2] - best[0]),
-                                  float(best[3] - best[1])]
+                self.state = self.update_state_from_packed(
+                    packed[k], r, self.state, self.input_size)
                 outs.append({"target_bbox": list(self.state)})
         return outs
