@@ -152,3 +152,56 @@ def test_track_mask_exp_mix_specs(tmp_path, monkeypatch):
     # nothing on disk -> both groups empty, no crash
     ds = exp.get_dataset()
     assert ds.sot_dataset is None and ds.mot_dataset is None
+
+
+def test_mots_video_dataset_through_mask_loader(tmp_path):
+    """MOTSVideoDataset feeds UniMaskLoader: real mask-stage batches
+    (images/targets/task_ids/masks) come out static-shaped."""
+    import json
+
+    from unicorn_tpu.data.datasets.omni import OmniDataset, OmniDatasetPlus
+    from unicorn_tpu.data.datasets.vos import MOTSVideoDataset
+    from unicorn_tpu.data.loader import UniMaskLoader
+    from unicorn_tpu.data.transforms import TrainTransformIns
+    from unicorn_tpu.evaluators import rle as rle_codec
+
+    root = str(tmp_path)
+    h, w = 48, 48
+    rng = np.random.RandomState(5)
+    images, anns = [], []
+    img_id = ann_id = 1
+    for f in range(1, 5):
+        fname = f"seq01/img1/{f:06d}.jpg"
+        os.makedirs(os.path.join(root, "seq01", "img1"), exist_ok=True)
+        cv2.imwrite(os.path.join(root, fname),
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8))
+        images.append({"id": img_id, "video_id": 1, "frame_id": f,
+                       "file_name": fname, "height": h, "width": w})
+        m = np.zeros((h, w), np.uint8)
+        m[6 + f:20 + f, 8:24] = 1
+        anns.append({"id": ann_id, "image_id": img_id, "category_id": 1,
+                     "track_id": 1, "iscrowd": 0,
+                     "bbox": [8.0, 6.0 + f, 16.0, 14.0], "area": 224.0,
+                     "segmentation": rle_codec.encode(m)})
+        img_id += 1
+        ann_id += 1
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "pedestrian"}]},
+              open(os.path.join(root, "annotations", "train_mots.json"), "w"))
+
+    ds = MOTSVideoDataset(root)
+    mots = OmniDataset([ds], samples_per_epoch=4)
+    omni = OmniDatasetPlus(None, mots, 4, mode="alter")
+    loader = UniMaskLoader(
+        omni, TrainTransformIns(max_labels=3, flip_prob=0.0, hsv_prob=0.0,
+                                d_rate=2),
+        batch_size=2, input_size=(32, 32))
+    imgs, targets, task_ids, masks = next(iter(loader))
+    assert imgs.shape == (2, 2, 32, 32, 3)
+    assert targets.shape == (2, 2, 3, 6)
+    assert set(np.asarray(task_ids)) == {2}   # MOTS task
+    assert masks.shape[:3] == (2, 2, 3)
+    assert masks.max() > 0  # the rle-decoded mask survived the transform
+    if hasattr(loader, "close"):
+        loader.close()
