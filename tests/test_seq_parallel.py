@@ -142,3 +142,67 @@ def test_run_dataset_sot_parallel_matches_sequential(tmp_path):
     assert set(res_par) == set(res_seq) == {"seq0", "seq1", "seq2"}
     for name in res_seq:
         np.testing.assert_allclose(res_par[name], res_seq[name], atol=1e-2)
+
+
+def test_run_dataset_vos_parallel_matches_sequential(tmp_path):
+    """The lockstep multi-sequence VOS runner must emit the same indexed
+    masks as sequential run_sequence_vos, and fall back to sequential for
+    sequences with mid-video annotated entries."""
+    import cv2
+
+    from unicorn_tpu.harness.datasets import Sequence
+    from unicorn_tpu.harness.running import (
+        run_dataset_vos_parallel, run_sequence_vos,
+    )
+
+    model = _model(use_mask=True)
+    rng = np.random.RandomState(4)
+    frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), frame0,
+                        method=Unicorn.init_all)
+
+    def write_seq(si, n_frames, mid_entry=False):
+        fdir = tmp_path / f"s{si}"
+        fdir.mkdir()
+        frames, masks = [], []
+        for t in range(n_frames):
+            img = (rng.rand(52, 60, 3) * 255).astype(np.uint8)
+            x, y = 8 + 2 * t + 2 * si, 6 + t
+            img[y:y + 14, x:x + 16] = [240, 200, 60]
+            fp = str(fdir / f"f{t}.jpg")
+            cv2.imwrite(fp, img)
+            frames.append(fp)
+        ann = np.zeros((52, 60), np.uint8)
+        ann[6:20, 8 + 2 * si:24 + 2 * si] = 1
+        ann[30:44, 30:46] = 2
+        mp = str(fdir / "m0.png")
+        cv2.imwrite(mp, ann)
+        masks.append(mp)
+        if mid_entry:
+            ann2 = np.zeros((52, 60), np.uint8)
+            ann2[20:32, 10:24] = 3
+            mp2 = str(fdir / "f2.png")  # aligned by basename to frames[2]
+            cv2.imwrite(mp2, ann2)
+            masks.append(mp2)
+        return Sequence(name=f"vseq{si}", frames=frames,
+                        ground_truth_rect=np.zeros((1, 4)), masks=masks)
+
+    seqs = [write_seq(0, 3), write_seq(1, 4), write_seq(2, 3,
+                                                        mid_entry=True)]
+
+    from unicorn_tpu.drivers.vos import VOSDriver
+
+    def fresh():
+        return VOSDriver(model, params, input_size=(H, W), max_objects=3,
+                         conf_thre=0.0)
+
+    ref = {s.name: run_sequence_vos(fresh(), s) for s in seqs}
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("seq",))
+    res = run_dataset_vos_parallel(fresh(), seqs, mesh, verbose=False)
+
+    assert set(res) == {"vseq0", "vseq1", "vseq2"}
+    for name in ref:
+        assert len(res[name]) == len(ref[name])
+        for a, b in zip(res[name], ref[name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -89,18 +89,33 @@ def main():
 
         from unicorn_tpu.drivers.vos import VOSDriver
         from unicorn_tpu.harness.davis_metrics import evaluate_davis
-        from unicorn_tpu.harness.running import run_sequence_vos
+        from unicorn_tpu.harness.running import (
+            run_dataset_vos_parallel, run_sequence_vos,
+        )
 
-        preds, gts = {}, {}
+        def make_driver():
+            return VOSDriver(model, params, exp.test_size,
+                             use_raft=getattr(exp, "use_raft", False),
+                             up_rate=getattr(exp, "up_rate", 8))
+
         n = len(sequences) if args.max_seqs is None else args.max_seqs
-        for seq in sequences[:n]:
-            driver = VOSDriver(model, params, exp.test_size,
-                               use_raft=getattr(exp, "use_raft", False),
-                               up_rate=getattr(exp, "up_rate", 8))
-            preds[seq.name] = run_sequence_vos(driver, seq, result_dir)
-            gts[seq.name] = [cv2.imread(m, cv2.IMREAD_GRAYSCALE)
-                             for m in seq.masks]
-            print(f"{seq.name}: {len(preds[seq.name])} frames")
+        if args.parallel_seqs > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.devices()[:args.parallel_seqs]),
+                        ("seq",))
+            preds = run_dataset_vos_parallel(
+                make_driver(), sequences, mesh, result_dir=result_dir,
+                max_seqs=args.max_seqs)
+        else:
+            preds = {}
+            for seq in sequences[:n]:
+                preds[seq.name] = run_sequence_vos(make_driver(), seq,
+                                                   result_dir)
+                print(f"{seq.name}: {len(preds[seq.name])} frames")
+        gts = {seq.name: [cv2.imread(m, cv2.IMREAD_GRAYSCALE)
+                          for m in seq.masks]
+               for seq in sequences[:n] if seq.name in preds}
         print(evaluate_davis(preds, gts))
 
 

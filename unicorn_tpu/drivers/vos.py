@@ -220,6 +220,7 @@ class VOSDriver:
         tracker builds its label priors from BOXES, never from the mask
         itself (unicorn_vos.py:60-66) — the mask only seeds the output frame."""
         frame, r = self._preproc(image)
+        self._entry_overlay = {}  # fresh per sequence (re-init / driver copy)
         self.obj_ids = sorted(int(i) for i in np.unique(mask) if i != 0)[: self.K]
         K = self.K
         lb = np.zeros((K,) + self.input_size, np.float32)
@@ -282,6 +283,13 @@ class VOSDriver:
         else:
             dets, valid, masks = self._track_fn(self.params, self.feat_ref,
                                                 self.lbs_ref, frame)
+        return self.postprocess_masks_host(dets, valid, masks, r)
+
+    def postprocess_masks_host(self, dets, valid, masks, r):
+        """Host-side tail of track(): boxes dict + reference-order
+        aggregation at original resolution. Shared by track() and the
+        lockstep multi-sequence runner (harness/running.py) so both paths
+        score identically."""
         boxes = {}
         dets = np.asarray(dets)
         for slot, oid in enumerate(self.obj_ids):
