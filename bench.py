@@ -59,6 +59,12 @@ BASELINE_A100_RT_FPS = 90.0
 # Most-reference-favorable ends of the derived bands.
 BASELINE_A100_SOT_FPS = 79.0
 BASELINE_A100_VOS_K4_FPS = 38.0
+# rt-resolution (640x1024) SOT/VOS: the reference stays dispatch-bound
+# (9.4 / 21.3 ms floors are resolution-independent; compute terms shrink
+# well below them), so its favorable-end bounds barely move — see
+# BASELINE.md "SOT/VOS serving baselines", rt paragraph.
+BASELINE_A100_SOT_RT_FPS = 84.0
+BASELINE_A100_VOS_K4_RT_FPS = 39.0
 
 
 def _timed_scan(fn, carry, n, fetch):
@@ -493,6 +499,62 @@ def main():
             lambda c: scan_vos_driver_multiref(params_vos, vfeat, vlbs, c),
             vframe0, N_SCAN, lambda o: o) - ms_floor
 
+    # ---- rt-resolution SOT/VOS (the published 640x1024 parity point also
+    # covers LaSOT/DAVIS; own BASELINE.md denominators — the reference's
+    # dispatch floor dominates there, so rt favors the TPU on these paths
+    # exactly as it does for MOT) ----
+    ms_sot_rt = ms_vos_rt = float("inf")
+    if rt_hw is not None and not skip_sot:
+        Hr, Wr = rt_hw
+        drv_rt = SOTDriver(model_sot, params, input_size=(Hr, Wr))
+        frame0_rt = jnp.asarray(
+            rng.rand(1, Hr, Wr, 3).astype(np.float32) * 255)
+        box_rt = jnp.asarray(
+            np.array([[Wr / 2, Hr / 2, 80.0, 60.0]], np.float32))
+        fr_rt, lr_rt = drv_rt._init_fn(params, frame0_rt, box_rt)
+
+        @jax.jit
+        def scan_sot_rt(params, feat_ref, lbs_ref, frame):
+            frame = frame.astype(jnp.float32)
+
+            def body(carry, _):
+                packed = drv_rt._track_fn_raw(params, feat_ref, lbs_ref,
+                                              carry)
+                carry = carry + (jnp.mean(packed) * eps).astype(carry.dtype)
+                return carry, ()
+            carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
+            return jnp.mean(carry.astype(jnp.float32))
+
+        ms_sot_rt = _timed_scan(
+            lambda c: scan_sot_rt(params, fr_rt, lr_rt, c),
+            jnp.asarray((rng.rand(1, Hr, Wr, 3) * 255).astype(np.uint8)),
+            N_SCAN, lambda o: o) - ms_floor
+        if not skip_vos:
+            vdrv_rt = VOSDriver(model_vos, params_vos, input_size=(Hr, Wr),
+                                max_objects=4)
+            vm_rt = np.zeros((4, Hr, Wr), np.float32)
+            for kk in range(4):
+                vm_rt[kk, (Hr // 8) * (kk + 1):(Hr // 8) * (kk + 2),
+                      Wr // 5:2 * Wr // 5] = 1.0
+            vf1_rt, vlbs_rt = vdrv_rt._init_fn(params_vos, frame0_rt,
+                                               jnp.asarray(vm_rt))
+
+            @jax.jit
+            def scan_vos_rt(params, feat_ref1, lbs_ref, frame):
+                def body(carry, _):
+                    dets, valid, masks = vdrv_rt._track_fn_shared_raw(
+                        params, feat_ref1, lbs_ref, carry)
+                    idx = vdrv_rt._aggregate_raw(masks, vvalid)
+                    carry = carry + (jnp.mean(idx.astype(jnp.float32))
+                                     * eps).astype(carry.dtype)
+                    return carry, ()
+                carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
+                return jnp.mean(carry.astype(jnp.float32))
+
+            ms_vos_rt = _timed_scan(
+                lambda c: scan_vos_rt(params_vos, vf1_rt, vlbs_rt, c),
+                frame0_rt, N_SCAN, lambda o: o) - ms_floor
+
     # ---------------- training: one uni train step, B=1 ----------------
     # Driver-recorded training throughput (README's train tables come from
     # tools/train_profile.py; this stamps one number into BENCH_r*.json).
@@ -566,6 +628,12 @@ def main():
                                  / BASELINE_A100_VOS_K4_FPS, 3),
         "vos_baseline_a100_fps": BASELINE_A100_VOS_K4_FPS,
         "vos_driver_fps_k4_multiref": round(1000.0 / ms_vos_multiref, 2),
+        "sot_rt_fps": round(1000.0 / ms_sot_rt, 2),
+        "sot_rt_vs_baseline": round(1000.0 / ms_sot_rt
+                                    / BASELINE_A100_SOT_RT_FPS, 3),
+        "vos_rt_fps_k4": round(1000.0 / ms_vos_rt, 2),
+        "vos_rt_vs_baseline": round(1000.0 / ms_vos_rt
+                                    / BASELINE_A100_VOS_K4_RT_FPS, 3),
         "stage_ms": {
             "backbone_fpn": round(ms_backbone, 3),
             "interaction_upsample_corr16k": round(ms_sot_core, 3),
