@@ -395,6 +395,112 @@ def main():
                 ms_frame=round(ms_full / Bf, 3))
         return
 
+    if exp == "vos_bisect":
+        # Decompose the K=4 shared-ref VOS frame (bench vos_driver_fps_k4):
+        # backbone and interaction+corr are known from the bench stage scan;
+        # this measures (a) the K=4-slot head+decode+NMS standalone and
+        # (b) the full driver fn with and without the full-res aggregation,
+        # so mask-decode+upsample and aggregate costs fall out by
+        # subtraction.
+        import jax.numpy as jnp
+
+        from unicorn_tpu.drivers.vos import VOSDriver
+        from unicorn_tpu.models.heads import decode_for_inference
+        from unicorn_tpu.models.unicorn import Unicorn
+        from unicorn_tpu.ops.nms import postprocess_device
+
+        eps = jnp.float32(1e-20)
+        NS = 16
+        Kv = 4
+        h8, w8 = H // 8, W // 8
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        floor = t(scan_null, jnp.float32(1.0))
+
+        # (a) K=4 head+decode+NMS standalone (non-mask model/params)
+        frame_b = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        fpn_outs, _ = jax.jit(lambda p, f: model.apply(
+            p, f, method=Unicorn.forward_backbone))(params, frame_b)
+        fpn_k = tuple(jnp.broadcast_to(f, (Kv,) + f.shape[1:])
+                      for f in fpn_outs)
+        priors0 = jnp.zeros((Kv, h8, w8, 1), jnp.float32)
+
+        @jax.jit
+        def scan_head_k(p, priors_k):
+            def body(c, _):
+                priors = (
+                    c.astype(fpn_k[0].dtype),
+                    jax.image.resize(c, (Kv, h8 // 2, w8 // 2, 1),
+                                     "bilinear").astype(fpn_k[1].dtype),
+                    jax.image.resize(c, (Kv, h8 // 4, w8 // 4, 1),
+                                     "bilinear").astype(fpn_k[2].dtype),
+                )
+                raw = model.apply(p, fpn_k, priors,
+                                  method=Unicorn.forward_head)
+                dec = decode_for_inference(raw, (8, 16, 32), mode="sot")
+                dets, valid = postprocess_device(
+                    dec, num_classes=1, conf_thre=0.001, nms_thre=0.65,
+                    class_agnostic=True, n_cand=256, max_out=8)
+                return c + (jnp.mean(dets) * eps).astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, priors_k, None, length=NS)
+            return jnp.mean(c)
+
+        ms_head_k = t(scan_head_k, params, priors0) - floor
+        log("vos_bisect", part="head_k4_decode_nms",
+            ms_frame=round(ms_head_k, 3))
+
+        # (b) full driver fn with/without aggregation (mask model)
+        model_vos = model.clone(interact_dtype=jnp.bfloat16, use_mask=True)
+        params_vos = model_vos.init(jax.random.PRNGKey(0), frame_b,
+                                    method=Unicorn.init_all)
+        vdrv = VOSDriver(model_vos, params_vos, input_size=(H, W),
+                         max_objects=Kv)
+        vm = np.zeros((Kv, H, W), np.float32)
+        for kk in range(Kv):
+            vm[kk, 100 * (kk + 1):100 * (kk + 2), 200:400] = 1.0
+        vf1, vlbs = vdrv._init_fn(params_vos, frame_b, jnp.asarray(vm))
+        vvalid = jnp.ones((Kv,), jnp.float32)
+
+        def make_scan(with_agg):
+            @jax.jit
+            def scan(p, f1, lb, frame):
+                def body(c, _):
+                    dets, valid, masks = vdrv._track_fn_shared_raw(
+                        p, f1, lb, c)
+                    out = vdrv._aggregate_raw(masks, vvalid).astype(
+                        jnp.float32) if with_agg else masks
+                    c = c + (jnp.mean(out.astype(jnp.float32))
+                             * eps).astype(c.dtype)
+                    return c, ()
+                c, _ = jax.lax.scan(body, frame, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return scan
+
+        ms_full = t(make_scan(True), params_vos, vf1, vlbs, frame_b) - floor
+        ms_noagg = t(make_scan(False), params_vos, vf1, vlbs, frame_b) - floor
+        log("vos_bisect", part="full_shared_with_agg",
+            ms_frame=round(ms_full, 3))
+        log("vos_bisect", part="full_shared_no_agg",
+            ms_frame=round(ms_noagg, 3))
+        log("vos_bisect", part="aggregate_delta",
+            ms_frame=round(ms_full - ms_noagg, 3))
+        return
+
     if exp == "dw_bwd":
         # A/B the dw7x7 BACKWARD (VERDICT r4 item 4): XLA autodiff of the
         # grouped conv (filter grad = batch_group_count conv) vs the
