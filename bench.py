@@ -504,31 +504,33 @@ def main():
     # dispatch floor dominates there, so rt favors the TPU on these paths
     # exactly as it does for MOT) ----
     ms_sot_rt = ms_vos_rt = float("inf")
-    if rt_hw is not None and not skip_sot:
+    if rt_hw is not None and not (skip_sot and skip_vos):
         Hr, Wr = rt_hw
-        drv_rt = SOTDriver(model_sot, params, input_size=(Hr, Wr))
         frame0_rt = jnp.asarray(
             rng.rand(1, Hr, Wr, 3).astype(np.float32) * 255)
-        box_rt = jnp.asarray(
-            np.array([[Wr / 2, Hr / 2, 80.0, 60.0]], np.float32))
-        fr_rt, lr_rt = drv_rt._init_fn(params, frame0_rt, box_rt)
+        if not skip_sot:
+            drv_rt = SOTDriver(model_sot, params, input_size=(Hr, Wr))
+            box_rt = jnp.asarray(
+                np.array([[Wr / 2, Hr / 2, 80.0, 60.0]], np.float32))
+            fr_rt, lr_rt = drv_rt._init_fn(params, frame0_rt, box_rt)
 
-        @jax.jit
-        def scan_sot_rt(params, feat_ref, lbs_ref, frame):
-            frame = frame.astype(jnp.float32)
+            @jax.jit
+            def scan_sot_rt(params, feat_ref, lbs_ref, frame):
+                frame = frame.astype(jnp.float32)
 
-            def body(carry, _):
-                packed = drv_rt._track_fn_raw(params, feat_ref, lbs_ref,
-                                              carry)
-                carry = carry + (jnp.mean(packed) * eps).astype(carry.dtype)
-                return carry, ()
-            carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
-            return jnp.mean(carry.astype(jnp.float32))
+                def body(carry, _):
+                    packed = drv_rt._track_fn_raw(params, feat_ref, lbs_ref,
+                                                  carry)
+                    carry = carry + (jnp.mean(packed)
+                                     * eps).astype(carry.dtype)
+                    return carry, ()
+                carry, _ = jax.lax.scan(body, frame, None, length=N_SCAN)
+                return jnp.mean(carry.astype(jnp.float32))
 
-        ms_sot_rt = _timed_scan(
-            lambda c: scan_sot_rt(params, fr_rt, lr_rt, c),
-            jnp.asarray((rng.rand(1, Hr, Wr, 3) * 255).astype(np.uint8)),
-            N_SCAN, lambda o: o) - ms_floor
+            ms_sot_rt = _timed_scan(
+                lambda c: scan_sot_rt(params, fr_rt, lr_rt, c),
+                jnp.asarray((rng.rand(1, Hr, Wr, 3) * 255).astype(np.uint8)),
+                N_SCAN, lambda o: o) - ms_floor
         if not skip_vos:
             vdrv_rt = VOSDriver(model_vos, params_vos, input_size=(Hr, Wr),
                                 max_objects=4)

@@ -114,9 +114,10 @@ def test_run_dataset_sot_parallel_matches_sequential(tmp_path):
     params = model.init(jax.random.PRNGKey(0), frame0,
                         method=Unicorn.init_all)
 
-    # 3 sequences of different lengths over 2 slots -> forces a refill
+    # different lengths over 2 slots -> forces a refill; the 1-frame
+    # sequence exercises the finish-at-load path
     seqs = []
-    for si, n_frames in enumerate((3, 5, 4)):
+    for si, n_frames in enumerate((3, 5, 4, 1)):
         paths = []
         for t in range(n_frames):
             img = (rng.rand(52, 60, 3) * 255).astype(np.uint8)
@@ -139,7 +140,7 @@ def test_run_dataset_sot_parallel_matches_sequential(tmp_path):
     drv = factory()
     res_par = run_dataset_sot_parallel(drv, seqs, mesh, verbose=False)
 
-    assert set(res_par) == set(res_seq) == {"seq0", "seq1", "seq2"}
+    assert set(res_par) == set(res_seq) == {"seq0", "seq1", "seq2", "seq3"}
     for name in res_seq:
         np.testing.assert_allclose(res_par[name], res_seq[name], atol=1e-2)
 
@@ -161,7 +162,7 @@ def test_run_dataset_vos_parallel_matches_sequential(tmp_path):
     params = model.init(jax.random.PRNGKey(0), frame0,
                         method=Unicorn.init_all)
 
-    def write_seq(si, n_frames, mid_entry=False):
+    def write_seq(si, n_frames, mid_entry=False, davis_gt=False):
         fdir = tmp_path / f"s{si}"
         fdir.mkdir()
         frames, masks = [], []
@@ -178,6 +179,13 @@ def test_run_dataset_vos_parallel_matches_sequential(tmp_path):
         mp = str(fdir / "m0.png")
         cv2.imwrite(mp, ann)
         masks.append(mp)
+        if davis_gt:
+            # DAVIS ships a gt mask for EVERY frame with the SAME object
+            # ids — must NOT disqualify the sequence from lockstep
+            for t in range(1, n_frames):
+                mp_t = str(fdir / f"f{t}.png")
+                cv2.imwrite(mp_t, ann)
+                masks.append(mp_t)
         if mid_entry:
             ann2 = np.zeros((52, 60), np.uint8)
             ann2[20:32, 10:24] = 3
@@ -187,8 +195,13 @@ def test_run_dataset_vos_parallel_matches_sequential(tmp_path):
         return Sequence(name=f"vseq{si}", frames=frames,
                         ground_truth_rect=np.zeros((1, 4)), masks=masks)
 
-    seqs = [write_seq(0, 3), write_seq(1, 4), write_seq(2, 3,
-                                                        mid_entry=True)]
+    seqs = [write_seq(0, 3), write_seq(1, 4, davis_gt=True),
+            write_seq(2, 3, mid_entry=True), write_seq(3, 1)]
+    from unicorn_tpu.harness._parallel_runners import _introduces_new_ids
+
+    # only the genuinely-new-id sequence is disqualified from lockstep
+    assert [_introduces_new_ids(s) for s in seqs] == \
+        [False, False, True, False]
 
     from unicorn_tpu.drivers.vos import VOSDriver
 
@@ -201,7 +214,7 @@ def test_run_dataset_vos_parallel_matches_sequential(tmp_path):
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("seq",))
     res = run_dataset_vos_parallel(fresh(), seqs, mesh, verbose=False)
 
-    assert set(res) == {"vseq0", "vseq1", "vseq2"}
+    assert set(res) == {"vseq0", "vseq1", "vseq2", "vseq3"}
     for name in ref:
         assert len(res[name]) == len(ref[name])
         for a, b in zip(res[name], ref[name]):

@@ -288,3 +288,34 @@ def test_finetune_ckpt_without_resume_loads_params_only(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
     for xa, xb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_resume_missing_explicit_ckpt_raises(tmp_path):
+    """--resume with an explicitly named missing checkpoint must raise, not
+    silently restart from scratch."""
+    exp = TinyExp(str(tmp_path))
+    tr = Trainer(exp, {"batch_size": 2, "resume": True,
+                       "ckpt": str(tmp_path / "nope" / "latest")})
+    with pytest.raises(FileNotFoundError):
+        tr.before_train()
+
+
+def test_resume_keeps_ema_disabled(tmp_path):
+    """exp.ema=False must survive resume: the checkpoint's ema_params copy
+    must not re-enable per-step EMA maintenance."""
+    exp = TinyExp(str(tmp_path))
+    exp.ema = False
+    tr = Trainer(exp, {"batch_size": 2})
+    tr.before_train()
+    assert tr.state.ema_params is None
+    tr.epoch = 0
+    tr.save_ckpt("latest")
+    from unicorn_tpu.core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
+
+    exp2 = TinyExp(str(tmp_path))
+    exp2.ema = False
+    tr2 = Trainer(exp2, {"batch_size": 2, "resume": True})
+    tr2.before_train()
+    assert tr2.state.ema_params is None

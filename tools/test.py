@@ -21,9 +21,9 @@ def make_parser():
     p.add_argument("--result-dir", default="test_results")
     p.add_argument("--max-seqs", type=int, default=None)
     p.add_argument("--parallel-seqs", type=int, default=0,
-                   help="SOT only: run N sequences in lockstep over an "
-                        "N-device 'seq' mesh (one sequence per chip; "
-                        "harness.running.run_dataset_sot_parallel)")
+                   help="run N sequences in lockstep over an N-device "
+                        "'seq' mesh, one sequence per chip (SOT and VOS; "
+                        "harness.running.run_dataset_{sot,vos}_parallel)")
     # NOT argparse.REMAINDER: with a leading positional (tracker name)
     # REMAINDER swallows every following option (see tools/demo.py).
     p.add_argument("opts", nargs="*")

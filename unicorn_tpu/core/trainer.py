@@ -145,7 +145,11 @@ class Trainer:
                         "resuming with fresh optimizer moments")
                 state = state.replace(
                     params=loaded["params"], opt_state=opt_state,
-                    ema_params=loaded.get("ema_params", loaded["params"]),
+                    # EMA stays disabled if the exp disabled it — the saved
+                    # 'ema_params' is just a params copy in that case and
+                    # must not re-enable per-step EMA maintenance
+                    ema_params=loaded.get("ema_params", loaded["params"])
+                    if state.ema_params is not None else None,
                     step=np.asarray(loaded.get("step", 0), np.int32),
                 )
                 self.start_epoch = int(loaded.get("epoch", 0))
@@ -156,6 +160,11 @@ class Trainer:
                 self.logger.info("resumed from epoch %d (best_ap %.4f)",
                                  self.start_epoch, self.best_ap)
             except FileNotFoundError:
+                if self.args.get("ckpt"):
+                    # an EXPLICITLY named checkpoint that doesn't exist is
+                    # an error — silently restarting a long run from
+                    # scratch on a typo'd path would overwrite it
+                    raise
                 self.logger.info("no checkpoint to resume; starting fresh")
         elif self.args.get("ckpt"):
             # fine-tune load (reference trainer.py:494-499): params only,

@@ -263,10 +263,11 @@ class MOTSVideoDataset:
         im = self.coco.imgs[img_id]
         frames_avail = self.video_frames[im.get("video_id", -1)]
         fid = im.get("frame_id", 0)
-        pos = [f for f, _ in frames_avail].index(fid)
-        lo = max(0, pos - self.max_gap)
-        hi = min(len(frames_avail) - 1, pos + self.max_gap)
-        out = []
-        for p in [pos, random.randint(lo, hi)][:num_frames]:
-            out.append(self._load(frames_avail[p][1]))
+        # max_gap is in FRAME-ID units (reference mots_mot.py max_interval
+        # semantics), not annotated-frame-list indices — sparsely annotated
+        # videos must not stretch the temporal window
+        cands = [i for f, i in frames_avail if abs(f - fid) <= self.max_gap]
+        out = [self._load(img_id)]
+        for _ in range(num_frames - 1):
+            out.append(self._load(random.choice(cands)))
         return out

@@ -40,7 +40,9 @@ def make_sot_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
 
 
 def make_vos_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
-    """Jitted multi-sequence VOS step over `mesh`.
+    """Jitted multi-sequence VOS step over `mesh` (general per-slot-
+    reference form: objects of one sequence may carry different entry
+    frames).
 
     (params, feat_refs (S, K, h16, w16, C), lbs_refs (S, K, 1, N8),
      frames (S, H, W, 3) float) -> (dets (S, K, 8, 7), valid (S, K, 8),
@@ -54,5 +56,26 @@ def make_vos_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
         return jax.vmap(
             lambda fr, lr, f: driver._track_fn_raw(params, fr, lr, f[None])
         )(feat_refs, lbs_refs, frames)
+
+    return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
+
+
+def make_vos_shared_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
+    """Shared-reference variant (all of a sequence's objects entered on the
+    same frame — the DAVIS case): ONE interaction + ONE K-row correlation
+    per sequence per frame (`VOSDriver.track_fn_shared`).
+
+    (params, feat_ref1s (S, 1, h16, w16, C), lbs_refs (S, K, 1, N8),
+     frames (S, H, W, 3) float) -> same outputs as
+    make_vos_seq_parallel_fn, S sharded over `axis`.
+    """
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(axis))
+
+    def multi(params, feat_ref1s, lbs_refs, frames):
+        return jax.vmap(
+            lambda fr, lr, f: driver._track_fn_shared_raw(
+                params, fr, lr, f[None])
+        )(feat_ref1s, lbs_refs, frames)
 
     return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
