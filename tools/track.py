@@ -21,6 +21,10 @@ def make_parser():
     p.add_argument("--track-thresh", type=float, default=0.6)
     p.add_argument("--match-thresh", type=float, default=0.9)
     p.add_argument("--track-buffer", type=int, default=30)
+    p.add_argument("--tracker", default="byte", choices=["byte", "sort"],
+                   help="association: byte (default) or the legacy SORT "
+                        "baseline (reference evaluate_sort). Ignored with "
+                        "--fused (on-device BYTE).")
     p.add_argument("--chunk", type=int, default=32,
                    help="frames per lax.scan chunk in --fused mode")
     p.add_argument("--fused", action="store_true",
@@ -184,7 +188,8 @@ def main():
         )
         results = evaluator.evaluate(step1, params,
                                      result_dir=args.result_dir,
-                                     max_frames=args.max_frames)
+                                     max_frames=args.max_frames,
+                                     tracker=args.tracker)
     gts = load_gt_from_dataset(dataset)
     if any(gts.values()):
         print(MOTEvaluator.score(results, gts))

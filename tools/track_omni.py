@@ -19,6 +19,10 @@ def make_parser():
                    choices=["motchallenge", "bdd"],
                    help="eval set: MOT17-style COCO json or BDD100K scalabel")
     p.add_argument("--mask_thres", type=float, default=0.3)
+    p.add_argument("--tracker", default="qd", choices=["qd", "deepsort"],
+                   help="association: qd (QDTrack, default) or the legacy "
+                        "DeepSORT baseline on the same embeddings "
+                        "(reference evaluate_deepsort)")
     p.add_argument("--result-dir", default="track_omni_results")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("opts", nargs=argparse.REMAINDER)
@@ -56,7 +60,8 @@ def main():
     driver = MOTOmniDriver(model, params, exp.test_size,
                            num_classes=exp.num_classes,
                            conf_thre=exp.test_conf, nms_thre=exp.nmsthre,
-                           with_mask=args.mots, mask_thres=args.mask_thres)
+                           with_mask=args.mots, mask_thres=args.mask_thres,
+                           tracker=args.tracker)
 
     if args.dataset == "bdd":
         import json

@@ -72,7 +72,8 @@ class MOTOmniDriver:
                  num_classes: int = 1, conf_thre: float = 0.01,
                  nms_thre: float = 0.65, max_out: int = 128,
                  qd_params: dict | None = None, with_mask: bool = False,
-                 mask_thres: float = 0.3, d_rate: int = 4):
+                 mask_thres: float = 0.3, d_rate: int = 4,
+                 tracker: str = "qd"):
         import jax
         import jax.numpy as jnp
 
@@ -118,7 +119,11 @@ class MOTOmniDriver:
 
         self._step = jax.jit(step)
         self.qd_params = qd_params or {}
-        self.tracker = QuasiDenseEmbedTracker(**self.qd_params)
+        # "qd" (default) or "deepsort" — the reference's evaluate_deepsort
+        # association (mot_evaluator.py:369-490) on the same fused step, with
+        # the model's embedding head as the appearance net (tracker/legacy.py)
+        self.tracker_kind = tracker
+        self.tracker = self._make_tracker()
         # stride-16 feature shape for the zero placeholder (first frame)
         H, W = self.input_size
         feat_shape = jax.eval_shape(
@@ -130,8 +135,14 @@ class MOTOmniDriver:
         self.frame_id = 0
         self._model = model
 
+    def _make_tracker(self):
+        if self.tracker_kind == "deepsort":
+            from ..tracker.legacy import DeepSort
+            return DeepSort()
+        return QuasiDenseEmbedTracker(**self.qd_params)
+
     def reset(self):
-        self.tracker = QuasiDenseEmbedTracker(**self.qd_params)
+        self.tracker = self._make_tracker()
         self.feat_prev = None
         self.frame_id = 0
 
@@ -158,6 +169,15 @@ class MOTOmniDriver:
         d = dets[valid]
         bboxes5 = np.concatenate(
             [d[:, :4] / r, (d[:, 4] * d[:, 5])[:, None]], axis=1)
+        if self.tracker_kind == "deepsort":
+            views = self.tracker.update(bboxes5[:, :4], bboxes5[:, 4],
+                                        embeds[valid])
+            if not views:
+                return (np.zeros((0, 5)), np.zeros((0,), int),
+                        np.zeros((0,), int))
+            out = np.asarray([[*t.tlbr, t.score] for t in views])
+            ids = np.asarray([t.track_id for t in views], int)
+            return out, np.zeros(len(out), int), ids
         bboxes, labels, ids = self.tracker.match(
             bboxes5, d[:, 6].astype(int), embeds[valid], self.frame_id)
         keep = ids > -1

@@ -5,6 +5,14 @@ Reference: unicorn/evaluators/mot_evaluator.py — `evaluate` (ByteTrack path,
 per-video txt writing :185-235) and `evaluate_omni` (QDTrack embedding path,
 :924-1107: per-frame interaction with the previous frame's stride-16 feature,
 embedding sampling at box centers).
+
+The reference's legacy association branches — evaluate_sort /
+evaluate_deepsort / evaluate_motdt (:247-615, unrunnable there: the tracker
+modules are absent and their imports commented out) — are covered by the
+`tracker=` argument: `evaluate(tracker="sort")` for the detection-only SORT
+loop, `evaluate_omni(tracker="deepsort"|"motdt")` for the appearance loops,
+with the unified model's own embedding head replacing the reference design's
+separate ReID CNN (tracker/legacy.py module docstring).
 """
 from __future__ import annotations
 
@@ -14,6 +22,7 @@ from collections import defaultdict
 import numpy as np
 
 from ..tracker.byte_tracker import ByteTracker
+from ..tracker.legacy import DeepSort, OnlineTracker, Sort
 from ..tracker.qd_tracker import QuasiDenseEmbedTracker
 
 # per-video tuning used on MOT17 (mot_evaluator.py:160-181)
@@ -50,9 +59,13 @@ class MOTEvaluator:
     # ByteTrack path (MOT17): detection-only per frame
     # ------------------------------------------------------------------
     def evaluate(self, step_fn, params, dataset=None, result_dir=None,
-                 max_frames=None):
+                 max_frames=None, tracker="byte"):
         """step_fn(params, frame (1,H,W,3)) -> (dets (max_out, 7), valid)
         already on-device-postprocessed (boxes in letterbox coords).
+
+        tracker: "byte" (default) or "sort" (the reference's evaluate_sort
+        branch, mot_evaluator.py:247-368 — SORT emits no per-box score, so
+        scores are written as 1.0).
 
         Returns {video_name: [(frame_id, tids, tlwhs, scores)]} and writes
         MOT txt files if result_dir given.
@@ -62,7 +75,7 @@ class MOTEvaluator:
         dataset = dataset or self.dataset
         img_size = dataset.img_size
         all_results = defaultdict(list)
-        tracker = None
+        trk = None
         cur_video = None
         n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
         for i in range(n):
@@ -73,21 +86,29 @@ class MOTEvaluator:
                 cur_video = video_name
                 thresh = MOT17_VIDEO_THRESH.get(video_name, self.track_thresh)
                 buf = MOT17_VIDEO_BUFFER.get(video_name, self.track_buffer)
-                tracker = ByteTracker(thresh, buf, self.match_thresh)
+                trk = Sort(thresh, max_age=buf) if tracker == "sort" \
+                    else ByteTracker(thresh, buf, self.match_thresh)
             dets, valid = step_fn(params, jnp.asarray(img[None]))
             dets = np.asarray(dets)[np.asarray(valid)]
             scale = min(img_size[0] / float(h), img_size[1] / float(w))
-            online = tracker.update(dets[:, :4] / scale,
-                                    dets[:, 4] * dets[:, 5], dets[:, 6]) \
-                if len(dets) else tracker.update(np.zeros((0, 4)), np.zeros((0,)))
+            boxes = dets[:, :4] / scale if len(dets) else np.zeros((0, 4))
+            scrs = dets[:, 4] * dets[:, 5] if len(dets) else np.zeros((0,))
+            if tracker == "sort":
+                rows = trk.update(boxes, scrs)
+                online = [(int(r[4]), 1.0,
+                           np.array([r[0], r[1], r[2] - r[0], r[3] - r[1]]))
+                          for r in rows]
+            else:
+                views = trk.update(boxes, scrs, dets[:, 6]) if len(dets) \
+                    else trk.update(boxes, scrs)
+                online = [(t.track_id, t.score, t.tlwh) for t in views]
             tlwhs, tids, scores = [], [], []
-            for t in online:
-                tlwh = t.tlwh
+            for tid, score, tlwh in online:
                 if tlwh[2] * tlwh[3] > self.min_box_area and \
                         tlwh[2] / max(tlwh[3], 1e-6) <= 1.6:
                     tlwhs.append(tuple(tlwh))
-                    tids.append(t.track_id)
-                    scores.append(t.score)
+                    tids.append(tid)
+                    scores.append(score)
             all_results[video_name].append((frame_id, tids, tlwhs, scores))
         if result_dir:
             for vname, res in all_results.items():
@@ -98,12 +119,17 @@ class MOTEvaluator:
     # QDTrack embedding path (BDD / MOT17-omni)
     # ------------------------------------------------------------------
     def evaluate_omni(self, whole_fn, embed_fn, params, dataset=None,
-                      qd_params=None, max_frames=None):
+                      qd_params=None, max_frames=None, tracker="qd"):
         """Embedding association (mot_evaluator.py:924-1107).
 
         whole_fn(params, frame) -> (dets (max_out, 7), valid, feat_s16)
         embed_fn(params, feat_prev, feat_cur, centers (M, 2)) -> (M, C)
           [interaction + upsample + grid-sample at box centers]
+
+        tracker: "qd" (default, QDTrack), "deepsort", or "motdt" — the
+        latter two are the reference's evaluate_deepsort / evaluate_motdt
+        branches (mot_evaluator.py:369-615) with the model's own embedding
+        head as the appearance network (tracker/legacy.py).
         """
         import jax.numpy as jnp
 
@@ -111,7 +137,7 @@ class MOTEvaluator:
         img_size = dataset.img_size
         qd_params = qd_params or {}
         all_results = defaultdict(list)
-        tracker = None
+        trk = None
         cur_video = None
         feat_prev = None
         n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
@@ -121,22 +147,54 @@ class MOTEvaluator:
             video_name = file_name.split("/")[0]
             if video_name != cur_video:
                 cur_video = video_name
-                tracker = QuasiDenseEmbedTracker(**qd_params)
+                if tracker == "deepsort":
+                    trk = DeepSort(min_confidence=self.track_thresh)
+                elif tracker == "motdt":
+                    trk = OnlineTracker(min_cls_score=self.track_thresh,
+                                        max_time_lost=self.track_buffer)
+                else:
+                    trk = QuasiDenseEmbedTracker(**qd_params)
                 feat_prev = None
             frame = jnp.asarray(img[None])
             dets, valid, feat_cur = whole_fn(params, frame)
             dets = np.asarray(dets)[np.asarray(valid)]
             if feat_prev is None:
                 feat_prev = feat_cur
-            if len(dets):
-                centers = (dets[:, :2] + dets[:, 2:4]) / 2  # letterbox coords
-                embeds = np.asarray(embed_fn(params, feat_prev, feat_cur,
-                                             jnp.asarray(centers)))
-                scale = min(img_size[0] / float(h), img_size[1] / float(w))
+            scale = min(img_size[0] / float(h), img_size[1] / float(w))
+
+            def embed_boxes(boxes_letterbox):
+                centers = (boxes_letterbox[:, :2] + boxes_letterbox[:, 2:4]) / 2
+                return np.asarray(embed_fn(params, feat_prev, feat_cur,
+                                           jnp.asarray(centers)))
+
+            if tracker in ("deepsort", "motdt"):
+                boxes = dets[:, :4] / scale if len(dets) else np.zeros((0, 4))
+                scrs = dets[:, 4] * dets[:, 5] if len(dets) \
+                    else np.zeros((0,))
+                if tracker == "deepsort":
+                    feats = embed_boxes(dets[:, :4]) if len(dets) \
+                        else np.zeros((0, 1))
+                    views = trk.update(boxes, scrs, feats)
+                else:
+                    cb, cs, from_det = trk.propose(boxes, scrs)
+                    feats = embed_boxes(cb * scale) if len(cb) \
+                        else np.zeros((0, 1))
+                    views = trk.update(cb, cs, from_det, feats)
+                tlwhs, tids, scores = [], [], []
+                for t in views:
+                    if t.tlwh[2] * t.tlwh[3] > self.min_box_area and \
+                            t.tlwh[2] / max(t.tlwh[3], 1e-6) <= 1.6:
+                        tlwhs.append(tuple(t.tlwh))
+                        tids.append(t.track_id)
+                        scores.append(t.score)
+                all_results[video_name].append(
+                    (frame_id, tids, tlwhs, scores))
+            elif len(dets):
+                embeds = embed_boxes(dets[:, :4])
                 bboxes5 = np.concatenate(
                     [dets[:, :4] / scale, (dets[:, 4] * dets[:, 5])[:, None]], 1
                 )
-                bboxes, labels, ids = tracker.match(
+                bboxes, labels, ids = trk.match(
                     bboxes5, dets[:, 6].astype(int), embeds, frame_id
                 )
                 keep = ids > -1
