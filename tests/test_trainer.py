@@ -319,3 +319,43 @@ def test_resume_keeps_ema_disabled(tmp_path):
     tr2 = Trainer(exp2, {"batch_size": 2, "resume": True})
     tr2.before_train()
     assert tr2.state.ema_params is None
+
+
+def test_preemption_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-epoch -> one blocking `latest` checkpoint at the next
+    step boundary recording the UNFINISHED epoch, loop stops, handlers
+    restored; resume restarts that epoch with the saved step count."""
+    import signal
+
+    from unicorn_tpu.core.checkpoint import load_checkpoint
+
+    exp = TinyExp(str(tmp_path))
+    exp.max_epoch = 3  # would run 3 epochs x 3 iters without the signal
+
+    class PreemptedTrainer(Trainer):
+        def _get_step_fn(self, size):
+            fn = super()._get_step_fn(size)
+
+            def wrapped(*a):
+                out = fn(*a)
+                if self.epoch == 0 and self.iter == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                return out
+
+            return wrapped
+
+    before = signal.getsignal(signal.SIGTERM)
+    trainer = PreemptedTrainer(exp, {"batch_size": 2})
+    trainer.train()  # must return (not die) despite the SIGTERM
+    assert trainer._preempted == signal.SIGTERM
+    assert trainer.epoch == 0 and trainer.iter == 1  # stopped mid-epoch-0
+    assert signal.getsignal(signal.SIGTERM) is before  # handler restored
+
+    ckpt = load_checkpoint(trainer.output_dir, "latest")
+    assert int(ckpt["epoch"]) == 0  # resume restarts the interrupted epoch
+    assert int(ckpt["step"]) == 2  # both completed steps are in the state
+
+    t2 = Trainer(TinyExp(str(tmp_path)), {"batch_size": 2, "resume": True})
+    t2.before_train()
+    assert t2.start_epoch == 0
+    assert int(t2.state.step) == 2
