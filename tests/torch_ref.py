@@ -389,30 +389,36 @@ def convert_bn_to_gn(module, num_groups=16):
     return mod
 
 
-def build_reference_tiny(num_classes=8, seed=0, with_mask=False):
+def build_reference_tiny(num_classes=8, seed=0, with_mask=False,
+                         backbone_name="convnext",
+                         in_channels=(192, 384, 768)):
     """Build the reference unicorn_track_tiny model (convnext_tiny, deform
     interaction) on CPU, GN-converted, eval mode, deterministic weights.
 
     Mirrors unicorn/exp/unicorn_track.py:115-193 minus checkpoint loading;
     with_mask builds the UnicornHeadMask variant
     (unicorn_track_mask.py:58-64: ctrl_loc=reg, use_raft, up_rate=4).
+    backbone_name/in_channels follow the reference exp overrides —
+    ("convnext_large", [384, 768, 1536]) is unicorn_track_large
+    (exps/default/unicorn_track_large.py:14-16).
     """
     ns = load_reference()
     torch = ns.torch
     torch.manual_seed(seed)
+    in_channels = list(in_channels)
     backbone = ns.YOLOPAFPNNEW(
-        1.0, 1.0, in_channels=[192, 384, 768], act="silu",
-        backbone_name="convnext", use_checkpoint=False)
+        1.0, 1.0, in_channels=in_channels, act="silu",
+        backbone_name=backbone_name, use_checkpoint=False)
     if with_mask:
         head = ns.UnicornHeadMask(
-            num_classes, 1.0, in_channels=[192, 384, 768], act="silu",
+            num_classes, 1.0, in_channels=in_channels, act="silu",
             use_l1=False, use_attention=True, n_layer_att=3,
             unshared_obj=True, unshared_reg=True, mot_weight=3,
             scale_all_mot=True, fuse_method="sum", learnable_fuse=True,
             ctrl_loc="reg", sem_loss_on=False, use_raft=True, up_rate=4)
     else:
         head = ns.UnicornHead(
-        num_classes, 1.0, in_channels=[192, 384, 768], act="silu",
+        num_classes, 1.0, in_channels=in_channels, act="silu",
         use_l1=False, use_attention=True, n_layer_att=3,
         unshared_obj=True, unshared_reg=True, mot_weight=3,
         scale_all_mot=True, fuse_method="sum", learnable_fuse=True)

@@ -63,6 +63,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hw", default="96x160")
     ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--model", default="tiny", choices=["tiny", "large"],
+                    help="large = convnext_large/[384,768,1536] "
+                         "(unicorn_track_large); counts the MOT forward "
+                         "only (SOT/VOS trackers are built at tiny)")
     args = ap.parse_args()
     H, W = (int(x) for x in args.hw.split("x"))
 
@@ -88,7 +92,12 @@ def main():
     out = {"hw": f"{H}x{W}", "k": args.k}
 
     # ---- MOT: the 'whole'-mode forward the streaming bench baselines ----
-    tm = build_reference_tiny(num_classes=8, seed=0)
+    if args.model == "large":
+        tm = build_reference_tiny(num_classes=8, seed=0,
+                                  backbone_name="convnext_large",
+                                  in_channels=(384, 768, 1536))
+    else:
+        tm = build_reference_tiny(num_classes=8, seed=0)
     tm.eval()
     x = torch.from_numpy(rng.rand(1, 3, H, W).astype(np.float32))
 
@@ -97,6 +106,12 @@ def main():
 
     mot_fwd()  # warm (lazy inits out of the profile)
     out["mot"] = count_leaf_ops(mot_fwd)
+    out["model"] = args.model
+    if args.model == "large":
+        # SOT/VOS tracker counts below are tiny-specific; MOT is what the
+        # large A100 denominator needs (BASELINE.md large derivation)
+        print(json.dumps(out))
+        return
 
     # ---- SOT: one UnicornSOTTrack.track() frame (backbone + interaction +
     # correlation propagation + SOT head + postprocess) ----
