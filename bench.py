@@ -662,6 +662,13 @@ def main():
         "baseline_a100_fps": BASELINE_A100_FPS
         if backbone != "convnext_large" else BASELINE_A100_LARGE_FPS,
     }
+    if backbone != "convnext_tiny":
+        # the rt/SOT/VOS denominators are tiny-model derivations
+        # (BASELINE.md); a ratio of a different backbone's FPS against them
+        # is meaningless — null the ratio fields, keep the raw FPS rows
+        for key in list(extra):
+            if key.endswith("_vs_baseline"):
+                extra[key] = None
 
     print(json.dumps({
         "metric": "mot17_online_fps_per_chip_800x1280",

@@ -301,3 +301,22 @@ def test_mot_evaluator_embedding_paths(tracker, tmp_path):
     assert metrics["IDsw"] == 0, metrics
     assert metrics["MOTA"] > 0.5, metrics
     assert metrics["IDF1"] > 0.6, metrics
+
+
+def test_deepsort_carries_class_labels():
+    """Multi-class serving (BDD): each track keeps its detection class so
+    per-class scoring downstream stays meaningful."""
+    trk = DeepSort(n_init=1, min_confidence=0.3)
+    fa, fb = _feat(10), _feat(11)
+    for t in range(3):
+        views = trk.update(
+            np.array([_box(30 + t, 40), _box(90 - t, 40)]),
+            np.array([0.9, 0.9]),
+            np.stack([fa, fb]),
+            classes=np.array([2, 7]))
+    got = {v.track_id: v.cls for v in views}
+    assert sorted(got.values()) == [2, 7]
+    # empty frame still steps the table (ages advance toward max_age)
+    ages_before = trk.time_since_update.copy()
+    trk.update(np.zeros((0, 4)), np.zeros((0,)), np.zeros((0, 16)))
+    assert (trk.time_since_update == ages_before + 1).all()

@@ -317,6 +317,13 @@ class Trainer:
                     "signal %s received: writing preemption checkpoint "
                     "(epoch %d, iter %d) and stopping",
                     self._preempted, self.epoch, self.iter + 1)
+                # an async 'latest' save from after_epoch may still be
+                # in flight on a DIFFERENT checkpointer; writing the same
+                # path concurrently could finalize the stale one over the
+                # fresh one — drain it first
+                from .checkpoint import wait_for_checkpoints
+
+                wait_for_checkpoints()
                 # epoch NOT advanced: resume restarts this epoch
                 self.save_ckpt("latest", epoch=self.epoch, blocking=True)
                 return

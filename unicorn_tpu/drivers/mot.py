@@ -164,20 +164,29 @@ class MOTOmniDriver:
         valid = np.asarray(valid)
         embeds = np.asarray(embeds)
         k = valid.sum()
-        if k == 0:
-            return np.zeros((0, 5)), np.zeros((0,), int), np.zeros((0,), int)
-        d = dets[valid]
-        bboxes5 = np.concatenate(
-            [d[:, :4] / r, (d[:, 4] * d[:, 5])[:, None]], axis=1)
         if self.tracker_kind == "deepsort":
-            views = self.tracker.update(bboxes5[:, :4], bboxes5[:, 4],
-                                        embeds[valid])
+            # empty frames still step the tracker: the Kalman table must
+            # predict and ages must advance, or an occlusion gap would leave
+            # stale gates and immortal tracks (the evaluator path steps it
+            # every frame too)
+            d = dets[valid]
+            boxes = d[:, :4] / r if k else np.zeros((0, 4))
+            scrs = d[:, 4] * d[:, 5] if k else np.zeros((0,))
+            cls = d[:, 6].astype(int) if k else np.zeros((0,), int)
+            fts = embeds[valid] if k else np.zeros((0, 1))
+            views = self.tracker.update(boxes, scrs, fts, cls)
             if not views:
                 return (np.zeros((0, 5)), np.zeros((0,), int),
                         np.zeros((0,), int))
             out = np.asarray([[*t.tlbr, t.score] for t in views])
             ids = np.asarray([t.track_id for t in views], int)
-            return out, np.zeros(len(out), int), ids
+            labels = np.asarray([t.cls for t in views], int)
+            return out, labels, ids
+        if k == 0:
+            return np.zeros((0, 5)), np.zeros((0,), int), np.zeros((0,), int)
+        d = dets[valid]
+        bboxes5 = np.concatenate(
+            [d[:, :4] / r, (d[:, 4] * d[:, 5])[:, None]], axis=1)
         bboxes, labels, ids = self.tracker.match(
             bboxes5, d[:, 6].astype(int), embeds[valid], self.frame_id)
         keep = ids > -1

@@ -34,6 +34,7 @@ class TrackView(NamedTuple):
     score: float
     tlwh: np.ndarray   # (4,) top-left x, y, w, h
     tlbr: np.ndarray   # (4,) x1, y1, x2, y2
+    cls: int = 0       # detection class (multi-class trackers; 0 otherwise)
 
 
 def _xyxy_to_xyah(boxes: np.ndarray) -> np.ndarray:

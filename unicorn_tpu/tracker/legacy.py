@@ -211,7 +211,7 @@ class _AppearanceTable:
     per-row appearance storage managed by the subclass."""
 
     _COLS = ("mean", "cov", "track_id", "state", "hits", "time_since_update",
-             "score")
+             "score", "cls")
 
     def _init_table(self):
         self.kf = KalmanFilter()
@@ -223,12 +223,13 @@ class _AppearanceTable:
         self.hits = np.zeros((0,), np.int64)
         self.time_since_update = np.zeros((0,), np.int64)
         self.score = np.zeros((0,))
+        self.cls = np.zeros((0,), np.int64)
 
     def _keep_rows(self, mask: np.ndarray) -> None:
         for name in self._COLS:
             setattr(self, name, getattr(self, name)[mask])
 
-    def _append_rows(self, boxes, scores, state) -> np.ndarray:
+    def _append_rows(self, boxes, scores, state, classes=None) -> np.ndarray:
         n = len(boxes)
         idx = np.arange(len(self.mean), len(self.mean) + n)
         if n == 0:
@@ -250,9 +251,12 @@ class _AppearanceTable:
             [self.time_since_update, np.zeros(n, np.int64)])
         self.score = np.concatenate(
             [self.score, np.asarray(scores, np.float64)])
+        self.cls = np.concatenate(
+            [self.cls, np.zeros(n, np.int64) if classes is None
+             else np.asarray(classes, np.int64)])
         return idx
 
-    def _kalman_update_rows(self, rows, boxes, scores) -> None:
+    def _kalman_update_rows(self, rows, boxes, scores, classes=None) -> None:
         if len(rows) == 0:
             return
         meas = _xyxy_to_xyah(boxes)
@@ -261,6 +265,8 @@ class _AppearanceTable:
         self.hits[rows] += 1
         self.time_since_update[rows] = 0
         self.score[rows] = scores
+        if classes is not None:
+            self.cls[rows] = np.asarray(classes, np.int64)
 
     def _gate_cost(self, cost, rows, boxes, gated_value=1e5) -> np.ndarray:
         """Set cost to gated_value where the Mahalanobis distance of the
@@ -280,7 +286,7 @@ class _AppearanceTable:
                           score=float(self.score[r]),
                           tlwh=np.array([b[0], b[1], b[2] - b[0],
                                          b[3] - b[1]]),
-                          tlbr=b.copy())
+                          tlbr=b.copy(), cls=int(self.cls[r]))
                 for r, b in zip(rows, tlbr)]
 
 
@@ -328,17 +334,22 @@ class DeepSort(_AppearanceTable):
         if cost.size == 0:
             return cost
         for i, r in enumerate(rows):
-            g = _normalize(np.stack(self.gallery[r]))
+            # gallery entries are unit-norm by construction (appended from
+            # the update()-normalized feats), so no re-normalization here
+            g = np.stack(self.gallery[r])
             cost[i] = 1.0 - (g @ det_feats.T).max(axis=0)
         return cost
 
-    def update(self, boxes_xyxy, scores, feats) -> list:
+    def update(self, boxes_xyxy, scores, feats, classes=None) -> list:
         boxes = np.asarray(boxes_xyxy, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64).reshape(-1)
+        classes = np.zeros(len(boxes), np.int64) if classes is None \
+            else np.asarray(classes, np.int64).reshape(-1)
         feats = _normalize(np.asarray(feats).reshape(len(boxes), -1)) \
             if len(boxes) else np.zeros((0, 1), np.float32)
         keep = scores >= self.min_confidence
-        boxes, scores, feats = boxes[keep], scores[keep], feats[keep]
+        boxes, scores, feats, classes = \
+            boxes[keep], scores[keep], feats[keep], classes[keep]
 
         # predict all rows
         self.time_since_update += 1
@@ -383,7 +394,8 @@ class DeepSort(_AppearanceTable):
         # 3) apply matches: Kalman update, gallery append, confirm at n_init
         rows = np.asarray(matched_rows, int)
         dets = np.asarray(matched_dets, int)
-        self._kalman_update_rows(rows, boxes[dets], scores[dets])
+        self._kalman_update_rows(rows, boxes[dets], scores[dets],
+                                 classes[dets])
         for r, d in zip(rows, dets):
             self.gallery[r].append(feats[d])
             if len(self.gallery[r]) > self.nn_budget:
@@ -401,7 +413,8 @@ class DeepSort(_AppearanceTable):
         self._keep_rows(~drop)
 
         # 5) new tentative rows from leftover detections
-        new_idx = self._append_rows(boxes[u_det], scores[u_det], TENTATIVE)
+        new_idx = self._append_rows(boxes[u_det], scores[u_det], TENTATIVE,
+                                    classes[u_det])
         for d in u_det:
             self.gallery.append([feats[d]])
         if self.n_init <= 1:
