@@ -252,3 +252,83 @@ def test_hota_score_pools_videos_with_namespaced_ids():
     m = MOTEvaluator.score(results, gts)
     assert abs(m["HOTA"] - 1.0) < 1e-9
     assert abs(m["MOTA"] - 1.0) < 1e-9
+
+
+def test_score_suppresses_predictions_on_ignore_regions():
+    """MOT17 ignore semantics (reference evaluation.py:41-53): a prediction
+    Hungarian-matched to an ignore-region box at IoU >= 0.5 is removed
+    before accumulation, so it is not a false positive; without the ignore
+    list the same prediction costs MOTA."""
+    from unicorn_tpu.evaluators.mot_evaluator import MOTEvaluator
+
+    gt_box = (10.0, 10.0, 20.0, 20.0)
+    ignore_box = (100.0, 100.0, 20.0, 20.0)
+    frames = []
+    for f in range(1, 4):
+        # prediction 7 tracks the gt; prediction 8 sits on the ignore region
+        frames.append((f, [7, 8], [gt_box, ignore_box], [0.9, 0.9]))
+    results = {"v": frames}
+
+    gts_with_ignore = {"v": [(f, [1], [gt_box], [ignore_box])
+                             for f in range(1, 4)]}
+    m = MOTEvaluator.score(results, gts_with_ignore)
+    assert abs(m["MOTA"] - 1.0) < 1e-9, m
+
+    gts_plain = {"v": [(f, [1], [gt_box]) for f in range(1, 4)]}
+    m2 = MOTEvaluator.score(results, gts_plain)
+    assert m2["MOTA"] < 1.0  # the FP counts without ignore handling
+
+    # an ignore box suppresses at most ONE prediction (linear assignment):
+    # two predictions on one ignore region -> one survives as FP
+    frames2 = [(f, [7, 8, 9],
+                [gt_box, ignore_box,
+                 (101.0, 101.0, 20.0, 20.0)], [0.9] * 3)
+               for f in range(1, 4)]
+    m3 = MOTEvaluator.score({"v": frames2}, gts_with_ignore)
+    assert m3["MOTA"] < 1.0
+
+
+def test_mot17_ignore_pipeline_end_to_end(tmp_path):
+    """gt.txt -> convert_mot (ignore regions kept as iscrowd/ignore anns)
+    -> MOTEvalDataset -> load_gt_from_dataset -> ignore-aware score."""
+    import json
+    import os
+    import sys
+
+    d = str(tmp_path)
+    vdir = os.path.join(d, "train", "MOT17-02-FRCNN")
+    os.makedirs(os.path.join(vdir, "gt"))
+    with open(os.path.join(vdir, "seqinfo.ini"), "w") as f:
+        f.write("[Sequence]\nimWidth=640\nimHeight=480\nseqLength=3\n")
+    rows = []
+    for fr in (1, 2, 3):
+        rows.append(f"{fr},1,10,10,20,20,1,1,1.0")    # valid pedestrian
+        rows.append(f"{fr},2,100,100,20,20,0,7,0.5")  # cls=7 -> ignore region
+        rows.append(f"{fr},3,300,300,20,20,0,3,0.5")  # cls=3 -> dropped
+    with open(os.path.join(vdir, "gt", "gt.txt"), "w") as f:
+        f.write("\n".join(rows))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from convert_datasets import convert_mot
+    from track import load_gt_from_dataset
+
+    from unicorn_tpu.data.datasets.mot import MOTEvalDataset
+    from unicorn_tpu.evaluators.mot_evaluator import MOTEvaluator
+
+    convert_mot(d, split="train")
+    anns = json.load(open(os.path.join(d, "annotations", "train.json")))[
+        "annotations"]
+    assert sum(a.get("ignore", 0) for a in anns) == 3 and len(anns) == 6
+
+    ds = MOTEvalDataset(data_dir=d,
+                        json_file=os.path.join(d, "annotations", "train.json"),
+                        name="train", img_size=(64, 96))
+    gts = load_gt_from_dataset(ds)
+    _, ids, _, ign = gts["MOT17-02-FRCNN"][0]
+    assert ids == [1] and len(ign) == 1
+
+    results = {"MOT17-02-FRCNN": [
+        (fr, [7, 8], [(10, 10, 20, 20), (100, 100, 20, 20)], [0.9, 0.9])
+        for fr in (1, 2, 3)]}
+    m = MOTEvaluator.score(results, gts)
+    assert abs(m["MOTA"] - 1.0) < 1e-9, m

@@ -46,13 +46,26 @@ def convert_mot(root, split="train", out_name=None, mot20=False):
             gt = np.loadtxt(gt_path, delimiter=",").reshape(-1, 9 if not mot20 else 9)
             for row in gt:
                 frame, tid, x, y, w, h, mark, cls = row[:8]
+                vis = float(row[8]) if len(row) > 8 else 1.0
+                box = [float(x), float(y), float(w), float(h)]
                 if mark == 0 or int(cls) != 1:
+                    # ignore regions (reference evaluation.py:144-175:
+                    # classes {2,7,8,12} = static person/distractor/
+                    # reflection, or vis<0): kept as iscrowd entries so the
+                    # scorer can suppress predictions matched to them;
+                    # loaders skip iscrowd, so they never become train gt
+                    if int(cls) in (2, 7, 8, 12) or vis < 0:
+                        out["annotations"].append({
+                            "id": ann_id, "image_id": frame_to_img[int(frame)],
+                            "category_id": 1, "track_id": -1, "bbox": box,
+                            "area": float(w * h), "iscrowd": 1, "ignore": 1,
+                        })
+                        ann_id += 1
                     continue
                 out["annotations"].append({
                     "id": ann_id, "image_id": frame_to_img[int(frame)],
                     "category_id": 1, "track_id": int(tid),
-                    "bbox": [float(x), float(y), float(w), float(h)],
-                    "area": float(w * h), "iscrowd": 0,
+                    "bbox": box, "area": float(w * h), "iscrowd": 0,
                 })
                 ann_id += 1
     out_path = os.path.join(root, "annotations",

@@ -38,22 +38,29 @@ def make_parser():
 
 
 def load_gt_from_dataset(dataset):
-    """Build {video: [(frame_id, ids, tlwhs)]} from the eval dataset's jsons."""
-    gts = defaultdict(lambda: defaultdict(lambda: ([], [])))
+    """Build {video: [(frame_id, ids, tlwhs, ignore_tlwhs)]} from the eval
+    dataset's jsons. ignore_tlwhs are the MOT ignore regions (converter
+    writes them as iscrowd/ignore annotations); MOTEvaluator.score
+    suppresses predictions matched to them, the reference's
+    evaluation.py:41-53 behavior."""
+    gts = defaultdict(lambda: defaultdict(lambda: ([], [], [])))
     for img_id in dataset.ids:
         im = dataset.coco.imgs[img_id]
         video = im["file_name"].split("/")[0]
         fid = im.get("frame_id", 0)
         for a in dataset.coco.load_anns_for_img(img_id):
+            x, y, w, h = a["bbox"]
+            if a.get("ignore", 0) or a.get("iscrowd", 0):
+                gts[video][fid][2].append((x, y, w, h))
+                continue
             tid = a.get("track_id", -1)
             if tid < 0:
                 continue
-            x, y, w, h = a["bbox"]
             gts[video][fid][0].append(tid)
             gts[video][fid][1].append((x, y, w, h))
     out = {}
     for video, frames in gts.items():
-        out[video] = [(fid, ids, tlwhs) for fid, (ids, tlwhs)
+        out[video] = [(fid, ids, tlwhs, ign) for fid, (ids, tlwhs, ign)
                       in sorted(frames.items())]
     return out
 

@@ -305,7 +305,13 @@ class MOTEvaluator:
     @staticmethod
     def score(results, gts):
         """CLEAR-MOT scoring: results/gts are {video: [(frame_id, ids,
-        tlwhs(, scores))]} with gt tlwhs in image coords."""
+        tlwhs(, ignore_tlwhs))]} with gt tlwhs in image coords.
+
+        When a gt frame carries a 4th element of ignore-region tlwhs (MOT17
+        distractor/reflection/static-person boxes), predictions Hungarian-
+        matched to them at IoU >= 0.5 are removed before accumulation —
+        the reference's evaluation.py:41-53 (each ignore box suppresses at
+        most one prediction)."""
         from .mot_metrics import MOTAccumulator, aggregate_metrics, hota
 
         accs = []
@@ -322,6 +328,26 @@ class MOTEvaluator:
                 g = gt_by_frame.get(frame_id, (frame_id, [], []))
                 g_boxes = [(x, y, x + w, y + h) for x, y, w, h in g[2]]
                 h_boxes = [(x, y, x + w, y + h) for x, y, w, h in tlwhs]
+                ignore = g[3] if len(g) > 3 else ()
+                if len(ignore) and len(h_boxes):
+                    from scipy.optimize import linear_sum_assignment
+
+                    from ..tracker.matching import inclusive_iou_np
+
+                    i_boxes = np.asarray(
+                        [(x, y, x + w, y + h) for x, y, w, h in ignore],
+                        np.float32)
+                    iou = inclusive_iou_np(i_boxes,
+                                           np.asarray(h_boxes, np.float32))
+                    # 1-iou where iou >= 0.5 else a large cost, matching
+                    # mm.distances.iou_matrix(max_iou=0.5) + lap semantics
+                    cost = np.where(iou >= 0.5, 1.0 - iou, 1e6)
+                    ri, ci = linear_sum_assignment(cost)
+                    drop = {int(c) for r, c in zip(ri, ci)
+                            if cost[r, c] < 1e6}
+                    h_boxes = [b for j, b in enumerate(h_boxes)
+                               if j not in drop]
+                    tids = [t for j, t in enumerate(tids) if j not in drop]
                 acc.update(g[1], g_boxes, tids, h_boxes)
                 key = (video, frame_id)
                 gt_all[key] = ([(video, i) for i in g[1]], g_boxes)
