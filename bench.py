@@ -139,6 +139,14 @@ def main():
         from unicorn_tpu.models.blocks import set_pallas_dw
 
         set_pallas_dw(True)
+    if os.environ.get("BENCH_MSDA", ""):
+        # override the MSDA formulation "auto" picks on TPU (e.g.
+        # BENCH_MSDA=pallas_factored routes the interaction's deformable
+        # sampling through the fused factored VMEM kernel) — affects the
+        # SOT/VOS driver rows; the MOT17 headline path has no interaction
+        from unicorn_tpu.ops.deform_attn import set_msda_method
+
+        set_msda_method(os.environ["BENCH_MSDA"])
     model = Unicorn(
         num_classes=1, backbone_name=backbone, in_channels=in_ch,
         interact_mode="deform", n_layer_att=3, dtype=jnp.bfloat16,
@@ -637,12 +645,16 @@ def main():
                                  / BASELINE_A100_VOS_K4_FPS, 3),
         "vos_baseline_a100_fps": BASELINE_A100_VOS_K4_FPS,
         "vos_driver_fps_k4_multiref": round(1000.0 / ms_vos_multiref, 2),
-        "sot_rt_fps": round(1000.0 / ms_sot_rt, 2),
-        "sot_rt_vs_baseline": round(1000.0 / ms_sot_rt
-                                    / BASELINE_A100_SOT_RT_FPS, 3),
-        "vos_rt_fps_k4": round(1000.0 / ms_vos_rt, 2),
-        "vos_rt_vs_baseline": round(1000.0 / ms_vos_rt
-                                    / BASELINE_A100_VOS_K4_RT_FPS, 3),
+        "sot_rt_fps": (round(1000.0 / ms_sot_rt, 2)
+                       if ms_sot_rt != float("inf") else None),
+        "sot_rt_vs_baseline": (round(1000.0 / ms_sot_rt
+                                     / BASELINE_A100_SOT_RT_FPS, 3)
+                               if ms_sot_rt != float("inf") else None),
+        "vos_rt_fps_k4": (round(1000.0 / ms_vos_rt, 2)
+                          if ms_vos_rt != float("inf") else None),
+        "vos_rt_vs_baseline": (round(1000.0 / ms_vos_rt
+                                     / BASELINE_A100_VOS_K4_RT_FPS, 3)
+                               if ms_vos_rt != float("inf") else None),
         "stage_ms": {
             "backbone_fpn": round(ms_backbone, 3),
             "interaction_upsample_corr16k": round(ms_sot_core, 3),

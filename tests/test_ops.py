@@ -112,6 +112,55 @@ def test_ms_deform_attn_pallas_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_ms_deform_attn_pallas_factored_matches_oracle():
+    """Fused FACTORED Pallas kernel (interpret mode on CPU) == loop oracle,
+    including out-of-range corners, Lq padding, and W lane padding."""
+    from unicorn_tpu.ops.deform_attn import _msda_pallas_factored
+
+    rng = np.random.RandomState(5)
+    B, L, H, W, M, D = 2, 2, 7, 9, 3, 8
+    Lq, P = 29, 4
+    value = rng.randn(B, L, H, W, M, D).astype(np.float32)
+    locs = rng.rand(B, Lq, M, L, P, 2).astype(np.float32) * 1.2 - 0.1  # incl. OOB
+    attw = rng.rand(B, Lq, M, L, P).astype(np.float32)
+    attw /= attw.reshape(B, Lq, M, -1).sum(-1)[..., None].reshape(B, Lq, M, 1, 1)
+
+    ref = ms_deform_attn_reference(value, locs, attw)
+    out = _msda_pallas_factored(jnp.asarray(value), jnp.asarray(locs),
+                                jnp.asarray(attw), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_deform_attn_pallas_factored_vjp_matches_gather():
+    """pallas_factored's custom VJP (backward through the XLA factored
+    one-hot path) must agree with gather autodiff."""
+    import unicorn_tpu.ops.deform_attn as da
+
+    rng = np.random.RandomState(7)
+    B, L, H, W, M, D = 1, 2, 5, 6, 2, 4
+    Lq, P = 8, 4
+    value = jnp.asarray(rng.randn(B, L, H, W, M, D).astype(np.float32))
+    locs = jnp.asarray(rng.rand(B, Lq, M, L, P, 2).astype(np.float32))
+    attw = jnp.asarray(
+        jax.nn.softmax(rng.randn(B, Lq, M, L * P).astype(np.float32), -1)
+        .reshape(B, Lq, M, L, P))
+
+    orig = da._msda_pallas_factored
+    da._msda_pallas_factored = \
+        lambda v, l, w, q_block=256, interpret=True: orig(v, l, w, q_block, True)
+    try:
+        gp = jax.grad(
+            lambda v, l, w: jnp.sum(da._msda_pallas_factored_vjp(v, l, w) ** 2),
+            argnums=(0, 1, 2))(value, locs, attw)
+    finally:
+        da._msda_pallas_factored = orig
+    gg = jax.grad(lambda v, l, w: jnp.sum(ms_deform_attn(
+        v, l, w, method="gather") ** 2), argnums=(0, 1, 2))(value, locs, attw)
+    for a, b in zip(gp, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_ms_deform_attn_pallas_vjp_matches_gather():
     """The pallas method's custom VJP (backward recomputed through the XLA
     one-hot path) must agree with gather autodiff."""

@@ -70,6 +70,54 @@ def main():
                 h2d_gbps=round(packed.nbytes / best / 1e9, 2))
         return
 
+    if exp == "msda":
+        # MSDA formulation shootout at the SOT interaction shape
+        # (800x1280 stride-16: Lq=8000, HW=4000, M=8, L=2, P=4, D=32, bf16).
+        # HW env overrides the feature H,W (e.g. HW=40x64 for rt).
+        from unicorn_tpu.ops.deform_attn import ms_deform_attn
+
+        hstr = os.environ.get("MSDA_HW", "50x80")
+        Hf, Wf = (int(s) for s in hstr.split("x"))
+        L, M, P, D = 2, 8, 4, 32
+        Lq = 2 * Hf * Wf
+        value = jnp.asarray(rng.randn(1, L, Hf, Wf, M, D), jnp.bfloat16)
+        locs = jnp.asarray(rng.rand(1, Lq, M, L, P, 2), jnp.bfloat16)
+        attw = jnp.asarray(
+            jax.nn.softmax(jnp.asarray(rng.randn(1, Lq, M, L * P)), -1)
+            .reshape(1, Lq, M, L, P), jnp.bfloat16)
+        NS = 16
+        eps = jnp.bfloat16(1e-8)
+
+        def scan_of(method, q):
+            @jax.jit
+            def run(v, lo, aw):
+                def body(c, _):
+                    o = ms_deform_attn(c, lo, aw, method=method, q_chunk=q)
+                    return c + (jnp.mean(o) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, v, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        methods = [("onehot_factored", 500), ("pallas_factored", 0),
+                   ("pallas", 0)]
+        if os.environ.get("MSDA_ALL", "0") == "1":
+            methods += [("onehot", 500), ("gather", 0)]
+        for method, q in methods:
+            try:
+                fn = scan_of(method, q or 500)
+                _ = jax.block_until_ready(fn(value, locs, attw))
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = jax.block_until_ready(fn(value, locs, attw))
+                    best = min(best, time.perf_counter() - t0)
+                log("msda", hw=hstr, method=method,
+                    ms=round(best / NS * 1e3, 3))
+            except Exception as e:  # noqa: BLE001 — probe survives a method
+                log("msda", hw=hstr, method=method, error=str(e)[:300])
+        return
+
+
     # ---- model setup (identical to bench.py primary) ----
     from unicorn_tpu.models.unicorn import Unicorn
 

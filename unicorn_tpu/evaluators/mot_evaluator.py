@@ -332,13 +332,21 @@ class MOTEvaluator:
                 if len(ignore) and len(h_boxes):
                     from scipy.optimize import linear_sum_assignment
 
-                    from ..tracker.matching import inclusive_iou_np
-
+                    # plain rect IoU (motmetrics iou_matrix convention — no
+                    # +1 inclusive pixels; the reference's ignore pass uses
+                    # mm.distances.iou_matrix, evaluation.py:44)
                     i_boxes = np.asarray(
                         [(x, y, x + w, y + h) for x, y, w, h in ignore],
                         np.float32)
-                    iou = inclusive_iou_np(i_boxes,
-                                           np.asarray(h_boxes, np.float32))
+                    hb = np.asarray(h_boxes, np.float32)
+                    tl = np.maximum(i_boxes[:, None, :2], hb[None, :, :2])
+                    br = np.minimum(i_boxes[:, None, 2:], hb[None, :, 2:])
+                    wh = np.clip(br - tl, 0, None)
+                    inter = wh[..., 0] * wh[..., 1]
+                    area_i = np.prod(i_boxes[:, 2:] - i_boxes[:, :2], axis=1)
+                    area_h = np.prod(hb[:, 2:] - hb[:, :2], axis=1)
+                    iou = inter / (area_i[:, None] + area_h[None, :]
+                                   - inter + 1e-12)
                     # 1-iou where iou >= 0.5 else a large cost, matching
                     # mm.distances.iou_matrix(max_iou=0.5) + lap semantics
                     cost = np.where(iou >= 0.5, 1.0 - iou, 1e6)

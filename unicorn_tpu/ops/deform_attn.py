@@ -13,9 +13,12 @@ Two XLA formulations, same semantics, same interface:
     contract on the MXU (a matmul instead of a gather; 3x faster on TPU).
     In f32 it is bit-equivalent selection; in bf16 only the tap weights
     round.
-"auto" picks onehot on TPU backends, gather elsewhere. Both differentiate
-correctly (grads flow through the bilinear tap weights and the value rows —
-the tap indices are piecewise constant, as in the CUDA backward).
+"auto" picks the fused factored Pallas kernel for bf16 values on TPU
+(serving: 2.90 ms vs 6.28 XLA factored at the 8k-query SOT shape), the XLA
+factored one-hot for fp32 on TPU (training), gather elsewhere. All
+differentiate correctly (grads flow through the bilinear tap weights and
+the value rows — the tap indices are piecewise constant, as in the CUDA
+backward; the Pallas kernels route their VJP through the XLA forms).
 
 Semantics match F.grid_sample(mode='bilinear', padding_mode='zeros',
 align_corners=False): pixel coordinate x_pix = loc * W - 0.5, out-of-range
@@ -25,6 +28,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+# "auto" resolution override for the TPU path (None = the measured default).
+# set_msda_method("pallas_factored") opts serving into the fused factored
+# kernel; bench.py wires BENCH_MSDA to this.
+_MSDA_TPU_METHOD = None
+
+
+def set_msda_method(method):
+    """Override the method "auto" picks on TPU (None restores default)."""
+    global _MSDA_TPU_METHOD
+    assert method in (None, "gather", "onehot", "onehot_factored",
+                      "pallas", "pallas_factored"), method
+    _MSDA_TPU_METHOD = method
 
 
 def _bilinear_taps(sampling_locations, attention_weights, H, W):
@@ -58,8 +74,9 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
       method: "gather" | "onehot" | "onehot_factored" | "pallas" |
-        "auto" (onehot_factored on TPU — measured 4.2 ms vs pallas 10.0 at
-        the 8k-query SOT shape; gather on CPU).
+        "pallas_factored" | "auto" (TPU: pallas_factored for bf16 values
+        [2.90 ms at the 8k-query SOT shape], onehot_factored for fp32
+        [6.28 ms; direct pallas 12.3, XLA gather ~18]; CPU: gather).
 
     Returns:
       (B, Lq, M * D)
@@ -72,10 +89,22 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
         # method for future toolchains), XLA gather ~18 ms.
         if jax.default_backend() == "tpu":
             method, q_chunk = "onehot_factored", min(q_chunk, 500)
+            if value.dtype == jnp.bfloat16:
+                # serving (serve_interact_bf16): the fused factored VMEM
+                # kernel measures 2.90 ms vs 6.28 XLA at the 8k-query SOT
+                # shape (perf_lab msda, v5e). Training interaction is fp32
+                # and stays on the XLA path (autodiff, fp32-MXU penalty
+                # identical either way, unmeasured -> unchanged).
+                method = "pallas_factored"
+            if _MSDA_TPU_METHOD is not None:
+                method = _MSDA_TPU_METHOD
         else:
             method = "gather"
     if method == "pallas":
         return _msda_pallas_vjp(value, sampling_locations, attention_weights)
+    if method == "pallas_factored":
+        return _msda_pallas_factored_vjp(value, sampling_locations,
+                                         attention_weights)
     if method == "onehot":
         return _msda_onehot(value, sampling_locations, attention_weights,
                             q_chunk)
@@ -228,6 +257,151 @@ def _msda_pallas(value, sampling_locations, attention_weights,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _msda_pallas_factored(value, sampling_locations, attention_weights,
+                          q_block: int = 256, interpret: bool = False,
+                          build_f32: bool = True):
+    """Fused FACTORED one-hot sampling kernel (TPU).
+
+    The XLA factored formulation (_msda_onehot_factored) is HBM-bound: the
+    (q_chunk, H, W) weight matrix it builds between its two einsums
+    round-trips ~2 GB/frame through HBM at the SOT shape (Lq=8000,
+    HW=4000, M=8, L=2, bf16). This kernel builds that matrix tile-by-tile
+    in VMEM from the separable per-axis taps — 2 VPU FMAs per (cell, point)
+    instead of the direct one-hot's 16 compare+select+FMA taps that made
+    _msda_pallas VPU-bound — and contracts it on the MXU without ever
+    materializing it in HBM.
+
+    Layout: queries ride the LANES. The weight tile is built as
+    (H, W, QB=128) — per-axis one-hots are (H, QB)/(W, QB) built by
+    row-broadcast compares, the rank-1 accumulate inserts only leading/
+    middle dims (minor-dim insertion is a Mosaic relayout; lane dim stays
+    QB throughout), and the (H*W, QB) reshape merges leading dims (layout
+    no-op). The MXU contraction is dot_general over the FULL H*W dim of
+    both the tile and the (H*W, D) value map — no 128-padding waste.
+    Forward-only; ms_deform_attn wires the XLA one-hot backward via
+    custom VJP (tap indices are piecewise constant, as in the reference
+    CUDA backward).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, H, W, M, D = value.shape
+    _, Lq, _, _, P, _ = sampling_locations.shape
+    dt = value.dtype
+
+    # per-axis taps with attention weights folded into the y-axis weights
+    # (same prep as _msda_onehot_factored)
+    x = sampling_locations[..., 0] * W - 0.5
+    y = sampling_locations[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(dt)
+    ly = (y - y0).astype(dt)
+
+    def taps(c0, frac, n):
+        in_lo = (c0 >= 0) & (c0 < n)
+        in_hi = (c0 + 1 >= 0) & (c0 + 1 < n)
+        w_lo = jnp.where(in_lo, 1.0 - frac, 0.0).astype(dt)
+        w_hi = jnp.where(in_hi, frac, 0.0).astype(dt)
+        i_lo = jnp.clip(c0, 0, n - 1).astype(jnp.int32)
+        i_hi = jnp.clip(c0 + 1, 0, n - 1).astype(jnp.int32)
+        return jnp.stack([i_lo, i_hi], -1), jnp.stack([w_lo, w_hi], -1)
+
+    yi, wy = taps(y0, ly, H)                    # (B, Lq, M, L, P, 2)
+    xi, wx = taps(x0, lx, W)
+    wy = wy * attention_weights[..., None].astype(dt)
+
+    def layout(t):                              # -> (B, L, M, P*2, Lq)
+        return t.transpose(0, 3, 2, 4, 5, 1).reshape(B, L, M, P * 2, Lq)
+
+    yi, wy, xi, wx = layout(yi), layout(wy), layout(xi), layout(wx)
+
+    QB = min(q_block, _round_up(Lq, 128))
+    Lq_p = _round_up(Lq, QB)
+    if Lq_p != Lq:
+        pad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, Lq_p - Lq))
+        # padded columns get weight 0 -> contribute nothing
+        yi, wy = jnp.pad(yi, pad), jnp.pad(wy, pad)
+        xi, wx = jnp.pad(xi, pad), jnp.pad(wx, pad)
+    nq = Lq_p // QB
+    v = value.transpose(0, 1, 4, 2, 3, 5).reshape(B, L, M, H * W, D)
+    K2 = P * 2
+
+    def kern(yi_ref, wy_ref, xi_ref, wx_ref, v_ref, out_ref):
+        l = pl.program_id(3)
+        yi_t = yi_ref[0, 0, 0]                  # (P*2, QB) int32
+        wy_t = wy_ref[0, 0, 0]
+        xi_t = xi_ref[0, 0, 0]
+        wx_t = wx_ref[0, 0, 0]
+        vv = v_ref[0, 0, 0]                     # (H*W, D)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, QB), 0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, QB), 0)
+        f32 = jnp.float32 if build_f32 else dt
+        acc = jnp.zeros((H, W, QB), f32)
+        for p in range(P):
+            lo, hi = 2 * p, 2 * p + 1
+            oy = (wy_t[lo:lo + 1, :].astype(f32)
+                  * (iota_h == yi_t[lo:lo + 1, :]).astype(f32)
+                  + wy_t[hi:hi + 1, :].astype(f32)
+                  * (iota_h == yi_t[hi:hi + 1, :]).astype(f32))
+            ox = (wx_t[lo:lo + 1, :].astype(f32)
+                  * (iota_w == xi_t[lo:lo + 1, :]).astype(f32)
+                  + wx_t[hi:hi + 1, :].astype(f32)
+                  * (iota_w == xi_t[hi:hi + 1, :]).astype(f32))
+            acc = acc + oy[:, None, :] * ox[None, :, :]
+        wmat = acc.reshape(H * W, QB).astype(dt)
+        # contract the H*W dim of both: (H*W, QB) x (H*W, D) -> (QB, D)
+        contrib = jax.lax.dot_general(
+            wmat, vv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(l == 0)
+        def _():
+            out_ref[0, 0, :, :] = contrib
+
+        @pl.when(l > 0)
+        def _():
+            out_ref[0, 0, :, :] += contrib
+
+    tap_spec = pl.BlockSpec((1, 1, 1, K2, QB), lambda b, q, m, l: (b, l, m, 0, q),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, nq, M, L),
+        in_specs=[tap_spec, tap_spec, tap_spec, tap_spec,
+                  pl.BlockSpec((1, 1, 1, H * W, D),
+                               lambda b, q, m, l: (b, l, m, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, QB, D), lambda b, q, m, l: (b, m, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Lq_p, D), jnp.float32),
+        interpret=interpret,
+    )(yi, wy, xi, wx, v)
+    out = out[:, :, :Lq].transpose(0, 2, 1, 3)  # (B, Lq, M, D)
+    return out.reshape(B, Lq, M * D).astype(dt)
+
+
+@jax.custom_vjp
+def _msda_pallas_factored_vjp(value, sampling_locations, attention_weights):
+    return _msda_pallas_factored(value, sampling_locations, attention_weights)
+
+
+def _msda_pallas_factored_fwd(value, sampling_locations, attention_weights):
+    out = _msda_pallas_factored(value, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_pallas_factored_bwd(res, g):
+    value, locs, attw = res
+    _, vjp = jax.vjp(lambda v, l, w: _msda_onehot_factored(v, l, w, 500),
+                     value, locs, attw)
+    return vjp(g)
+
+
+_msda_pallas_factored_vjp.defvjp(_msda_pallas_factored_fwd,
+                                 _msda_pallas_factored_bwd)
 
 
 @jax.custom_vjp
