@@ -112,6 +112,42 @@ def test_ms_deform_attn_pallas_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_ms_deform_attn_auto_dispatch(monkeypatch):
+    """'auto' routes: TPU+bf16 -> pallas_factored (serving), TPU+fp32 ->
+    onehot_factored (training), CPU -> gather; set_msda_method overrides."""
+    import unicorn_tpu.ops.deform_attn as da
+
+    calls = []
+
+    def record(name):
+        def fn(*a, **kw):
+            calls.append(name)
+            return jnp.zeros((1, 4, 8))
+        return fn
+
+    monkeypatch.setattr(da, "_msda_gather", record("gather"))
+    monkeypatch.setattr(da, "_msda_onehot_factored", record("onehot_factored"))
+    monkeypatch.setattr(da, "_msda_pallas_factored_vjp",
+                        record("pallas_factored"))
+    v32 = jnp.zeros((1, 2, 4, 4, 2, 4), jnp.float32)
+    v16 = v32.astype(jnp.bfloat16)
+    locs = jnp.zeros((1, 4, 2, 2, 4, 2))
+    attw = jnp.zeros((1, 4, 2, 2, 4))
+
+    monkeypatch.setattr(da.jax, "default_backend", lambda: "cpu")
+    da.ms_deform_attn(v32, locs, attw)
+    monkeypatch.setattr(da.jax, "default_backend", lambda: "tpu")
+    da.ms_deform_attn(v32, locs, attw)
+    da.ms_deform_attn(v16, locs, attw)
+    da.set_msda_method("onehot_factored")
+    try:
+        da.ms_deform_attn(v16, locs, attw)
+    finally:
+        da.set_msda_method(None)
+    assert calls == ["gather", "onehot_factored", "pallas_factored",
+                     "onehot_factored"]
+
+
 def test_ms_deform_attn_pallas_factored_matches_oracle():
     """Fused FACTORED Pallas kernel (interpret mode on CPU) == loop oracle,
     including out-of-range corners, Lq padding, and W lane padding."""
