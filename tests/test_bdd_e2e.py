@@ -194,3 +194,58 @@ def test_bdd_evaluator_e2e_mmota(bdd_root, tmp_path):
     s = score_scalabel(pred_frames, ds.gt_frames())
     assert s["mMOTA"] == pytest.approx(1.0)
     assert s["mIDF1"] == pytest.approx(1.0)
+
+
+class _PerfectSegDriver(_PerfectDriver):
+    """Mock with_mask MOTOmniDriver: gt boxes + gt masks, driver contract
+    (masks on the letterbox grid, row-aligned with the returned tracks)."""
+
+    input_size = (H, W)   # identical to the image -> r = 1, exact geometry
+    last_scale = 1.0
+    with_mask = True
+
+    def update(self, img):
+        video, fi = self.dataset.index[self.i]
+        frame = self.dataset.videos[video][fi]
+        self.i += 1
+        res, rles = parse_labels(frame, with_rle=True)
+        if len(res) == 0:
+            return (np.zeros((0, 5), np.float32), np.zeros(0, int),
+                    np.zeros(0, int), np.zeros((0, H, W), np.float32))
+        bboxes = np.concatenate([res[:, :4], np.full((len(res), 1), 0.9)], 1)
+        masks = np.stack([rle_codec.decode(r).astype(np.float32)
+                          for r in rles])
+        return bboxes, res[:, 4].astype(int), res[:, 5].astype(int), masks
+
+
+def test_bdd_evaluator_seg_track_e2e(bdd_mots_root, tmp_path):
+    """Full BDD MOTS loop: gt-emitting with_mask driver -> bitmask PNGs +
+    seg_track.json + per-class mask-IoU scoring == 1.0 mMOTSA."""
+    from PIL import Image
+
+    from unicorn_tpu.evaluators.bdd_evaluator import score_scalabel_seg
+
+    label_path = os.path.join(bdd_mots_root, "labels", "seg_track_20",
+                              "rles", "val.json")
+    ds = BDDEvalDataset(bdd_mots_root, split="val", label_path=label_path)
+    ev = BDDEvaluator(ds, (H, W))
+    out_dir = str(tmp_path / "out")
+    results, pred_frames = ev.evaluate_seg_mot(
+        _PerfectSegDriver(ds), out_dir=out_dir)
+    assert set(results) == {"vid_a", "vid_b"}
+    assert os.path.exists(os.path.join(out_dir, "seg_track.json"))
+
+    # one bitmask PNG per frame, RGBA with recoverable ids/categories
+    png_dir = os.path.join(out_dir, "seg_track", "vid_a")
+    pngs = sorted(os.listdir(png_dir))
+    assert len(pngs) == N_FRAMES
+    bm = np.asarray(Image.open(os.path.join(png_dir, pngs[0])))
+    assert bm.shape == (H, W, 4)
+    ids_in_png = set((bm[..., 2].astype(int) * 256
+                      + bm[..., 3].astype(int))[bm[..., 0] > 0].tolist())
+    assert ids_in_png  # instance ids encoded in B/A channels
+
+    s = score_scalabel_seg(pred_frames, ds.gt_frames())
+    assert s["mMOTSA"] == pytest.approx(1.0)
+    assert s["msMOTSA"] == pytest.approx(1.0)
+    assert s["mIDF1"] == pytest.approx(1.0)

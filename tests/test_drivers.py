@@ -193,3 +193,43 @@ def test_mot_omni_driver_deepsort():
     driver.reset()
     assert isinstance(driver.tracker, DeepSort)
     assert driver.frame_id == 0 and driver.feat_prev is None
+
+
+def test_mot_omni_driver_with_mask_alignment():
+    """with_mask=True: update returns per-track CondInst mask probs
+    row-aligned with the tracker output (return_index contract). Masks must
+    be finite probabilities on the stride-4 grid."""
+    from unicorn_tpu.drivers.mot import MOTOmniDriver
+
+    model, params = _model_params(use_mask=True)
+    driver = MOTOmniDriver(model, params, input_size=(H, W), num_classes=1,
+                           conf_thre=0.0, with_mask=True,
+                           qd_params=dict(init_score_thr=0.0,
+                                          obj_score_thr=0.0,
+                                          match_score_thr=0.01))
+    rng = np.random.RandomState(7)
+    for t in range(3):
+        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+        bboxes, labels, ids, masks = driver.update(img)
+        assert len(masks) == len(bboxes) == len(ids)
+        if len(masks):
+            assert masks.shape[1:] == (H // 4, W // 4)
+            assert np.isfinite(masks).all()
+            assert masks.min() >= 0.0 and masks.max() <= 1.0
+
+
+def test_mot_omni_driver_deepsort_with_mask():
+    """DeepSORT mask path (last_det_indices contract): every returned view
+    gets a mask row; coasting tracks get the zero mask."""
+    from unicorn_tpu.drivers.mot import MOTOmniDriver
+
+    model, params = _model_params(use_mask=True)
+    driver = MOTOmniDriver(model, params, input_size=(H, W), num_classes=1,
+                           conf_thre=0.0, with_mask=True, tracker="deepsort")
+    rng = np.random.RandomState(8)
+    for t in range(4):
+        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+        bboxes, labels, ids, masks = driver.update(img)
+        assert len(masks) == len(bboxes)
+        if len(masks):
+            assert masks.shape[1:] == (H // 4, W // 4)

@@ -68,7 +68,7 @@ def main():
 
         from unicorn_tpu.data.datasets.bdd import BDDEvalDataset
         from unicorn_tpu.evaluators.bdd_evaluator import (
-            BDDEvaluator, score_scalabel,
+            BDDEvaluator, score_scalabel, score_scalabel_seg,
         )
 
         dataset = BDDEvalDataset(
@@ -78,13 +78,30 @@ def main():
         evaluator = BDDEvaluator(dataset, exp.test_size,
                                  conf_thre=exp.test_conf,
                                  nms_thre=exp.nmsthre)
+        os.makedirs(args.result_dir, exist_ok=True)
+        if args.mots:
+            # BDD seg_track: bitmask PNGs + seg_track.json + mask-IoU
+            # mMOTSA when the gt labels carry rles (seg_track_20 split)
+            results, pred_frames = evaluator.evaluate_seg_mot(
+                driver, out_dir=args.result_dir, max_frames=args.max_frames,
+                mask_thres=args.mask_thres)
+            gt = dataset.gt_frames()
+            if args.max_frames is not None:
+                gt = gt[:args.max_frames]
+            scores = score_scalabel_seg(pred_frames, gt)
+            json.dump(scores, open(os.path.join(args.result_dir,
+                                                "seg_scores.json"), "w"),
+                      default=float, indent=1)
+            print(f"BDD seg_track: mMOTSA={scores['mMOTSA']:.4f} "
+                  f"mIDF1={scores['mIDF1']:.4f} over "
+                  f"{len(scores['per_class'])} classes")
+            return
         results, pred_frames = evaluator.evaluate_mot(
             driver, out_dir=args.result_dir, max_frames=args.max_frames)
         gt = dataset.gt_frames()
         if args.max_frames is not None:
             gt = gt[:args.max_frames]
         scores = score_scalabel(pred_frames, gt)
-        os.makedirs(args.result_dir, exist_ok=True)
         json.dump(scores, open(os.path.join(args.result_dir, "scores.json"),
                                "w"), default=float, indent=1)
         print(f"BDD {args.dataset}: mMOTA={scores['mMOTA']:.4f} "
@@ -97,6 +114,7 @@ def main():
         json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
     )
     results = defaultdict(list)
+    mots_frames = defaultdict(list)
     cur_video = None
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                           len(dataset))
@@ -107,11 +125,37 @@ def main():
         if video != cur_video:
             cur_video = video
             driver.reset()
-        bboxes, labels, ids = driver.update(img)
-        tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1]) for b in bboxes]
-        results[video].append((frame_id, ids.tolist(), tlwhs,
-                               bboxes[:, 4].tolist() if len(bboxes) else []))
+        if args.mots:
+            from unicorn_tpu.evaluators.mot_evaluator import merge_mots_masks
+
+            bboxes, labels, ids, masks = driver.update(img)
+            out_ids, out_labels, out_scores, tlwhs, rles = merge_mots_masks(
+                ids, labels,
+                bboxes[:, 4] if len(bboxes) else np.zeros((0,)), bboxes,
+                masks, args.mask_thres, driver.last_scale, (h, w),
+                exp.test_size)
+            results[video].append((frame_id, out_ids, tlwhs, out_scores))
+            # MOTS-Challenge encoding: pedestrians are class 2, object id =
+            # 2000 + track (reference mot_evaluator.py:890+)
+            mots_frames[video].append(
+                (frame_id, [2000 + int(t) for t in out_ids],
+                 [2] * len(out_ids), rles))
+        else:
+            bboxes, labels, ids = driver.update(img)
+            tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1]) for b in bboxes]
+            results[video].append(
+                (frame_id, ids.tolist(), tlwhs,
+                 bboxes[:, 4].tolist() if len(bboxes) else []))
     os.makedirs(args.result_dir, exist_ok=True)
+    if args.mots:
+        from unicorn_tpu.evaluators.mots_metrics import write_mots_txt
+
+        for video, frames in mots_frames.items():
+            write_mots_txt(os.path.join(args.result_dir, f"{video}.txt"),
+                           frames)
+        print(f"wrote {len(mots_frames)} MOTS-Challenge txt videos to "
+              f"{args.result_dir}")
+        return
     from unicorn_tpu.evaluators.mot_evaluator import write_mot_results
 
     for video, res in results.items():

@@ -73,7 +73,8 @@ class MOTOmniDriver:
                  nms_thre: float = 0.65, max_out: int = 128,
                  qd_params: dict | None = None, with_mask: bool = False,
                  mask_thres: float = 0.3, d_rate: int = 4,
-                 tracker: str = "qd"):
+                 tracker: str = "qd", use_raft: bool = False,
+                 up_rate: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -84,8 +85,17 @@ class MOTOmniDriver:
         self.mask_thres = mask_thres
 
         def step(params, frame, feat_prev, has_prev):
-            """Returns (dets, valid, embeds, feat_cur[, masks])."""
+            """Returns (dets, valid, embeds, feat_cur[, masks]) — masks are
+            per-kept-detection CondInst sigmoid maps (max_out, Hm, Wm) on the
+            stride-4 mask grid, the reference's postprocess_inst decode
+            (utils/boxes.py:80-153) fused into the same jitted step."""
+            import jax
+
             from ..models.heads import flatten_raw_outputs
+            from ..models.mask_head import anchor_locations_and_levels
+            from ..ops.dynamic_conv import (
+                aligned_bilinear, convex_upsample, dynamic_mask_logits,
+            )
 
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
@@ -94,9 +104,10 @@ class MOTOmniDriver:
             raw = model.apply(params, fpn_outs, priors,
                               method=Unicorn.forward_head)
             dec = decode_for_inference(raw, (8, 16, 32), mode="mot")
-            dets, valid = postprocess_device(
+            dets, valid, anchor_idx = postprocess_device(
                 dec, num_classes=num_classes, conf_thre=conf_thre,
                 nms_thre=nms_thre, n_cand=512, max_out=max_out,
+                return_idx=True,
             )
             # interaction vs previous frame (first frame: itself)
             fp = jnp.where(has_prev, feat_prev, feat_cur)
@@ -113,8 +124,18 @@ class MOTOmniDriver:
                 flat = flatten_raw_outputs(raw, "mot")
                 mask_feats, up_mask, _ = model.apply(
                     params, fpn_outs, method=Unicorn.forward_mask_branch)
-                outs.append((flat["ctrl"][0], mask_feats[0],
-                             None if up_mask is None else up_mask[0]))
+                hw = [(f.shape[1], f.shape[2]) for f in fpn_outs]
+                locs, lvls = anchor_locations_and_levels(hw, (8, 16, 32))
+                idx = anchor_idx[0]                         # (max_out,)
+                ctrl_sel = flat["ctrl"][0, idx]             # (max_out, 169)
+                logits = dynamic_mask_logits(
+                    mask_feats[0], ctrl_sel, locs[idx], lvls[idx])
+                if use_raft and up_mask is not None:
+                    m = convex_upsample(logits, up_mask[0], up_rate)
+                else:
+                    m = aligned_bilinear(logits, 2)          # stride 4
+                # fp16 fetch: threshold-grade precision, half the wire bytes
+                outs.append(jax.nn.sigmoid(m).astype(jnp.float16))
             return tuple(outs)
 
         self._step = jax.jit(step)
@@ -147,8 +168,14 @@ class MOTOmniDriver:
         self.frame_id = 0
 
     def update(self, image):
-        """Returns (bboxes (N, 5) image coords, labels, track_ids)."""
+        """Returns (bboxes (N, 5) image coords, labels, track_ids) — plus
+        masks (N, Hm, Wm) float probs on the mask grid, row-aligned with the
+        tracker output via match(return_index=True), when with_mask (the
+        reference's masks=masks[indexs] realignment, mot_evaluator.py:850).
+        Also stores self.last_scale = the letterbox ratio r for mask
+        resizing."""
         img, r = letterbox(image, self.input_size)
+        self.last_scale = r
         frame = self._jnp.asarray(img[None])
         if self.feat_prev is None:
             # shape-compatible zero feature; has_prev=False selects feat_cur
@@ -158,6 +185,8 @@ class MOTOmniDriver:
             has_prev = self._jnp.asarray(True)
         out = self._step(self.params, frame, self.feat_prev, has_prev)
         dets, valid, embeds, feat_cur = out[:4]
+        masks_np = (np.asarray(out[4], np.float32)
+                    if self.with_mask and len(out) > 4 else None)
         self.feat_prev = feat_cur
         self.frame_id += 1
         dets = np.asarray(dets)
@@ -175,19 +204,44 @@ class MOTOmniDriver:
             cls = d[:, 6].astype(int) if k else np.zeros((0,), int)
             fts = embeds[valid] if k else np.zeros((0, 1))
             views = self.tracker.update(boxes, scrs, fts, cls)
+
+            def _ds_masks(n_views):
+                """DeepSORT mask alignment via last_det_indices (-1 rows =
+                track coasting without a detection -> zero mask)."""
+                mv = masks_np[valid]
+                hm, wm = mv.shape[1:] if mv.size else (1, 1)
+                out_m = np.zeros((n_views, hm, wm), np.float32)
+                for j, di in enumerate(self.tracker.last_det_indices):
+                    if di >= 0:
+                        out_m[j] = mv[di]
+                return out_m
+
             if not views:
-                return (np.zeros((0, 5)), np.zeros((0,), int),
-                        np.zeros((0,), int))
+                empty = (np.zeros((0, 5)), np.zeros((0,), int),
+                         np.zeros((0,), int))
+                return empty + (_ds_masks(0),) if self.with_mask else empty
             out = np.asarray([[*t.tlbr, t.score] for t in views])
             ids = np.asarray([t.track_id for t in views], int)
             labels = np.asarray([t.cls for t in views], int)
+            if self.with_mask:
+                return out, labels, ids, _ds_masks(len(views))
             return out, labels, ids
         if k == 0:
-            return np.zeros((0, 5)), np.zeros((0,), int), np.zeros((0,), int)
+            empty = (np.zeros((0, 5)), np.zeros((0,), int),
+                     np.zeros((0,), int))
+            if self.with_mask:
+                m0 = (np.zeros((0, 1, 1), np.float32) if masks_np is None
+                      else masks_np[:0])
+                return empty + (m0,)
+            return empty
         d = dets[valid]
         bboxes5 = np.concatenate(
             [d[:, :4] / r, (d[:, 4] * d[:, 5])[:, None]], axis=1)
-        bboxes, labels, ids = self.tracker.match(
-            bboxes5, d[:, 6].astype(int), embeds[valid], self.frame_id)
+        bboxes, labels, ids, index = self.tracker.match(
+            bboxes5, d[:, 6].astype(int), embeds[valid], self.frame_id,
+            return_index=True)
         keep = ids > -1
+        if self.with_mask:
+            masks_out = masks_np[valid][index][keep]
+            return bboxes[keep], labels[keep], ids[keep], masks_out
         return bboxes[keep], labels[keep], ids[keep]

@@ -118,6 +118,60 @@ def score_scalabel(pred_frames, gt_frames, iou_thr=0.5):
     return out
 
 
+def _frames_to_mots(frames):
+    """Scalabel frames with rle-carrying labels ->
+    {video: [(frameIndex, ids, class_indices, rles)]} for mots_metrics."""
+    out = defaultdict(list)
+    for f in frames:
+        ids, clss, rles = [], [], []
+        for lab in f.get("labels") or []:
+            r = lab.get("rle")
+            cat = lab.get("category")
+            if r is None or cat not in _CLS_INDEX:
+                continue
+            ids.append(int(lab["id"]))
+            clss.append(_CLS_INDEX[cat])
+            rles.append(r)
+        out[f.get("videoName")].append(
+            (f.get("frameIndex", 0), ids, clss, rles))
+    return dict(out)
+
+
+def score_scalabel_seg(pred_frames, gt_frames, iou_thr=0.5):
+    """BDD seg_track (MOTS) scoring: per-class mask-IoU CLEAR-MOT,
+    class-averaged — the reference's eval_mots seg_track half
+    (external/qdtrack/qdtrack/core/evaluation/mots.py:23-93 with
+    class_average). Frames carry labels [{id, category, rle}]. Returns
+    {mMOTSA, msMOTSA, mIDF1, per_class, overall}."""
+    from .mots_metrics import score_mots_per_class
+
+    return score_mots_per_class(_frames_to_mots(pred_frames),
+                                _frames_to_mots(gt_frames), iou_thr=iou_thr)
+
+
+def write_bdd_bitmask(path, masks, ids, classes, scores):
+    """One frame's instance masks -> the BDD100K seg_track bitmask PNG
+    (reference external/qdtrack/qdtrack/core/to_bdd100k/utils.py:24-38):
+    RGBA uint8 with R = category_id (1-based), G = attribute byte (0),
+    B = id >> 8, A = id & 255; masks painted in ascending score so higher
+    score wins contested pixels.
+
+    masks: (N, H, W) binary at image resolution."""
+    from PIL import Image
+
+    masks = np.asarray(masks, bool)
+    n = len(masks)
+    h, w = masks.shape[1:] if n else (1, 1)
+    bitmask = np.zeros((h, w, 4), np.uint8)
+    for k in np.argsort(np.asarray(scores, np.float64), kind="stable"):
+        m = masks[k]
+        tid = int(ids[k])
+        color = (int(classes[k]) + 1, 0, (tid >> 8) & 255, tid & 255)
+        bitmask[m] = color
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(bitmask, mode="RGBA").save(path)
+
+
 class BDDEvaluator:
     def __init__(self, dataset, img_size, conf_thre=0.01, nms_thre=0.65,
                  num_classes=8):
@@ -159,6 +213,63 @@ class BDDEvaluator:
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             json.dump(frames_out, open(out_path, "w"))
         return frames_out
+
+    def evaluate_seg_mot(self, driver, out_dir=None, max_frames=None,
+                         mask_thres=0.3):
+        """MOTS over BDD: streams frames through a with_mask MOTOmniDriver,
+        realigns masks with the tracker output (driver contract), writes the
+        BDD seg_track submission — per-frame bitmask PNGs
+        (out_dir/seg_track/<video>/<name>.png) + seg_track.json — and
+        returns (results, scalabel pred frames with rle labels) for
+        score_scalabel_seg. Reference: seg_track_to_bdd100k
+        (external/qdtrack/qdtrack/core/to_bdd100k/transforms.py:117-128)."""
+        from . import rle as rle_codec
+        from .mot_evaluator import merge_mots_masks
+
+        results = defaultdict(list)
+        cur_video = None
+        n = len(self.dataset) if max_frames is None else min(
+            max_frames, len(self.dataset))
+        frames_out = []
+        for i in range(n):
+            img, _, info, _ = self.dataset.pull_item(i)
+            h, w, frame_id, video_id, file_name = info
+            video = file_name.split("/")[0]
+            name = os.path.basename(file_name)
+            if video != cur_video:
+                cur_video = video
+                driver.reset()
+            bboxes, labels, ids, masks = driver.update(img)
+            out_ids, out_labels, out_scores, tlwhs, rles = merge_mots_masks(
+                ids, labels, bboxes[:, 4] if len(bboxes) else np.zeros((0,)),
+                bboxes, masks, mask_thres, driver.last_scale, (h, w),
+                driver.input_size)
+            results[video].append((frame_id, out_ids, tlwhs, out_scores,
+                                   rles))
+            frames_out.append({
+                "name": name, "videoName": video,
+                "frameIndex": int(frame_id),
+                "labels": [{
+                    "id": int(tid),
+                    "category": BDD_CLASSES[int(c) % len(BDD_CLASSES)],
+                    "score": float(s),
+                    "rle": r,
+                } for tid, c, s, r in zip(out_ids, out_labels, out_scores,
+                                          rles)],
+            })
+            if out_dir:
+                dense = (np.stack([rle_codec.decode(r) for r in rles])
+                         if rles else np.zeros((0, h, w), np.uint8))
+                write_bdd_bitmask(
+                    os.path.join(out_dir, "seg_track", video,
+                                 os.path.splitext(name)[0] + ".png"),
+                    dense, out_ids, out_labels, out_scores)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            json.dump(frames_out,
+                      open(os.path.join(out_dir, "seg_track.json"), "w"),
+                      default=float)
+        return dict(results), frames_out
 
     def evaluate_mot(self, driver, out_dir=None, max_frames=None):
         """Streams frames through a MOTOmniDriver; returns

@@ -45,6 +45,48 @@ def write_mot_results(path, results):
                         f"{score:.2f},-1,-1,-1\n")
 
 
+def merge_mots_masks(ids, labels, scores, boxes, masks, mask_thres, r,
+                     orig_hw, img_size):
+    """Shared MOTS mask tail (reference mot_evaluator.py:853-889): sort kept
+    rows to ascending track id, threshold, merge overlap-free in that order
+    (earlier = lower id wins each pixel), then resize each mask's letterbox
+    content region to the original image resolution and RLE-encode.
+
+    ids/labels/scores: (N,); boxes: (N, >=4) xyxy in IMAGE coords; masks:
+    (N, Hm, Wm) sigmoid scores on the mask grid covering the letterbox
+    canvas. Returns (ids, labels, scores, tlwhs, rles) python lists in
+    ascending-id order; rles are compressed full-resolution RLEs.
+    """
+    import cv2
+
+    from . import rle as rle_codec
+
+    h, w = orig_hw
+    order = np.argsort(np.asarray(ids), kind="stable")
+    out_ids, out_labels, out_scores, tlwhs, rles = [], [], [], [], []
+    occupied = None
+    for k in order:
+        m = masks[k] > mask_thres
+        if occupied is None:
+            occupied = np.zeros_like(m)
+        m = m & ~occupied
+        occupied |= m
+        Hm, Wm = m.shape
+        crop_h = int(round(h * r * Hm / img_size[0]))
+        crop_w = int(round(w * r * Wm / img_size[1]))
+        m_full = cv2.resize(
+            m[:max(crop_h, 1), :max(crop_w, 1)].astype(np.uint8),
+            (int(w), int(h)), interpolation=cv2.INTER_NEAREST)
+        rles.append(rle_codec.encode(m_full))
+        out_ids.append(int(ids[k]))
+        out_labels.append(int(labels[k]))
+        out_scores.append(float(scores[k]))
+        b = boxes[k]
+        tlwhs.append((float(b[0]), float(b[1]),
+                      float(b[2] - b[0]), float(b[3] - b[1])))
+    return out_ids, out_labels, out_scores, tlwhs, rles
+
+
 class MOTEvaluator:
     def __init__(self, exp=None, dataset=None, track_thresh=0.6,
                  track_buffer=30, match_thresh=0.9, min_box_area=100):
@@ -216,17 +258,20 @@ class MOTEvaluator:
                            qd_params=None, mask_thres: float = 0.3,
                            result_dir=None, max_frames=None):
         """MOTS path: detection + embeddings + per-instance dynamic-conv
-        masks; overlapping masks resolved by score order (higher score wins a
-        pixel); writes MOTS-challenge txt (frame, id+class*1000, class, h, w,
-        RLE) when result_dir is given.
+        masks. Masks are realigned to the tracker's score-sorted,
+        duplicate-suppressed output via match(return_index=True) — the
+        reference's ``masks = masks[indexs]`` (mot_evaluator.py:844-850) —
+        then kept rows sort to ascending track id and merge overlap-free in
+        that order (lower id wins a pixel, :853-869). Writes MOTS-Challenge
+        txt (frame, 2000+id, class 2, h, w, RLE) when result_dir is given.
 
         whole_mask_fn(params, frame) -> (dets (K,7), valid, feat_s16,
                                          masks (K, Hm, Wm) sigmoid scores)
-        """
-        import cv2
-        import jax.numpy as jnp
 
-        from . import rle as rle_codec
+        Returns {video: [(frame_id, ids, tlwhs, scores, rles)]} with rles the
+        full-image-resolution compressed RLEs — feed MOTEvaluator.score_mots.
+        """
+        import jax.numpy as jnp
 
         dataset = dataset or self.dataset
         img_size = dataset.img_size
@@ -236,7 +281,7 @@ class MOTEvaluator:
         cur_video = None
         feat_prev = None
         n = len(dataset) if max_frames is None else min(max_frames, len(dataset))
-        txt_rows = defaultdict(list)
+        txt_frames = defaultdict(list)
         for i in range(n):
             img, _, info, _ = dataset.pull_item(i) if hasattr(dataset, "pull_item") \
                 else dataset[i]
@@ -261,45 +306,46 @@ class MOTEvaluator:
                                              jnp.asarray(centers)))
                 bboxes5 = np.concatenate(
                     [dets[:, :4] / r, (dets[:, 4] * dets[:, 5])[:, None]], 1)
-                bboxes, labels, ids = tracker.match(
-                    bboxes5, dets[:, 6].astype(int), embeds, frame_id)
+                bboxes, labels, ids, index = tracker.match(
+                    bboxes5, dets[:, 6].astype(int), embeds, frame_id,
+                    return_index=True)
+                masks = masks[index]  # realign with the tracker's output rows
                 keep = ids > -1
-                # overlap-free merge in score order (rows already sorted)
-                kept_masks = []
-                occupied = None
-                Hm, Wm = masks.shape[1:]
-                for k in np.flatnonzero(keep):
-                    m = masks[min(k, len(masks) - 1)] > mask_thres
-                    if occupied is None:
-                        occupied = np.zeros_like(m)
-                    m = m & ~occupied
-                    occupied |= m
-                    kept_masks.append(m)
-                tlwhs = [(b[0], b[1], b[2] - b[0], b[3] - b[1])
-                         for b in bboxes[keep]]
+                ids_k, boxes_k, labels_k, masks_k = (
+                    ids[keep], bboxes[keep], labels[keep], masks[keep])
+                scores_k = boxes_k[:, 4] if len(boxes_k) else np.zeros((0,))
+                out_ids, out_labels, out_scores, tlwhs, rles = \
+                    merge_mots_masks(ids_k, labels_k, scores_k, boxes_k,
+                                     masks_k, mask_thres, r, (h, w), img_size)
                 all_results[video_name].append(
-                    (frame_id, ids[keep].tolist(), tlwhs,
-                     bboxes[keep][:, 4].tolist()))
-                if result_dir:
-                    for tid, cls, m in zip(ids[keep], labels[keep], kept_masks):
-                        crop_h = int(round(h * r * Hm / img_size[0]))
-                        crop_w = int(round(w * r * Wm / img_size[1]))
-                        m_full = cv2.resize(
-                            m[:max(crop_h, 1), :max(crop_w, 1)].astype(np.uint8),
-                            (w, h), interpolation=cv2.INTER_NEAREST)
-                        enc = rle_codec.encode(m_full)
-                        txt_rows[video_name].append(
-                            f"{frame_id} {2000 + int(tid)} 2 {h} {w} "
-                            f"{enc['counts']}")
+                    (frame_id, out_ids, tlwhs, out_scores, rles))
+                txt_frames[video_name].append(
+                    (frame_id, [2000 + int(t) for t in out_ids],
+                     [2] * len(out_ids), rles))
             else:
-                all_results[video_name].append((frame_id, [], [], []))
+                all_results[video_name].append((frame_id, [], [], [], []))
             feat_prev = feat_cur
         if result_dir:
+            from .mots_metrics import write_mots_txt
+
             os.makedirs(result_dir, exist_ok=True)
-            for vname, rows in txt_rows.items():
-                with open(os.path.join(result_dir, f"{vname}.txt"), "w") as f:
-                    f.write("\n".join(rows) + "\n")
+            for vname, frames in txt_frames.items():
+                write_mots_txt(os.path.join(result_dir, f"{vname}.txt"),
+                               frames)
         return dict(all_results)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def score_mots(results, gts, iou_thr: float = 0.5):
+        """Mask-IoU CLEAR-MOT scoring (sMOTSA/MOTSA/MOTSP/IDF1) for
+        evaluate_omni_mots results. gts: {video: [(frame_id, ids, rles)]}
+        with full-image-resolution gt mask RLEs."""
+        from .mots_metrics import score_mots as _score
+
+        return _score(
+            {v: [(f[0], f[1], f[4]) for f in frames]
+             for v, frames in results.items()},
+            gts, iou_thr=iou_thr)
 
     # ------------------------------------------------------------------
     @staticmethod

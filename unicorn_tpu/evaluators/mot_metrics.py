@@ -35,7 +35,12 @@ class MOTAccumulator:
         self.gt_total = defaultdict(int)
         self.hyp_total = defaultdict(int)
 
-    def update(self, gt_ids, gt_boxes, hyp_ids, hyp_boxes):
+    def update(self, gt_ids, gt_boxes, hyp_ids, hyp_boxes, iou=None):
+        """iou: optional precomputed (G, H) similarity matrix replacing the
+        box IoU — the mask-IoU MOTS path (mots_metrics.py) passes RLE-domain
+        IoU here, mirroring the reference's mask_iou_matrix feeding the same
+        motmetrics accumulator (qdtrack core/evaluation/mots.py:14-20,87-91).
+        When given, gt_boxes/hyp_boxes may be None."""
         gt_ids = list(gt_ids)
         hyp_ids = list(hyp_ids)
         G, H = len(gt_ids), len(hyp_ids)
@@ -46,10 +51,13 @@ class MOTAccumulator:
         for h in hyp_ids:
             self.hyp_total[h] += 1
 
-        iou = pairwise_iou_np(
-            np.asarray(gt_boxes, np.float32).reshape(-1, 4),
-            np.asarray(hyp_boxes, np.float32).reshape(-1, 4),
-        ) if G and H else np.zeros((G, H), np.float32)
+        if iou is None:
+            iou = pairwise_iou_np(
+                np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+                np.asarray(hyp_boxes, np.float32).reshape(-1, 4),
+            ) if G and H else np.zeros((G, H), np.float32)
+        else:
+            iou = np.asarray(iou, np.float32).reshape(G, H)
 
         matched_g, matched_h = set(), set()
         matches = {}

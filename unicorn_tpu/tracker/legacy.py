@@ -322,6 +322,11 @@ class DeepSort(_AppearanceTable):
         self.nn_budget = int(nn_budget)
         self._init_table()
         self.gallery: list[list[np.ndarray]] = []  # per-row feature deque
+        # caller-detection index behind each view returned by the LAST
+        # update() call (-1 = track output without a detection this frame);
+        # the per-detection-payload (MOTS mask) alignment contract, the
+        # DeepSORT analogue of QuasiDenseEmbedTracker.match(return_index)
+        self.last_det_indices: list[int] = []
 
     def _keep_rows(self, mask: np.ndarray) -> None:
         super()._keep_rows(mask)
@@ -348,6 +353,7 @@ class DeepSort(_AppearanceTable):
         feats = _normalize(np.asarray(feats).reshape(len(boxes), -1)) \
             if len(boxes) else np.zeros((0, 1), np.float32)
         keep = scores >= self.min_confidence
+        orig_idx = np.flatnonzero(keep)  # post-keep det -> caller det index
         boxes, scores, feats, classes = \
             boxes[keep], scores[keep], feats[keep], classes[keep]
 
@@ -420,8 +426,17 @@ class DeepSort(_AppearanceTable):
         if self.n_init <= 1:
             self.state[new_idx] = CONFIRMED
 
+        # row indices shift across deletions/appends; key the per-frame
+        # detection provenance by track id instead
+        det_of_tid = {int(self.track_id[r]): int(orig_idx[d])
+                      for r, d in zip(rows, dets)}
+        for j, d in zip(new_idx, u_det):
+            det_of_tid[int(self.track_id[j])] = int(orig_idx[d])
+
         out = np.flatnonzero((self.state == CONFIRMED)
                              & (self.time_since_update <= 1))
+        self.last_det_indices = [det_of_tid.get(int(self.track_id[r]), -1)
+                                 for r in out]
         return self._views(out)
 
 

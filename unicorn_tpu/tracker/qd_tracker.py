@@ -122,10 +122,23 @@ class QuasiDenseEmbedTracker:
                 np.concatenate(embs, 0), np.asarray(ids, int),
                 np.concatenate(vs, 0))
 
-    def match(self, bboxes, labels, track_feats, frame_id):
+    def match(self, bboxes, labels, track_feats, frame_id,
+              return_index: bool = False):
         """bboxes: (N, 5) [x1,y1,x2,y2,score]; labels: (N,); track_feats (N,C).
         Returns (bboxes, labels, ids) sorted by score; id -1 = unmatched,
-        -2 = suppressed-dup."""
+        -2 = suppressed-dup.
+
+        return_index additionally returns the ORIGINAL-INPUT index of each
+        output row (int array, len = #outputs), so callers can realign
+        per-detection payloads — masks in the MOTS path — with the
+        score-sorted, duplicate-suppressed output: ``masks[index]``.
+        The reference's `return_index` returns the `valids` boolean over its
+        internally score-sorted rows
+        (unicorn/tracker/quasi_dense_embed_tracker.py:209-211), which is only
+        sound because its postprocess emits score-descending detections; here
+        the sort permutation is composed in, so any input order realigns
+        correctly (used at mot_evaluator.py evaluate_omni_mots, the
+        counterpart of the reference's mot_evaluator.py:844-856)."""
         bboxes = np.asarray(bboxes, np.float32).reshape(-1, 5)
         labels = np.asarray(labels).reshape(-1)
         embeds = np.asarray(track_feats, np.float32).reshape(len(bboxes), -1)
@@ -144,6 +157,7 @@ class QuasiDenseEmbedTracker:
                 if (ious[i, :i] > thr).any():
                     valids[i] = False
         bboxes, labels, embeds = bboxes[valids], labels[valids], embeds[valids]
+        index = order[valids]  # output row -> caller's original input row
 
         ids = np.full(len(bboxes), -1, dtype=np.int64)
         if len(bboxes) > 0 and not self.empty:
@@ -180,4 +194,6 @@ class QuasiDenseEmbedTracker:
         self.num_tracklets += num_news
 
         self.update_memo(ids, bboxes, embeds, labels, frame_id)
+        if return_index:
+            return bboxes, labels, ids, index
         return bboxes, labels, ids
