@@ -144,9 +144,14 @@ def main():
         # BENCH_MSDA=pallas_factored routes the interaction's deformable
         # sampling through the fused factored VMEM kernel) — affects the
         # SOT/VOS driver rows; the MOT17 headline path has no interaction
-        from unicorn_tpu.ops.deform_attn import set_msda_method
+        from unicorn_tpu.ops.deform_attn import _MSDA_METHODS, set_msda_method
 
-        set_msda_method(os.environ["BENCH_MSDA"])
+        msda = os.environ["BENCH_MSDA"]
+        if msda not in _MSDA_METHODS:
+            raise ValueError(
+                f"BENCH_MSDA={msda!r}: expected one of "
+                f"{[m for m in _MSDA_METHODS if m]}")
+        set_msda_method(msda)
     model = Unicorn(
         num_classes=1, backbone_name=backbone, in_channels=in_ch,
         interact_mode="deform", n_layer_att=3, dtype=jnp.bfloat16,

@@ -146,6 +146,19 @@ def test_ms_deform_attn_auto_dispatch(monkeypatch):
         da.set_msda_method(None)
     assert calls == ["gather", "onehot_factored", "pallas_factored",
                      "onehot_factored"]
+    # VMEM guard: a stride-8-sized map (HW=20000) must NOT route to the
+    # fused kernel (its (H,W,QB) fp32 tile alone would be ~20 MB > VMEM)
+    calls.clear()
+    v_big = jnp.zeros((1, 1, 100, 200, 2, 4), jnp.bfloat16)
+    locs1 = jnp.zeros((1, 4, 2, 1, 4, 2))
+    attw1 = jnp.zeros((1, 4, 2, 1, 4))
+    da.ms_deform_attn(v_big, locs1, attw1)
+    assert calls == ["onehot_factored"]
+    # unknown method names raise with the accepted list
+    import pytest
+
+    with pytest.raises(ValueError, match="pallas_factored"):
+        da.set_msda_method("palas_factored")
 
 
 def test_ms_deform_attn_pallas_factored_matches_oracle():

@@ -35,12 +35,44 @@ import jax.numpy as jnp
 _MSDA_TPU_METHOD = None
 
 
+_MSDA_METHODS = (None, "gather", "onehot", "onehot_factored",
+                 "pallas", "pallas_factored")
+
+
 def set_msda_method(method):
-    """Override the method "auto" picks on TPU (None restores default)."""
+    """Override the method "auto" picks on TPU (None restores default).
+
+    TRACE-TIME semantics: the override is read when a jitted caller is
+    traced, and is NOT part of any jit cache key — call this BEFORE the
+    first trace of any function that reaches ms_deform_attn(method="auto").
+    Calling it afterwards silently has no effect on already-cached traces
+    (bench.py sets BENCH_MSDA before model build for exactly this reason).
+    """
     global _MSDA_TPU_METHOD
-    assert method in (None, "gather", "onehot", "onehot_factored",
-                      "pallas", "pallas_factored"), method
+    if method not in _MSDA_METHODS:
+        raise ValueError(
+            f"unknown MSDA method {method!r}; expected one of "
+            f"{[m for m in _MSDA_METHODS if m]} or None")
     _MSDA_TPU_METHOD = method
+
+
+def _pallas_factored_fits(value, q_block: int = 256,
+                          budget_bytes: int = 10 * 2**20) -> bool:
+    """VMEM-footprint guard for the "auto" -> pallas_factored route.
+
+    _msda_pallas_factored stages, per grid step, the full (H*W, D) value
+    block, the (H, W, QB) fp32 weight-tile accumulator, and its (H*W, QB)
+    dt cast. At the serving shapes (HW<=4000) that is ~3.5 MB; a future
+    caller with a stride-8 map (HW 16k+) would exceed VMEM (~16 MB/core)
+    and fail Mosaic compilation. Fall back to the XLA factored path there
+    instead of erroring (the budget leaves headroom for taps + double
+    buffering)."""
+    B, L, H, W, M, D = value.shape
+    qb = q_block  # QB = min(q_block, round_up(Lq, 128)) <= q_block
+    est = (H * W * D * value.dtype.itemsize      # value block
+           + H * W * qb * 4                      # fp32 accumulator tile
+           + H * W * qb * value.dtype.itemsize)  # dt-cast wmat
+    return est <= budget_bytes
 
 
 def _bilinear_taps(sampling_locations, attention_weights, H, W):
@@ -89,7 +121,7 @@ def ms_deform_attn(value, sampling_locations, attention_weights,
         # method for future toolchains), XLA gather ~18 ms.
         if jax.default_backend() == "tpu":
             method, q_chunk = "onehot_factored", min(q_chunk, 500)
-            if value.dtype == jnp.bfloat16:
+            if value.dtype == jnp.bfloat16 and _pallas_factored_fits(value):
                 # serving (serve_interact_bf16): the fused factored VMEM
                 # kernel measures 2.90 ms vs 6.28 XLA at the 8k-query SOT
                 # shape (perf_lab msda, v5e). Training interaction is fp32
