@@ -65,6 +65,13 @@ BASELINE_A100_VOS_K4_FPS = 38.0
 # BASELINE.md "SOT/VOS serving baselines", rt paragraph.
 BASELINE_A100_SOT_RT_FPS = 84.0
 BASELINE_A100_VOS_K4_RT_FPS = 39.0
+# VOS mixed-entry (multiref): K=4 objects on 4 DIFFERENT entry frames — the
+# reference pays one interaction+upsample+transfer block per entry group
+# every frame (unicorn_vos.py:80-101). Measured 2009 leaf ops (ref_launch_
+# count.py vos_k4_multiref), calibrated 509x2009/594 = 1722 -> 25.8 ms
+# dispatch floor; compute 17.9 ms sits below it. Favorable end
+# 1000/(25.8+2.5+0.8+2.0) = 32 FPS. See BASELINE.md round-5 addendum.
+BASELINE_A100_VOS_K4_MULTIREF_FPS = 32.0
 # BENCH_MODEL=convnext_large (unicorn_track_large, the MOT17-77.2-MOTA
 # accuracy-headline family): compute-BOUND on the A100 — 1891.6 GFLOP /
 # (0.30 x 312T) = 20.2 ms vs a 632-op x 15 us = 9.5 ms dispatch floor
@@ -72,6 +79,140 @@ BASELINE_A100_VOS_K4_RT_FPS = 39.0
 # by 509/594 to the established MOT scale). Band 24.5-34.0 ms => 29-41 FPS;
 # most-reference-favorable end. See BASELINE.md "large derivation".
 BASELINE_A100_LARGE_FPS = 41.0
+
+
+# A100 TRAINING bound (BASELINE.md "Training baseline derivation"):
+# 2.38 TFLOP/sample fwd+bwd (our HLO analysis; same math as the reference,
+# loss/grad parity-tested) / (0.30 util x 312 TFLOP/s AMP credit) = 25.4
+# ms/sample — generous to the reference, whose published commands train
+# fp32 (`--fp16 0`). train_vs_baseline = 25.4 / measured ms/sample.
+BASELINE_A100_TRAIN_MS_PER_SAMPLE = 25.4
+
+
+def mesh_seq_rows(model_sot, params, model_vos, params_vos, H, W, n_mesh,
+                  n_ticks=8, rng=None, with_train=True, with_sot=True,
+                  with_vos=True, num_classes=1, train_model=None):
+    """Multi-chip BENCH rows beyond the stream-MOT one (VERDICT r4 item 5):
+    seq-parallel SOT/VOS (drivers/seq_parallel.py fns, previously
+    dryrun-only) and the DP train step, each over an n_mesh-device mesh.
+    Returns {sot_seq_fps, vos_seq_fps, train_dp_ms_per_sample} (absent
+    entries for disabled paths). Importable so the 8-CPU-mesh smoke test
+    (tests/test_stream.py) exercises the same code the driver runs on pods;
+    null on one device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if rng is None:
+        rng = np.random.RandomState(0)
+    devices = jax.devices()[:n_mesh]
+    rows = {}
+
+    def timed_ticks(fn, *args):
+        out = fn(*args)
+        _ = jax.block_until_ready(out)
+        best = 1e9
+        for _i in range(2):
+            t0 = time.perf_counter()
+            for _k in range(n_ticks):
+                out = fn(*args)
+            _ = jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_ticks * 1000.0  # ms per tick
+
+    if with_sot:
+        from unicorn_tpu.drivers.seq_parallel import make_sot_seq_parallel_fn
+        from unicorn_tpu.drivers.sot import SOTDriver
+
+        seqmesh = Mesh(np.asarray(devices), ("seq",))
+        drv = SOTDriver(model_sot, params, input_size=(H, W))
+        f0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        box = jnp.asarray(
+            np.array([[W / 2, H / 2, W / 8.0, H / 8.0]], np.float32))
+        fr, lr = drv._init_fn(params, f0, box)
+        feat_refs = jnp.broadcast_to(fr, (n_mesh,) + fr.shape)
+        lbs_refs = jnp.broadcast_to(lr, (n_mesh,) + lr.shape)
+        frames = jnp.asarray(
+            (rng.rand(n_mesh, H, W, 3) * 255).astype(np.uint8))
+        with seqmesh:
+            fn = make_sot_seq_parallel_fn(drv, seqmesh)
+            ms = timed_ticks(fn, params, feat_refs, lbs_refs, frames)
+        rows["sot_seq_fps"] = round(n_mesh * 1000.0 / ms, 2)
+        rows["sot_seq_fps_per_chip"] = round(1000.0 / ms, 2)
+
+    if with_vos and model_vos is not None:
+        from unicorn_tpu.drivers.seq_parallel import (
+            make_vos_shared_seq_parallel_fn,
+        )
+        from unicorn_tpu.drivers.vos import VOSDriver
+
+        seqmesh = Mesh(np.asarray(devices), ("seq",))
+        vdrv = VOSDriver(model_vos, params_vos, input_size=(H, W),
+                         max_objects=4)
+        f0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        vm = np.zeros((4, H, W), np.float32)
+        for kk in range(4):
+            vm[kk, (H // 8) * (kk + 1):(H // 8) * (kk + 2),
+               W // 5:2 * W // 5] = 1.0
+        vf1, vlbs = vdrv._init_fn(params_vos, f0, jnp.asarray(vm))
+        vf1s = jnp.broadcast_to(vf1, (n_mesh,) + vf1.shape)
+        vlbss = jnp.broadcast_to(vlbs, (n_mesh,) + vlbs.shape)
+        frames = jnp.asarray(
+            rng.rand(n_mesh, H, W, 3).astype(np.float32) * 255)
+        with seqmesh:
+            fn = make_vos_shared_seq_parallel_fn(vdrv, seqmesh)
+            ms = timed_ticks(fn, params_vos, vf1s, vlbss, frames)
+        rows["vos_seq_fps_k4"] = round(n_mesh * 1000.0 / ms, 2)
+        rows["vos_seq_fps_k4_per_chip"] = round(1000.0 / ms, 2)
+
+    if with_train:
+        from unicorn_tpu.core.train_state import (
+            TrainState, default_wd_mask, make_optimizer,
+        )
+        from unicorn_tpu.core.train_step import uni_loss_fn
+
+        dmesh = Mesh(np.asarray(devices), ("data",))
+        repl = NamedSharding(dmesh, P())
+        bsh = NamedSharding(dmesh, P("data"))
+        B = n_mesh
+        images = jax.device_put(jnp.asarray(
+            rng.rand(B, 2, H, W, 3).astype(np.float32) * 255), bsh)
+        tg = np.zeros((B, 2, 60, 6), np.float32)
+        for k in range(5):
+            tg[:, :, k] = [0, W // 3 + 10 * k, H // 3 + 5 * k,
+                           W // 8, H // 8, k + 1]
+        targets = jax.device_put(jnp.asarray(tg), bsh)
+        task_ids = jax.device_put(
+            jnp.asarray([1, 2] * (B // 2) + [1] * (B % 2), jnp.int32), bsh)
+        tx = make_optimizer(lambda s: 1e-4, kind="adamw",
+                            no_decay_mask_fn=default_wd_mask)
+        tstate = TrainState.create(params, tx)
+        tstate = jax.tree_util.tree_map(
+            lambda x: (jax.device_put(x, repl)
+                       if hasattr(x, "shape") else x), tstate)
+        tmodel = train_model if train_model is not None else model_sot
+        grad_fn = jax.value_and_grad(lambda p, im, tg_, tid: uni_loss_fn(
+            tmodel, p, im, tg_, tid, (H, W), bidirect=True,
+            num_classes=num_classes)[0])
+
+        @jax.jit
+        def train_once(state, im, tg_, tid):
+            loss, grads = grad_fn(state.params, im, tg_, tid)
+            return state.apply_gradients(grads), loss
+
+        with dmesh:
+            tstate, tl = train_once(tstate, images, targets, task_ids)
+            _ = float(tl)
+            best = 1e9
+            for _i in range(2):
+                t0 = time.perf_counter()
+                tstate, tl = train_once(tstate, images, targets, task_ids)
+                _ = float(tl)
+                best = min(best, time.perf_counter() - t0)
+        rows["train_dp_ms_per_sample"] = round(best * 1000.0 / B, 2)
+        rows["train_dp_vs_baseline"] = round(
+            BASELINE_A100_TRAIN_MS_PER_SAMPLE / (best * 1000.0 / B), 3)
+    return rows
 
 
 def _timed_scan(fn, carry, n, fetch):
@@ -632,9 +773,36 @@ def main():
               file=sys.stderr)
         train_ms = None
 
+    # ------- multi-chip rows beyond stream-MOT: seq-parallel SOT/VOS +
+    # the DP train step (null at 1 device; populated on pods and on the
+    # 8-CPU smoke mesh) -------
+    if n_mesh > 1 and len(jax.devices()) >= n_mesh:
+        try:
+            seq_rows = mesh_seq_rows(
+                model_sot, params,
+                None if skip_vos else model_vos,
+                None if skip_vos else params_vos,
+                H, W, n_mesh, n_ticks=max(N_SCAN // 8, 4), rng=rng,
+                with_train=os.environ.get("BENCH_TRAIN", "1") == "1",
+                with_sot=not skip_sot, with_vos=not skip_vos,
+                train_model=model)
+            mesh_stats = dict(mesh_stats or {"devices": n_mesh}, **seq_rows)
+        except Exception as e:
+            print(f"# mesh seq rows skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     extra = {
         "uni_train_ms_per_sample_b1": (round(train_ms, 1)
                                        if train_ms is not None else None),
+        "train_vs_baseline": (round(
+            BASELINE_A100_TRAIN_MS_PER_SAMPLE / train_ms, 3)
+            if train_ms else None),
+        # best recorded training config (B=4, remat="dw",
+        # tools/train_profile.py; BASELINE.md training table)
+        "train_vs_baseline_best_recorded": round(
+            BASELINE_A100_TRAIN_MS_PER_SAMPLE / 114.9, 3),
+        "train_baseline_a100_ms_per_sample":
+            BASELINE_A100_TRAIN_MS_PER_SAMPLE,
         "rt_fps": round(rt_fps, 2) if rt_fps is not None else None,
         "rt_vs_baseline": (round(rt_fps / BASELINE_A100_RT_FPS, 3)
                            if rt_fps is not None else None),
@@ -650,6 +818,9 @@ def main():
                                  / BASELINE_A100_VOS_K4_FPS, 3),
         "vos_baseline_a100_fps": BASELINE_A100_VOS_K4_FPS,
         "vos_driver_fps_k4_multiref": round(1000.0 / ms_vos_multiref, 2),
+        "vos_multiref_vs_baseline": round(
+            1000.0 / ms_vos_multiref / BASELINE_A100_VOS_K4_MULTIREF_FPS, 3),
+        "vos_multiref_baseline_a100_fps": BASELINE_A100_VOS_K4_MULTIREF_FPS,
         "sot_rt_fps": (round(1000.0 / ms_sot_rt, 2)
                        if ms_sot_rt != float("inf") else None),
         "sot_rt_vs_baseline": (round(1000.0 / ms_sot_rt

@@ -698,6 +698,99 @@ def main():
             **{k + "_ms": round(v, 3) for k, v in tot.items()})
         return
 
+    if exp == "dw_mxu":
+        # The last unprobed dw lever (VERDICT r4 item 3): block-diagonal
+        # GROUPED conv — blk x the FLOPs riding the MXU vs the ~3 TFLOP/s
+        # VPU depthwise lowering. Times dwconv7x7_blocked at every trunk
+        # stage shape for blk in {1 (=XLA dw), 4, 8, 16, 32, C (dense)} in
+        # bf16 (serving), plus DW_MXU_BWD=1 adds the fp32 value-and-grad
+        # (training form, grads flow through the trace-time expansion).
+        from unicorn_tpu.ops.pallas_convnext import dwconv7x7_blocked
+        # sub-ms/app variants (XLA dw ~0.2 ms, dense ~0.4) need a long scan
+        # + several repeats to beat the tunnel fetch jitter (±10s of ms on a
+        # 32-app scan best-of-2 — observed as 0.0-ms "measurements")
+        NS = int(os.environ.get("DW_MXU_NSCAN", "128"))
+        REPS = int(os.environ.get("DW_MXU_REPS", "4"))
+        eps = jnp.float32(1e-20)
+        with_bwd = os.environ.get("DW_MXU_BWD", "0") == "1"
+
+        def scan_of(blk):
+            @jax.jit
+            def run(x, k, b):
+                def body(c, _):
+                    y = dwconv7x7_blocked(c, k, b, blk=blk)
+                    # QUADRATIC consumer: mean(y) is linear in y and XLA
+                    # algebraically folds mean(conv(x,W)) into a cheap
+                    # reduce (observed: 480+ TFLOP/s "measurements", 2.4x
+                    # peak — impossible). mean(y*y) cannot be folded.
+                    return c + (jnp.mean(y * y) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, x, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        def scan_bwd_of(blk):
+            @jax.jit
+            def run(x, k, b):
+                def loss(c, k, b):
+                    return jnp.mean(
+                        dwconv7x7_blocked(c, k, b, blk=blk)
+                        .astype(jnp.float32))
+
+                def body(c, _):
+                    _, gk = jax.value_and_grad(loss, argnums=1)(c, k, b)
+                    return c + (jnp.mean(gk) * eps).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, x, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(REPS):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        floor = t(scan_null, jnp.float32(1.0))
+        stages = [((1, 200, 320, 96), 3), ((1, 100, 160, 192), 3),
+                  ((1, 50, 80, 384), 9), ((1, 25, 40, 768), 3)]
+        blks_env = os.environ.get("DW_MXU_BLKS", "1,4,8,16,32,C")
+        tot = {}
+        for shape, nblk in stages:
+            B, Hs, Ws, C = shape
+            xdt = np.float32 if with_bwd else np.float32
+            x = jnp.asarray(rng.rand(*shape).astype(xdt))
+            if not with_bwd:
+                x = x.astype(jnp.bfloat16)
+            k = jnp.asarray((rng.randn(7, 7, 1, C) * 0.1).astype(np.float32))
+            b = jnp.asarray((rng.randn(C) * 0.1).astype(np.float32))
+            dw_gflop = 2 * 49 * B * Hs * Ws * C / 1e9
+            row = {}
+            for blk_s in blks_env.split(","):
+                blk = C if blk_s == "C" else int(blk_s)
+                if C % blk:
+                    continue
+                fn = scan_bwd_of(blk) if with_bwd else scan_of(blk)
+                ms = max(t(fn, x, k, b) - floor, 1e-6)
+                nm = f"blk{blk_s}"
+                row[nm + "_ms"] = round(ms, 4)
+                # effective rate crediting only the USEFUL (depthwise) flops
+                row[nm + "_eff_tflops"] = round(dw_gflop / ms, 3)
+                tot[nm] = tot.get(nm, 0.0) + ms * nblk
+            log("dw_mxu", shape=list(shape), bwd=with_bwd,
+                dw_gflop=round(dw_gflop, 3), **row)
+        log("dw_mxu", shape="trunk_total_27_blocks", bwd=with_bwd,
+            **{k2 + "_ms": round(v, 3) for k2, v in tot.items()})
+        return
+
     if exp == "h2d_model":
         # pack + H2D cost inside a live model process: (a) idle device,
         # (b) while a chunk executes. Isolates tunnel-client CPU contention.

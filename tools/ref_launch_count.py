@@ -145,6 +145,29 @@ def main():
 
     out[f"vos_k{args.k}"] = count_leaf_ops(vos_track)
 
+    # ---- VOS mixed-entry (multiref): K objects on K DIFFERENT entry
+    # frames — the reference then pays one interaction + upsample +
+    # transfer-matrix block PER ENTRY GROUP every frame (track() loops
+    # self.out_dict_pre_new, unicorn_vos.py:80-101) on top of the
+    # K-object head/mask loop. This is the denominator structure for
+    # bench.py's vos_driver_fps_k4_multiref row. ----
+    vos_m = make_reference_vos_tracker(tmm, (H, W), max_inst=1)
+    vos_m.initialize(frame, {"init_object_ids": ["1"],
+                             "sequence_object_ids": obj_ids,
+                             "init_bbox": {"1": boxes["1"]}})
+    blank_mask = np.zeros(frame.shape[:2], np.uint8)
+    for k in range(1, args.k):
+        # object k+1 enters on its own frame -> its own entry group
+        vos_m.track(frame2, {"init_object_ids": [str(k + 1)],
+                             "init_bbox": {str(k + 1): boxes[str(k + 1)]},
+                             "init_mask": blank_mask})
+    vos_m.track(frame2, {})  # warm the steady-state G=K graph
+
+    def vos_track_multiref():
+        vos_m.track(frame2, {})
+
+    out[f"vos_k{args.k}_multiref"] = count_leaf_ops(vos_track_multiref)
+
     print(json.dumps(out))
 
 

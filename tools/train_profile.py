@@ -182,16 +182,38 @@ def main():
         t_emb_grad = timed(emb_grad_once, (state.params, images), 1,
                            "emb_grad") - floor1
 
-    flops = None
-    try:  # pre-optimization HLO flops (same accounting as the serving
-        # 518.8 GFLOP figure); the compiled cost_analysis under-reports
-        ca = jax.jit(step_once).lower(state, images, targets,
-                                      task_ids).cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-    except Exception:
-        pass
+    def lowered_flops(fn, *args):
+        """Pre-optimization HLO flops (same accounting as the serving
+        518.8 GFLOP figure); the compiled cost_analysis under-reports."""
+        try:
+            ca = jax.jit(fn).lower(*args).cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return None
+
+    flops = lowered_flops(step_once, state, images, targets, task_ids)
+    # per-stage flops for the training MFU table (BASELINE.md): HLO cost
+    # analysis counts a scan body ONCE (verified: scan-of-8 ≈ 1.03x single),
+    # so the scanned timers' lowerings already report one application;
+    # bwd = step - fwd - opt
+    f_emb = lowered_flops(lambda im, p: fwd_emb(im, p),
+                          images, state.params)
+    f_fwd = lowered_flops(lambda im, p, tg, tid: fwd_loss(im, p, tg, tid),
+                          images, state.params, targets, task_ids)
+    f_opt = lowered_flops(lambda s: opt_only(s, grads), state)
+    stage_tflop = {}
+    if f_emb and f_fwd and flops:
+        stage_tflop = {
+            "fwd_embeddings": round(f_emb / 1e12, 3),
+            "fwd_loss_total": round(f_fwd / 1e12, 3),
+            "priors_head_simota": round((f_fwd - f_emb) / 1e12, 3),
+            "optimizer": round((f_opt or 0.0) / 1e12, 3),
+            "bwd_residual": round(
+                (flops - f_fwd - (f_opt or 0.0)) / 1e12, 3),
+            "full_step": round(flops / 1e12, 3),
+        }
     mfu = None
     if flops:
         mfu = round(flops / (t_step / 1e3) / 197e12, 4)  # v5e bf16 peak
@@ -213,6 +235,7 @@ def main():
         "fetch_floor_ms": round(floor1, 1),
         "ms_per_sample": round(t_step / B, 1),
         "step_tflop": round(flops / 1e12, 2) if flops else None,
+        "stage_tflop": stage_tflop or None,
         "mfu_vs_197tflops": mfu,
     }))
 

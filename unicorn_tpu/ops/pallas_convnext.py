@@ -161,6 +161,38 @@ def dwconv7x7_ref(x, kdw, bias):
     return y + bias.astype(dt)
 
 
+def dwconv7x7_blocked(x, kdw, bias, blk: int = 8):
+    """dw7x7 as a block-diagonal GROUPED conv — the MXU formulation of the
+    trunk's depthwise wall (VERDICT r4 item 3).
+
+    A depthwise conv (feature_group_count=C) is the blk=1 case of a grouped
+    conv whose (7,7,blk,C) weights are block-diagonal:
+    ``rhs[kh, kw, i, c] = kdw[kh, kw, c] if i == c % blk else 0``
+    (output channel c sits in group c//blk, which reads input channels
+    [c//blk*blk : c//blk*blk+blk]; the diagonal picks back exactly channel
+    c). The expansion happens at trace time from the SAME dw params — no
+    checkpoint change — and the zeros contribute nothing, so the result is
+    exact up to dtype accumulation order. Cost: blk x the FLOPs, but the
+    contraction depth becomes blk (x49 taps in the conv), which XLA can
+    tile onto the MXU (~70x the VPU rate the dw lowering gets), vs the
+    depthwise form's scalar per-channel taps. Measured by perf_lab
+    EXP=dw_mxu across blk in {4,8,16,32,C}; see BASELINE.md for the
+    adopt-or-negative record."""
+    dt = x.dtype
+    if kdw.ndim == 4:
+        kdw = kdw[:, :, 0, :]
+    C = x.shape[-1]
+    if blk <= 1 or C % blk:
+        return dwconv7x7_ref(x, kdw, bias)
+    eye = (jnp.arange(blk)[:, None] == (jnp.arange(C) % blk)[None, :])
+    rhs = kdw[:, :, None, :] * eye.astype(kdw.dtype)     # (7,7,blk,C)
+    y = jax.lax.conv_general_dilated(
+        x, rhs.astype(dt), (1, 1), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C // blk)
+    return y + bias.astype(dt)
+
+
 def dwconv7x7_pallas(x, kdw, bias, row_block: int = 16,
                      interpret: bool = False, variant: str = "dx_hoist"):
     """Depthwise 7x7 as a dedicated Pallas kernel — a probe of how much of
