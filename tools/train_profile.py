@@ -43,6 +43,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("TP_CPU", "0") == "1":
+        # CPU smoke for the harness itself (tiny TP_HW; the container pins
+        # JAX_PLATFORMS=axon at startup, so env vars alone can't force CPU)
+        jax.config.update("jax_platforms", "cpu")
+
     from unicorn_tpu.utils.setup_env import configure_jax
     configure_jax()
 
@@ -136,6 +141,61 @@ def main():
     def opt_only(state, grads):
         return state.apply_gradients(grads).step
 
+    emb_split = os.environ.get("TP_EMB_SPLIT", "0") == "1"
+    t_bb = t_inter = t_ups = None
+    if emb_split:
+        # decompose the embedding stage (VERDICT r4 item 2: "why does the
+        # training forward run ~24 TFLOP/s where the same graph serves at
+        # 76?"): backbone x2-frame batch vs fp32 interaction vs fp32
+        # upsample, each as its own carry-threaded scan. The fp32 stages
+        # are the reference's own autocast-off region (unicorn.py:491-504)
+        # - parity-pinned; this MEASURES what that parity costs.
+        from unicorn_tpu.models.unicorn import Unicorn as _U
+
+        def bb_only(im, p):
+            Bq, nF, Hq, Wq, _ = im.shape
+            flat = im.transpose(1, 0, 2, 3, 4).reshape(2 * Bq, Hq, Wq, 3)
+            _, feat16 = model.apply(p, flat, method=_U.forward_backbone)
+            return jnp.mean(feat16).astype(jnp.float32)
+
+        feat16_shape = (2 * B, H // 16, W // 16, model.in_channels[1])
+        feat16_x = jnp.asarray(
+            rng.rand(*feat16_shape).astype(np.float32)).astype(model.dtype)
+
+        def inter_only(f16, p):
+            Bq = f16.shape[0] // 2
+            f0 = f16[:Bq].astype(jnp.float32)
+            f1 = f16[Bq:].astype(jnp.float32)
+            new0, new1 = model.apply(p, f0, f1,
+                                     method=_U.forward_interaction)
+            return (jnp.mean(new0) + jnp.mean(new1)).astype(jnp.float32)
+
+        def inter_ups(f16, p):
+            Bq = f16.shape[0] // 2
+            f0 = f16[:Bq].astype(jnp.float32)
+            f1 = f16[Bq:].astype(jnp.float32)
+            new0, new1 = model.apply(p, f0, f1,
+                                     method=_U.forward_interaction)
+            e0 = model.apply(p, new0, method=_U.forward_upsample)
+            e1 = model.apply(p, new1, method=_U.forward_upsample)
+            return (jnp.mean(e0) + jnp.mean(e1)).astype(jnp.float32)
+
+        def scan_feat(fn, n):
+            eps_ = jnp.float32(1e-20)
+
+            @jax.jit
+            def run(x0, p):
+                def body(c, _):
+                    out = fn(c, p)
+                    return c + (out * eps_).astype(c.dtype), ()
+                c, _ = jax.lax.scan(body, x0, None, length=n)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        bb_scan = scan_wrap(bb_only, N)
+        inter_scan = scan_feat(inter_only, N)
+        ups_scan = scan_feat(inter_ups, N)
+
     bwd_split = os.environ.get("TP_BWD_SPLIT", "0") == "1"
     t_emb_grad = None
     if bwd_split:
@@ -170,6 +230,13 @@ def main():
     t_emb = timed(fwd_emb, (images, state.params), N, "fwd_emb") - floor
     t_fwd = timed(fwd_loss, (images, state.params, targets, task_ids),
                   N, "fwd_loss") - floor
+    if emb_split:
+        t_bb = timed(bb_scan, (images, state.params), N, "bb_only") - floor
+        t_iu = timed(ups_scan, (feat16_x, state.params), N,
+                     "inter_ups") - floor
+        t_inter = timed(inter_scan, (feat16_x, state.params), N,
+                        "inter_only") - floor
+        t_ups = t_iu - t_inter
 
     def step_once(s, im, tg, tid):
         s2, l = full_step(s, im, tg, tid)
@@ -231,6 +298,10 @@ def main():
             **({"emb_fwd_plus_bwd": round(t_emb_grad, 1),
                 "emb_bwd_est": round(t_emb_grad - t_emb, 1)}
                if t_emb_grad is not None else {}),
+            **({"backbone_x2": round(t_bb, 1),
+                "interaction_fp32": round(t_inter, 1),
+                "upsample_fp32": round(t_ups, 1)}
+               if t_bb is not None else {}),
         },
         "fetch_floor_ms": round(floor1, 1),
         "ms_per_sample": round(t_step / B, 1),
