@@ -159,6 +159,15 @@ def test_vos_shared_ref_path_matches_general():
     np.testing.assert_allclose(d_sh, d_g, rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(m_sh, m_g, rtol=2e-4, atol=2e-3)
 
+    # the lax.map-interaction multiref variant (perf A/B form) must match
+    # the K-batched general path too — same contractions at B=1
+    d_m, v_m, m_m = jax.tree_util.tree_map(
+        np.asarray, jax.jit(driver._track_fn_mapped_raw)(
+            params, driver.feat_ref, driver.lbs_ref, frame))
+    np.testing.assert_array_equal(v_m, v_g)
+    np.testing.assert_allclose(d_m, d_g, rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(m_m, m_g, rtol=2e-4, atol=2e-3)
+
     # mid-video entry flips the driver off the fast path
     img3 = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
     mask3 = np.zeros((48, 56), np.uint8)

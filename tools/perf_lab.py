@@ -698,6 +698,72 @@ def main():
             **{k + "_ms": round(v, 3) for k, v in tot.items()})
         return
 
+    if exp == "vos_multiref":
+        # A/B the multiref VOS per-frame fn: K=4-batched interaction
+        # (track_fn) vs lax.map of B=1 interactions (track_fn_mapped) —
+        # the same composition-regression fix that took the head from
+        # 18.5 to 4x2.7 ms (BASELINE.md round-4 VOS item 2).
+        from unicorn_tpu.models.unicorn import Unicorn
+        from unicorn_tpu.drivers.vos import VOSDriver
+
+        model = Unicorn(
+            num_classes=1, backbone_name="convnext_tiny",
+            in_channels=(192, 384, 768), interact_mode="deform",
+            n_layer_att=3, dtype=jnp.bfloat16, exact_gelu=False,
+            use_mask=True).clone(interact_dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, H, W, 3), jnp.float32),
+                            method=Unicorn.init_all)
+        vdrv = VOSDriver(model, params, input_size=(H, W), max_objects=4)
+        frame0 = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255)
+        vm = np.zeros((4, H, W), np.float32)
+        for kk in range(4):
+            vm[kk, 100 * (kk + 1):100 * (kk + 2), 200:400] = 1.0
+        vf1, vlbs = vdrv._init_fn(params, frame0, jnp.asarray(vm))
+        vf = jnp.broadcast_to(vf1, (4,) + vf1.shape[1:])
+        NS = int(os.environ.get("VOS_NSCAN", "16"))
+        eps = jnp.float32(1e-20)
+
+        def scan_of(fn):
+            @jax.jit
+            def run(params, feat_ref, lbs_ref, frame):
+                def body(c, _):
+                    dets, valid, masks = fn(params, feat_ref, lbs_ref, c)
+                    c = c + (jnp.mean(masks.astype(jnp.float32))
+                             * eps).astype(c.dtype)
+                    return c, ()
+                c, _ = jax.lax.scan(body, frame, None, length=NS)
+                return jnp.mean(c.astype(jnp.float32))
+            return run
+
+        @jax.jit
+        def scan_null(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), ()
+            c, _ = jax.lax.scan(body, x, None, length=NS)
+            return jnp.mean(c)
+
+        def t(fn, *a):
+            _ = np.asarray(fn(*a))
+            best = 1e9
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn(*a))
+                best = min(best, time.perf_counter() - t0)
+            return best / NS * 1e3
+
+        floor = t(scan_null, jnp.float32(1.0))
+        ms_batched = t(scan_of(vdrv._track_fn_raw),
+                       params, vf, vlbs, frame0) - floor
+        ms_mapped = t(scan_of(vdrv._track_fn_mapped_raw),
+                      params, vf, vlbs, frame0) - floor
+        log("vos_multiref", hw=f"{H}x{W}",
+            batched_ms=round(ms_batched, 2),
+            batched_fps=round(1000.0 / ms_batched, 2),
+            mapped_ms=round(ms_mapped, 2),
+            mapped_fps=round(1000.0 / ms_mapped, 2))
+        return
+
     if exp == "dw_mxu":
         # The last unprobed dw lever (VERDICT r4 item 3): block-diagonal
         # GROUPED conv — blk x the FLOPs riding the MXU vs the ~3 TFLOP/s

@@ -146,6 +146,39 @@ class VOSDriver:
             ).reshape(K, h8, w8, 1)  # one prior map per object slot
             return head_tail(params, fpn_outs, priors_k)
 
+        def track_fn_mapped(params, feat_ref, lbs_ref, frame):
+            """Multiref path with the interaction as a lax.map of BATCH-1
+            passes (one per slot) instead of one K-batched call — the same
+            composition-regression fix head_tail documents (the K=4-batched
+            head measured 18.5 ms vs 4x2.7 B=1). perf_lab EXP=vos_multiref
+            A/Bs this against track_fn; numerics are the same contractions
+            at B=1 (allclose-tested in test_drivers)."""
+            from ..ops.pallas_correlation import correlation_propagate_auto
+
+            fpn_outs, feat_cur = model.apply(params, frame,
+                                             method=Unicorn.forward_backbone)
+            cur_f = feat_cur.astype(jnp.float32)
+
+            def one(fr_lb):
+                fr, lb = fr_lb
+                new_ref, new_cur = model.apply(
+                    params, fr[None].astype(jnp.float32), cur_f,
+                    method=Unicorn.forward_interaction)
+                emb_ref = model.apply(params, new_ref,
+                                      method=Unicorn.forward_upsample)
+                emb_cur = model.apply(params, new_cur,
+                                      method=Unicorn.forward_upsample)
+                _, h8, w8, c = emb_cur.shape
+                prior = correlation_propagate_auto(
+                    emb_ref.reshape(1, h8 * w8, c).astype(jnp.float32),
+                    emb_cur.reshape(1, h8 * w8, c).astype(jnp.float32),
+                    lb[None],
+                )
+                return prior.reshape(h8, w8, 1)
+
+            priors_k = jax.lax.map(one, (feat_ref, lbs_ref))
+            return head_tail(params, fpn_outs, priors_k)
+
         def track_fn_shared(params, feat_ref1, lbs_ref, frame):
             """Shared-reference fast path: when every live object entered on
             the SAME frame (the DAVIS-standard case), the reference itself
@@ -193,6 +226,7 @@ class VOSDriver:
         # unjitted handles so bench.py can embed the REAL per-frame fns in a
         # lax.scan (same pattern as SOTDriver._track_fn_raw)
         self._track_fn_raw = track_fn
+        self._track_fn_mapped_raw = track_fn_mapped
         self._aggregate_raw = aggregate_fn
         self.feat_ref = None   # (K, H16, W16, C) per-slot reference features
         self.lbs_ref = None    # (K, 1, N8) per-slot label maps
