@@ -584,6 +584,24 @@ def test_track_omni_mots_cli_end_to_end(tmp_path, monkeypatch, capsys):
         if total is not None:
             assert total.max() <= 1, "per-frame masks must be disjoint"
 
+    # --score-gt: self-score the written results (deterministic rerun) —
+    # the CLI-level sMOTSA path; perfect agreement when any masks exist
+    import shutil
+
+    gt_dir = tmp_path / "mots_gt"
+    os.makedirs(gt_dir)
+    shutil.copy(os.path.join(result_dir, "v0.txt"), gt_dir / "v0.txt")
+    result_dir2 = str(tmp_path / "results2")
+    _run_tool("track_omni", ["-f", str(exp_file), "--mots",
+                             "--result-dir", result_dir2,
+                             "--score-gt", str(gt_dir)])
+    scores = json.load(open(os.path.join(result_dir2, "mots_scores.json")))
+    n_masks = sum(len(f[1]) for f in frames)
+    if n_masks:
+        assert scores["sMOTSA"] > 0.999 and scores["IDsw"] == 0, scores
+    out = capsys.readouterr().out
+    assert "sMOTSA=" in out
+
 
 def test_get_evaluator_mesh_kwarg_compat():
     """tools/eval.py passes mesh= to every exp's get_evaluator; lock the

@@ -24,6 +24,9 @@ def make_parser():
                         "DeepSORT baseline on the same embeddings "
                         "(reference evaluate_deepsort)")
     p.add_argument("--result-dir", default="track_omni_results")
+    p.add_argument("--score-gt", default=None,
+                   help="dir of MOTS-Challenge gt txts ({video}.txt); with "
+                        "--mots, scores sMOTSA/MOTSA/IDF1 after writing")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
@@ -148,13 +151,32 @@ def main():
                  bboxes[:, 4].tolist() if len(bboxes) else []))
     os.makedirs(args.result_dir, exist_ok=True)
     if args.mots:
-        from unicorn_tpu.evaluators.mots_metrics import write_mots_txt
+        from unicorn_tpu.evaluators.mots_metrics import (
+            score_mots_txt, write_mots_txt,
+        )
 
         for video, frames in mots_frames.items():
             write_mots_txt(os.path.join(args.result_dir, f"{video}.txt"),
                            frames)
         print(f"wrote {len(mots_frames)} MOTS-Challenge txt videos to "
               f"{args.result_dir}")
+        if args.score_gt:
+            import json
+
+            # gt dir holds MOTS-Challenge txts named {video}.txt (the
+            # mask-IoU CLEAR-MOT scoring the reference defers to the
+            # MOTChallenge devkit for)
+            gt_txts = {v: os.path.join(args.score_gt, f"{v}.txt")
+                       for v in mots_frames
+                       if os.path.exists(
+                           os.path.join(args.score_gt, f"{v}.txt"))}
+            scores = score_mots_txt(args.result_dir, gt_txts, class_id=2)
+            json.dump(scores, open(os.path.join(args.result_dir,
+                                                "mots_scores.json"), "w"),
+                      default=float, indent=1)
+            print(f"MOTS: sMOTSA={scores['sMOTSA']:.4f} "
+                  f"MOTSA={scores['MOTSA']:.4f} IDF1={scores['IDF1']:.4f} "
+                  f"over {len(gt_txts)} videos")
         return
     from unicorn_tpu.evaluators.mot_evaluator import write_mot_results
 
