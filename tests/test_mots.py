@@ -428,6 +428,48 @@ def test_score_scalabel_seg_golden():
     assert abs(m["msMOTSA"] - 0.5) < 1e-9
 
 
+def test_score_scalabel_seg_crowd_ignore_regions():
+    """Crowd-attributed / unscored-category gt masks become ignore
+    REGIONS (reference eval_mots -> preprocessResult): a prediction
+    mostly inside one is suppressed, not an FP; the crowd mask is not a
+    gt row; predictions outside ignore regions still score normally."""
+    from unicorn_tpu.evaluators.bdd_evaluator import score_scalabel_seg
+
+    h = w = 20
+    A = _rect_rle(h, w, 2, 8, 2, 8)            # real car gt
+    CROWD = _rect_rle(h, w, 10, 20, 10, 20)    # crowd region
+    IN_CROWD = _rect_rle(h, w, 12, 18, 12, 18)  # pred inside the crowd
+
+    def frame(video, fi, labs):
+        return {"videoName": video, "frameIndex": fi, "labels": labs}
+
+    def lab(i, c, r, crowd=False):
+        d = {"id": i, "category": c, "rle": r}
+        if crowd:
+            d["attributes"] = {"crowd": True}
+        return d
+
+    gt = [frame("v", fi, [lab(1, "car", A),
+                          lab(99, "car", CROWD, crowd=True)])
+          for fi in (0, 1)]
+    pred = [frame("v", fi, [lab(9, "car", A), lab(10, "car", IN_CROWD)])
+            for fi in (0, 1)]
+    m = score_scalabel_seg(pred, gt)
+    # the in-crowd prediction is forgiven -> perfect car tracking
+    assert abs(m["per_class"][2]["MOTSA"] - 1.0) < 1e-9, m
+    assert m["per_class"][2]["FP"] == 0, m
+    # without the crowd region it would be an FP every frame
+    gt_plain = [frame("v", fi, [lab(1, "car", A)]) for fi in (0, 1)]
+    m2 = score_scalabel_seg(pred, gt_plain)
+    assert m2["per_class"][2]["FP"] == 2, m2
+    # an "other person" (unscored category) mask also acts as ignore
+    gt_other = [frame("v", fi, [lab(1, "car", A),
+                                lab(99, "other person", CROWD)])
+                for fi in (0, 1)]
+    m3 = score_scalabel_seg(pred, gt_other)
+    assert m3["per_class"][2]["FP"] == 0, m3
+
+
 def test_bdd_evaluate_seg_mot_e2e(tmp_path):
     """Driver-level BDD MOTS loop with a stub driver: bitmask PNGs +
     seg_track.json written, per-class mMOTSA scored from the returned

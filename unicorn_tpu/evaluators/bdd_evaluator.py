@@ -137,16 +137,70 @@ def _frames_to_mots(frames):
     return dict(out)
 
 
-def score_scalabel_seg(pred_frames, gt_frames, iou_thr=0.5):
+def _split_gt_mots(gt_frames):
+    """gt scalabel frames -> (scoreable frames dict for mots_metrics,
+    {(video, frameIndex): [ignore rles]}). Crowd-attributed labels and
+    unscored categories become mask ignore REGIONS instead of gt rows —
+    the reference drops them from the annotations and suppresses matched
+    predictions (eval_mots -> preprocessResult,
+    qdtrack core/evaluation/mots.py:31-34 + mot_pcan.py:38-101)."""
+    out = defaultdict(list)
+    ignores = {}
+    for f in gt_frames:
+        ids, clss, rles, ign = [], [], [], []
+        for lab in f.get("labels") or []:
+            r = lab.get("rle")
+            if r is None:
+                continue
+            cat = lab.get("category")
+            crowd = (lab.get("attributes") or {}).get("crowd", False)
+            if crowd or cat in _IGNORE_CATS or cat not in _CLS_INDEX:
+                ign.append(r)
+                continue
+            ids.append(int(lab["id"]))
+            clss.append(_CLS_INDEX[cat])
+            rles.append(r)
+        key = (f.get("videoName"), f.get("frameIndex", 0))
+        out[f.get("videoName")].append(
+            (f.get("frameIndex", 0), ids, clss, rles))
+        if ign:
+            ignores[key] = ign
+    return dict(out), ignores
+
+
+def score_scalabel_seg(pred_frames, gt_frames, iou_thr=0.5,
+                       ignore_iof_thr=0.5):
     """BDD seg_track (MOTS) scoring: per-class mask-IoU CLEAR-MOT,
     class-averaged — the reference's eval_mots seg_track half
     (external/qdtrack/qdtrack/core/evaluation/mots.py:23-93 with
-    class_average). Frames carry labels [{id, category, rle}]. Returns
+    class_average). Frames carry labels [{id, category, rle}]. Crowd and
+    unscored-category gt masks act as ignore regions: predictions whose
+    mask lies mostly inside one (intersection-over-prediction >
+    ignore_iof_thr, the rle-domain form of the reference's crowd_ioa_thr)
+    are suppressed rather than counted as FPs. Returns
     {mMOTSA, msMOTSA, mIDF1, per_class, overall}."""
+    from . import rle as rle_codec
     from .mots_metrics import score_mots_per_class
 
-    return score_mots_per_class(_frames_to_mots(pred_frames),
-                                _frames_to_mots(gt_frames), iou_thr=iou_thr)
+    gts, ignores = _split_gt_mots(gt_frames)
+    preds = _frames_to_mots(pred_frames)
+    if ignores:
+        filtered = {}
+        for video, frames in preds.items():
+            vid_frames = []
+            for frame_id, ids, clss, rles in frames:
+                ign = ignores.get((video, frame_id))
+                if ign and rles:
+                    iof = rle_codec.iou_rle(list(rles), list(ign),
+                                            iscrowd=[1] * len(ign))
+                    keep = np.asarray(iof).max(axis=1) <= ignore_iof_thr
+                    ids = [i for i, k in zip(ids, keep) if k]
+                    clss = [c for c, k in zip(clss, keep) if k]
+                    rles = [r for r, k in zip(rles, keep) if k]
+                vid_frames.append((frame_id, ids, clss, rles))
+            filtered[video] = vid_frames
+        preds = filtered
+    return score_mots_per_class(preds, gts, iou_thr=iou_thr)
 
 
 def write_bdd_bitmask(path, masks, ids, classes, scores):
