@@ -428,6 +428,48 @@ def test_score_scalabel_seg_golden():
     assert abs(m["msMOTSA"] - 0.5) < 1e-9
 
 
+def test_score_mots_txt_class10_ignore_regions(tmp_path):
+    """MOTS-Challenge gt class-10 rows are ignore regions: an UNMATCHED
+    prediction mostly inside one is absorbed (not an FP); a prediction
+    matched to a real gt object is immune even if it overlaps the region
+    (official mots-tools semantics)."""
+    from unicorn_tpu.evaluators.mots_metrics import (
+        score_mots_txt, write_mots_txt)
+
+    h = w = 30
+    PED = _rect_rle(h, w, 2, 10, 2, 10)          # real pedestrian
+    IGN = _rect_rle(h, w, 15, 30, 0, 30)         # class-10 ignore region
+    GHOST = _rect_rle(h, w, 18, 26, 5, 13)       # unmatched pred in region
+    gt_dir, res_dir = tmp_path / "gt", tmp_path / "res"
+    write_mots_txt(str(gt_dir / "v.txt"),
+                   [(f, [2001, 10000], [2, 10], [PED, IGN])
+                    for f in (1, 2)])
+    write_mots_txt(str(res_dir / "v.txt"),
+                   [(f, [2005, 2006], [2, 2], [PED, GHOST])
+                    for f in (1, 2)])
+    m = score_mots_txt(str(res_dir), {"v": str(gt_dir / "v.txt")},
+                       class_id=2)
+    assert m["FP"] == 0 and m["FN"] == 0, m
+    assert abs(m["MOTSA"] - 1.0) < 1e-9, m
+    # counterfactual: without the class-10 row the ghost is an FP per frame
+    write_mots_txt(str(gt_dir / "v.txt"),
+                   [(f, [2001], [2], [PED]) for f in (1, 2)])
+    m2 = score_mots_txt(str(res_dir), {"v": str(gt_dir / "v.txt")},
+                        class_id=2)
+    assert m2["FP"] == 2, m2
+    # matched prediction overlapping the region still scores (immunity):
+    # move the real gt INTO the ignore region footprint
+    PED_IN = _rect_rle(h, w, 18, 26, 5, 13)
+    write_mots_txt(str(gt_dir / "v.txt"),
+                   [(f, [2001, 10000], [2, 10], [PED_IN, IGN])
+                    for f in (1, 2)])
+    write_mots_txt(str(res_dir / "v.txt"),
+                   [(f, [2005], [2], [PED_IN]) for f in (1, 2)])
+    m3 = score_mots_txt(str(res_dir), {"v": str(gt_dir / "v.txt")},
+                        class_id=2)
+    assert abs(m3["MOTSA"] - 1.0) < 1e-9 and m3["FN"] == 0, m3
+
+
 def test_score_scalabel_seg_crowd_ignore_regions():
     """Crowd-attributed / unscored-category gt masks become ignore
     REGIONS (reference eval_mots -> preprocessResult): a prediction

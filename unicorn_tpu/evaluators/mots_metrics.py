@@ -42,16 +42,42 @@ def mask_iou_matrix(gt_rles, pred_rles) -> np.ndarray:
 def _accumulate_video(frames_gt, frames_pred, iou_thr):
     """One video's frames -> a mask-IoU MOTAccumulator.
 
-    frames_*: [(frame_id, ids, rles)] (extra trailing elements ignored).
+    frames_gt: [(frame_id, ids, rles)] or [(frame_id, ids, rles,
+    ignore_rles)] — the optional 4th element carries the frame's ignore
+    regions (MOTS-Challenge class-10 annotations): a prediction NOT
+    matched to any gt object (Hungarian at IoU >= iou_thr) whose
+    intersection-over-prediction with an ignore region exceeds 0.5 is
+    dropped before accumulation instead of counted as an FP — the
+    official mots-tools semantics (ignore regions absorb only unmatched
+    hypotheses). frames_pred: [(frame_id, ids, rles)] (extra trailing
+    elements ignored).
     """
+    from scipy.optimize import linear_sum_assignment
+
+    from . import rle as rle_codec
+
     acc = MOTAccumulator(iou_thr=iou_thr)
     pred_by_frame = {f[0]: f for f in frames_pred}
     for g in frames_gt:
         frame_id, g_ids, g_rles = g[0], list(g[1]), list(g[2])
+        ignore_rles = list(g[3]) if len(g) > 3 else []
         p = pred_by_frame.get(frame_id, (frame_id, [], []))
         p_ids, p_rles = list(p[1]), list(p[2])
         iou = mask_iou_matrix(g_rles, p_rles) if g_ids and p_ids \
             else np.zeros((len(g_ids), len(p_ids)), np.float32)
+        if ignore_rles and p_ids:
+            matched = np.zeros(len(p_ids), bool)
+            if g_ids:
+                rows, cols = linear_sum_assignment(-iou)
+                for r, c in zip(rows, cols):
+                    if iou[r, c] >= iou_thr:
+                        matched[c] = True
+            iof = rle_codec.iou_rle(p_rles, ignore_rles,
+                                    iscrowd=[1] * len(ignore_rles))
+            keep = matched | (np.asarray(iof).max(axis=1) <= 0.5)
+            p_ids = [i for i, k in zip(p_ids, keep) if k]
+            p_rles = [r for r, k in zip(p_rles, keep) if k]
+            iou = iou[:, keep]
         acc.update(g_ids, None, p_ids, None, iou=iou)
     return acc
 
@@ -99,7 +125,8 @@ def score_mots(results, gts, iou_thr: float = 0.5) -> dict:
 
     Returns overall sMOTSA/MOTSA/MOTSP/IDF1 plus a per-video table. RLEs
     may be compressed ({"size", "counts": str}) or uncompressed; gt and
-    prediction masks must share each frame's image size.
+    prediction masks must share each frame's image size. Gt frames may
+    carry a 4th element of ignore-region RLEs (see _accumulate_video).
     """
     accs, per_video = [], {}
     for video, frames_gt in gts.items():
@@ -199,8 +226,11 @@ def score_mots_txt(result_dir: str, gt_txts: dict, iou_thr: float = 0.5,
                    class_id: int | None = None) -> dict:
     """Score written MOTS-Challenge txt files against gt txt paths
     ({video: path}); class_id filters both sides (2 = pedestrian on
-    MOT-Challenge)."""
-    def load_dir(get_path, videos):
+    MOT-Challenge). Gt class-10 rows (the MOTS-Challenge ignore regions,
+    obj_id 10000) are carried as per-frame ignore masks: unmatched
+    predictions mostly inside one are absorbed, not FPs (official
+    mots-tools semantics; see _accumulate_video)."""
+    def load_dir(get_path, videos, with_ignore=False):
         out = {}
         for v in videos:
             frames = load_mots_txt(get_path(v))
@@ -208,13 +238,17 @@ def score_mots_txt(result_dir: str, gt_txts: dict, iou_thr: float = 0.5,
             for fid, ids, clss, rles in frames:
                 keep = [i for i, c in enumerate(clss)
                         if class_id is None or c == class_id]
-                vid_frames.append((fid, [ids[i] for i in keep],
-                                   [rles[i] for i in keep]))
+                row = (fid, [ids[i] for i in keep],
+                       [rles[i] for i in keep])
+                if with_ignore:
+                    row += ([rles[i] for i, c in enumerate(clss)
+                             if c == 10],)
+                vid_frames.append(row)
             out[v] = vid_frames
         return out
 
     videos = list(gt_txts)
-    gts = load_dir(lambda v: gt_txts[v], videos)
+    gts = load_dir(lambda v: gt_txts[v], videos, with_ignore=True)
     results = load_dir(
         lambda v: os.path.join(result_dir, f"{v}.txt"),
         [v for v in videos
