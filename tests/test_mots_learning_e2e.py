@@ -1,0 +1,134 @@
+"""End-to-end MOTS learning test: train the mask stage (alternating VOS +
+MOTS CondInst losses) from scratch on synthetic moving rectangles, then run
+the full MOTS serving path — MOTOmniDriver(with_mask=True) detection +
+LEARNED embedding association + LEARNED CondInst masks, realigned with
+match(return_index=True), merged by merge_mots_masks — over a synthetic
+video and score it with the mask-IoU CLEAR-MOT metrics (score_mots).
+
+This is the learning-side closure of the round-5 MOTS quadrant: the stub
+driver e2e (test_mots.py::test_evaluate_omni_mots_scores_masks) proves the
+alignment contract; this test proves the TRAINED stack produces masks the
+metric accepts. Reference path: mot_evaluator.py:702-922 (evaluate_omni_mots)
++ QuasiDenseEmbedTracker + postprocess_inst. Completes the learning-test set
+(det AP, MOT MOTA, QDTrack embeddings, inst masks, BoxInst, VOS J, MOTS
+sMOTSA).
+"""
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unicorn_tpu.core.train_state import TrainState
+from unicorn_tpu.core.train_step import make_uni_mask_train_step
+from unicorn_tpu.drivers.mot import MOTOmniDriver
+from unicorn_tpu.evaluators import rle as rle_codec
+from unicorn_tpu.evaluators.mot_evaluator import merge_mots_masks
+from unicorn_tpu.evaluators.mots_metrics import score_mots
+from unicorn_tpu.models.unicorn import Unicorn
+
+pytestmark = pytest.mark.slow
+
+H, W = 64, 96
+D_RATE = 2
+Hm, Wm = H // D_RATE, W // D_RATE
+
+
+def _draw(img, x, y, w, h, cls):
+    color = [220, 40, 40] if cls == 0 else [40, 40, 220]
+    img[max(0, int(y)):int(y + h), max(0, int(x)):int(x + w)] = color
+
+
+def _sample_pair(n, rng):
+    imgs = np.zeros((n, 2, H, W, 3), np.float32)
+    targets = np.zeros((n, 2, 5, 6), np.float32)
+    masks = np.zeros((n, 2, 5, Hm, Wm), np.float32)
+    for i in range(n):
+        for f in range(2):
+            imgs[i, f] = rng.rand(H, W, 3) * 40
+        for k in range(2):
+            w, h = rng.randint(20, 32), rng.randint(16, 26)
+            x, y = rng.randint(0, W - w - 6), rng.randint(0, H - h - 6)
+            dx, dy = rng.randint(-4, 5), rng.randint(-4, 5)
+            cls = rng.randint(0, 2)
+            x2, y2 = np.clip(x + dx, 0, W - w), np.clip(y + dy, 0, H - h)
+            _draw(imgs[i, 0], x, y, w, h, cls)
+            _draw(imgs[i, 1], x2, y2, w, h, cls)
+            targets[i, 0, k] = [cls, x + w / 2, y + h / 2, w, h, k + 1]
+            targets[i, 1, k] = [cls, x2 + w / 2, y2 + h / 2, w, h, k + 1]
+            masks[i, 0, k, int(y) // D_RATE:int(y + h) // D_RATE,
+                  int(x) // D_RATE:int(x + w) // D_RATE] = 1
+            masks[i, 1, k, int(y2) // D_RATE:int(y2 + h) // D_RATE,
+                  int(x2) // D_RATE:int(x2 + w) // D_RATE] = 1
+    return imgs, targets, masks
+
+
+def _gt_rle(x, y, w, h):
+    m = np.zeros((H, W), np.uint8)
+    m[int(y):int(y + h), int(x):int(x + w)] = 1
+    return rle_codec.encode(m)
+
+
+def test_mots_stack_learns_tracked_masks():
+    rng = np.random.RandomState(0)
+    model = Unicorn(num_classes=2, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False,
+                    use_mask=True)
+    imgs0, _, _ = _sample_pair(1, rng)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs0[:1, 0]),
+                        method=Unicorn.init_all)
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, 2e-4, 100),
+         optax.constant_schedule(2e-4)], [100])
+    state = TrainState.create(params, optax.adamw(sched), use_ema=False)
+    step = make_uni_mask_train_step(model, (H, W), num_classes=2,
+                                    d_rate=D_RATE, use_raft=False,
+                                    use_l1=True, donate=False)
+    first = last = None
+    for it in range(300):
+        imgs, targets, masks = _sample_pair(2, rng)
+        task_ids = jnp.asarray([1, 2] if it % 2 == 0 else [2, 1], jnp.int32)
+        state, ld = step(state, jnp.asarray(imgs), jnp.asarray(targets),
+                         task_ids, jnp.asarray(masks))
+        if it == 0:
+            first = float(ld["condinst_loss_mots"])
+        last = float(ld["condinst_loss_mots"])
+    assert last < first * 0.6, (first, last)
+
+    driver = MOTOmniDriver(
+        model, state.params, input_size=(H, W), num_classes=2,
+        conf_thre=0.1, nms_thre=0.5, max_out=8, with_mask=True,
+        mask_thres=0.4,
+        qd_params=dict(init_score_thr=0.3, obj_score_thr=0.2,
+                       match_score_thr=0.5),
+    )
+    erng = np.random.RandomState(7)
+    T = 10
+    x, y, w, h = 10.0, 18.0, 24, 20
+    x2, y2, w2, h2 = 60.0, 28.0, 22, 18
+    results = {"v": []}
+    gts = {"v": []}
+    for t in range(T):
+        frame = (erng.rand(H, W, 3) * 40).astype(np.float32)
+        _draw(frame, x, y, w, h, 0)
+        _draw(frame, x2, y2, w2, h2, 1)
+        bboxes, labels, ids, masks = driver.update(frame.astype(np.uint8))
+        out_ids, out_labels, out_scores, tlwhs, rles = merge_mots_masks(
+            ids, labels, bboxes[:, 4] if len(bboxes) else np.zeros((0,)),
+            bboxes, masks, driver.mask_thres, driver.last_scale, (H, W),
+            (H, W))
+        results["v"].append((t + 1, out_ids, rles))
+        gts["v"].append((t + 1, [1, 2],
+                         [_gt_rle(x, y, w, h), _gt_rle(x2, y2, w2, h2)]))
+        x += 1.5
+        y += 0.5
+        x2 -= 1.2
+        y2 += 0.8
+    m = score_mots(results, gts)
+    # LEARNED masks on LEARNED associations: positive soft-TP credit, few
+    # id switches (measured sMOTSA ~0.6 at 300 steps; generous margins)
+    assert m["MOTSA"] > 0.3, m
+    assert m["sMOTSA"] > 0.15, m
+    assert m["IDsw"] <= 2, m
