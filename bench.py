@@ -801,6 +801,10 @@ def main():
         # tools/train_profile.py; BASELINE.md training table)
         "train_vs_baseline_best_recorded": round(
             BASELINE_A100_TRAIN_MS_PER_SAMPLE / 114.9, 3),
+        # same config with tanh GELU (exact_gelu=False, from-scratch-only
+        # option; parity default stays erf — BASELINE.md TP_GELU probe)
+        "train_vs_baseline_best_tanh_recorded": round(
+            BASELINE_A100_TRAIN_MS_PER_SAMPLE / 100.6, 3),
         "train_baseline_a100_ms_per_sample":
             BASELINE_A100_TRAIN_MS_PER_SAMPLE,
         "rt_fps": round(rt_fps, 2) if rt_fps is not None else None,

@@ -319,3 +319,29 @@ def test_swin_family_surface():
     outs = m.apply(params, x)
     assert [o.shape for o in outs] == [(1, 8, 8, 192), (1, 4, 4, 384),
                                        (1, 2, 2, 768)]
+
+
+def test_uni_forward_embeddings_backbone_map_parity():
+    """backbone_map=True (lax.map batch-1 backbone, the train-throughput
+    schedule probe) is the same math as the 2B-batch path: embeddings and
+    frame-1 FPN outputs agree to fp32 tolerance."""
+    from unicorn_tpu.core.train_step import uni_forward_embeddings
+    from unicorn_tpu.models.unicorn import Unicorn
+
+    model = Unicorn(num_classes=8, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(2, 2, 64, 96, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), images[:1, 0],
+                        method=Unicorn.init_all)
+    fpn_a, e0_a, e1_a = uni_forward_embeddings(model, params, images)
+    fpn_b, e0_b, e1_b = uni_forward_embeddings(model, params, images,
+                                               backbone_map=True)
+    np.testing.assert_allclose(np.asarray(e0_a), np.asarray(e0_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e1_a), np.asarray(e1_b),
+                               rtol=1e-4, atol=1e-4)
+    for xa, xb in zip(fpn_a, fpn_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-4, atol=1e-4)

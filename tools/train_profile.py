@@ -15,7 +15,14 @@ bwd is reported as full_step - fwd_loss - optimizer (the usual residual
 decomposition). MFU uses XLA cost analysis FLOPs of the full step.
 
 Env: TP_BATCH (default 1), TP_HW (default 800x1280), TP_NSCAN (default 8),
-TP_REMAT=1 full block remat, TP_REMAT=dw selective (save dw7x7 output). Appends one JSON line to stdout.
+TP_REMAT=1 full block remat, TP_REMAT=dw selective (save dw7x7 output).
+TP_MAP_BB=1 runs the backbone as lax.map over the 2B frames (batch-1 per
+iteration — probes the measured batch>1 live-set regression, BASELINE.md
+batch_stage). TP_GELU=tanh swaps the erf GELU for the tanh approximation
+(quantifies the checkpoint-parity pin; serving already adopted tanh).
+TP_ONLY=step times only the full train step (skips the stage scans and
+their compiles — cheap A/B probes through the remote-compile queue).
+Appends one JSON line to stdout.
 """
 import json
 import os
@@ -69,9 +76,15 @@ def main():
     except KeyError:
         sys.exit(f"TP_REMAT={remat_env!r}: valid values are 0, 1, dw")
 
+    map_bb = os.environ.get("TP_MAP_BB", "0") == "1"
+    gelu_env = os.environ.get("TP_GELU", "erf")
+    if gelu_env not in ("erf", "tanh"):
+        sys.exit(f"TP_GELU={gelu_env!r}: valid values are erf, tanh")
+
     model = Unicorn(num_classes=8, backbone_name="convnext_tiny",
                     in_channels=(192, 384, 768), interact_mode="deform",
-                    n_layer_att=3, dtype=jnp.bfloat16, remat=remat)
+                    n_layer_att=3, dtype=jnp.bfloat16, remat=remat,
+                    exact_gelu=(gelu_env == "erf"))
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(B, 2, H, W, 3).astype(np.float32) * 255)
     M = 60
@@ -114,11 +127,11 @@ def main():
 
     def loss(p, images, targets, task_ids):
         return uni_loss_fn(model, p, images, targets, task_ids, (H, W),
-                           bidirect=True, num_classes=8)
+                           bidirect=True, num_classes=8, backbone_map=map_bb)
 
     fwd_emb = scan_wrap(
         lambda im, p: jnp.mean(uni_forward_embeddings(
-            model, p, im)[1]).astype(jnp.float32), N)
+            model, p, im, backbone_map=map_bb)[1]).astype(jnp.float32), N)
     fwd_loss = scan_wrap(
         lambda im, p, tg, tid: loss(p, im, tg, tid)[0], N)
 
@@ -130,16 +143,19 @@ def main():
         l, grads = grad_fn(state.params, im, tg, tid)
         return state.apply_gradients(grads), l
 
-    @jax.jit
-    def grads_only(state, im, tg, tid):
-        return grad_fn(state.params, im, tg, tid)[1]
+    step_only = os.environ.get("TP_ONLY", "") == "step"
 
-    grads = grads_only(state, images, targets, task_ids)
-    grads = jax.block_until_ready(grads)
+    if not step_only:
+        @jax.jit
+        def grads_only(state, im, tg, tid):
+            return grad_fn(state.params, im, tg, tid)[1]
 
-    @jax.jit
-    def opt_only(state, grads):
-        return state.apply_gradients(grads).step
+        grads = grads_only(state, images, targets, task_ids)
+        grads = jax.block_until_ready(grads)
+
+        @jax.jit
+        def opt_only(state, grads):
+            return state.apply_gradients(grads).step
 
     emb_split = os.environ.get("TP_EMB_SPLIT", "0") == "1"
     t_bb = t_inter = t_ups = None
@@ -155,7 +171,13 @@ def main():
         def bb_only(im, p):
             Bq, nF, Hq, Wq, _ = im.shape
             flat = im.transpose(1, 0, 2, 3, 4).reshape(2 * Bq, Hq, Wq, 3)
-            _, feat16 = model.apply(p, flat, method=_U.forward_backbone)
+            if map_bb:
+                feat16 = jax.lax.map(
+                    lambda x: model.apply(p, x[None],
+                                          method=_U.forward_backbone)[1][0],
+                    flat)
+            else:
+                _, feat16 = model.apply(p, flat, method=_U.forward_backbone)
             return jnp.mean(feat16).astype(jnp.float32)
 
         feat16_shape = (2 * B, H // 16, W // 16, model.in_channels[1])
@@ -227,9 +249,11 @@ def main():
     # single-application fetch floor: full_step/opt are timed once per call,
     # so each measurement carries one tunnel round-trip — subtract it
     floor1 = timed(null1, (c0,), 1, "null1")
-    t_emb = timed(fwd_emb, (images, state.params), N, "fwd_emb") - floor
-    t_fwd = timed(fwd_loss, (images, state.params, targets, task_ids),
-                  N, "fwd_loss") - floor
+    t_emb = t_fwd = None
+    if not step_only:
+        t_emb = timed(fwd_emb, (images, state.params), N, "fwd_emb") - floor
+        t_fwd = timed(fwd_loss, (images, state.params, targets, task_ids),
+                      N, "fwd_loss") - floor
     if emb_split:
         t_bb = timed(bb_scan, (images, state.params), N, "bb_only") - floor
         t_iu = timed(ups_scan, (feat16_x, state.params), N,
@@ -243,8 +267,10 @@ def main():
         return l
     t_step = timed(step_once, (state, images, targets, task_ids), 1,
                    "full_step") - floor1
-    t_opt = max(timed(lambda s: opt_only(s, grads), (state,), 1, "opt")
-                - floor1, 0.0)
+    t_opt = None
+    if not step_only:
+        t_opt = max(timed(lambda s: opt_only(s, grads), (state,), 1, "opt")
+                    - floor1, 0.0)
     if bwd_split:
         t_emb_grad = timed(emb_grad_once, (state.params, images), 1,
                            "emb_grad") - floor1
@@ -265,11 +291,13 @@ def main():
     # analysis counts a scan body ONCE (verified: scan-of-8 ≈ 1.03x single),
     # so the scanned timers' lowerings already report one application;
     # bwd = step - fwd - opt
-    f_emb = lowered_flops(lambda im, p: fwd_emb(im, p),
-                          images, state.params)
-    f_fwd = lowered_flops(lambda im, p, tg, tid: fwd_loss(im, p, tg, tid),
-                          images, state.params, targets, task_ids)
-    f_opt = lowered_flops(lambda s: opt_only(s, grads), state)
+    f_emb = f_fwd = f_opt = None
+    if not step_only:
+        f_emb = lowered_flops(lambda im, p: fwd_emb(im, p),
+                              images, state.params)
+        f_fwd = lowered_flops(lambda im, p, tg, tid: fwd_loss(im, p, tg, tid),
+                              images, state.params, targets, task_ids)
+        f_opt = lowered_flops(lambda s: opt_only(s, grads), state)
     stage_tflop = {}
     if f_emb and f_fwd and flops:
         stage_tflop = {
@@ -288,15 +316,18 @@ def main():
     print(json.dumps({
         "metric": "uni_train_step_profile",
         "batch": B, "hw": f"{H}x{W}", "remat": remat,
+        "map_bb": map_bb, "gelu": gelu_env,
         "stage_ms": {
-            "fwd_embeddings": round(t_emb, 1),
-            "fwd_loss_total": round(t_fwd, 1),
-            "priors_head_simota": round(t_fwd - t_emb, 1),
             "full_step": round(t_step, 1),
-            "optimizer": round(t_opt, 1),
-            "bwd_residual": round(t_step - t_fwd - t_opt, 1),
+            **({"fwd_embeddings": round(t_emb, 1),
+                "fwd_loss_total": round(t_fwd, 1),
+                "priors_head_simota": round(t_fwd - t_emb, 1),
+                "optimizer": round(t_opt, 1),
+                "bwd_residual": round(t_step - t_fwd - t_opt, 1)}
+               if not step_only else {}),
             **({"emb_fwd_plus_bwd": round(t_emb_grad, 1),
-                "emb_bwd_est": round(t_emb_grad - t_emb, 1)}
+                **({"emb_bwd_est": round(t_emb_grad - t_emb, 1)}
+                   if t_emb is not None else {})}
                if t_emb_grad is not None else {}),
             **({"backbone_x2": round(t_bb, 1),
                 "interaction_fp32": round(t_inter, 1),

@@ -31,17 +31,31 @@ def det_loss_fn(model, params, images, labels, img_size, use_l1=False,
     return loss_dict["total_loss"], loss_dict
 
 
-def uni_forward_embeddings(model: Unicorn, params, images):
+def uni_forward_embeddings(model: Unicorn, params, images, backbone_map=False):
     """Backbone + interaction + upsample for a 2-frame batch.
 
     images: (B, 2, H, W, 3). Returns (fpn_outs_1, embed_0, embed_1).
     Matches UnicornActor: both frames share one backbone pass as a 2B batch
     (frame-major concat, unicorn.py:491-495).
+
+    backbone_map=True runs the backbone as a lax.map over the 2B frames
+    (batch-1 per iteration) instead of one 2B batch — same math, smaller
+    live activation set per step (the measured batch>1 whole-graph
+    scheduling regression, BASELINE.md batch_stage/head_bisect; probe via
+    train_profile.py TP_MAP_BB=1).
     """
     B, nF, H, W, _ = images.shape
     assert nF == 2
     imgs_flat = images.transpose(1, 0, 2, 3, 4).reshape(2 * B, H, W, 3)
-    fpn_outs, feat16 = model.apply(params, imgs_flat, method=Unicorn.forward_backbone)
+    if backbone_map:
+        def _bb_one(img):
+            fpn, f16 = model.apply(params, img[None],
+                                   method=Unicorn.forward_backbone)
+            return tuple(x[0] for x in fpn), f16[0]
+
+        fpn_outs, feat16 = jax.lax.map(_bb_one, imgs_flat)
+    else:
+        fpn_outs, feat16 = model.apply(params, imgs_flat, method=Unicorn.forward_backbone)
     fpn_outs_1 = tuple(x[B:] for x in fpn_outs)
     feat0 = feat16[:B].astype(jnp.float32)
     feat1 = feat16[B:].astype(jnp.float32)
@@ -53,9 +67,10 @@ def uni_forward_embeddings(model: Unicorn, params, images):
 
 def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
                 mot_weight=1.0, sot_weight=1.0, bidirect=True, use_l1=False,
-                num_classes=8, mhs=False, mhs_weight=0.5):
+                num_classes=8, mhs=False, mhs_weight=0.5, backbone_map=False):
     """Full unified SOT+MOT loss for a (B, 2, ...) batch."""
-    fpn_outs_1, embed_0, embed_1 = uni_forward_embeddings(model, params, images)
+    fpn_outs_1, embed_0, embed_1 = uni_forward_embeddings(
+        model, params, images, backbone_map=backbone_map)
     pred_prior, gt_lbs1 = build_sot_priors(
         embed_0, embed_1, targets, img_size, task_ids
     )
@@ -283,13 +298,14 @@ def make_uni_mask_train_step(model, img_size, mot_weight=1.0, bidirect=True,
 
 def make_uni_train_step(model, img_size, mot_weight=1.0, sot_weight=1.0,
                         bidirect=True, use_l1=False, num_classes=8,
-                        mhs=False, mhs_weight=0.5, donate=True):
+                        mhs=False, mhs_weight=0.5, donate=True,
+                        backbone_map=False):
     def step(state, images, targets, task_ids):
         def loss(params):
             return uni_loss_fn(
                 model, params, images, targets, task_ids, img_size,
                 mot_weight, sot_weight, bidirect, use_l1, num_classes,
-                mhs, mhs_weight,
+                mhs, mhs_weight, backbone_map,
             )
 
         (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
