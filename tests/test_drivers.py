@@ -242,3 +242,12 @@ def test_mot_omni_driver_deepsort_with_mask():
         assert len(masks) == len(bboxes)
         if len(masks):
             assert masks.shape[1:] == (H // 4, W // 4)
+    # frames where NO detection passes validity must keep the documented
+    # mask grid shape (regression: empty frames returned (n, 1, 1))
+    driver2 = MOTOmniDriver(model, params, input_size=(H, W), num_classes=1,
+                            conf_thre=1.0, with_mask=True,
+                            tracker="deepsort")
+    for t in range(2):
+        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+        _bboxes, _labels, _ids, masks = driver2.update(img)
+        assert masks.shape[1:] == (H // 4, W // 4), masks.shape

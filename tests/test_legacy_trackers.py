@@ -135,6 +135,27 @@ def test_deepsort_reid_after_occlusion():
     assert [v.track_id for v in views] == [tid]
 
 
+def test_deepsort_tentative_drop_same_frame_as_match():
+    """A missed tentative row deleted in the same frame another row matches:
+    row indices compact under the matched row, so detection provenance must
+    key on the (pre-compaction) track ids, not on stale row indices —
+    regression for an IndexError / wrong-mask-provenance bug."""
+    fa, fb = _feat(11), _feat(12)
+    trk = DeepSort(n_init=3, min_confidence=0.3)
+    trk.update(np.array([_box(20, 30), _box(70, 40)]),
+               np.array([0.9, 0.9]), np.stack([fa, fb]))
+    # only the second target persists; frame 2 drops the missed tentative
+    # row 0 while row 1 matches (previously: IndexError in det_of_tid)
+    views = None
+    for t in range(1, 4):
+        views = trk.update(np.array([_box(70 + 2 * t, 40)]),
+                           np.array([0.9]), fb[None])
+    # survivor confirms on its 3rd hit with its ORIGINAL id and its
+    # detection provenance points at the right caller row
+    assert [v.track_id for v in views] == [2]
+    assert trk.last_det_indices == [0]
+
+
 def test_deepsort_gallery_budget():
     trk = DeepSort(n_init=1, nn_budget=5)
     fa = _feat(4)

@@ -138,6 +138,39 @@ def test_score_mots_soft_tp_credit():
     assert abs(m["MOTSP"] - 0.5) < 1e-9
 
 
+def test_score_mots_fp_on_gt_empty_frame():
+    """A hypothesis on a frame with NO gt entry is an FP, not free (official
+    mots-tools evaluates every frame; regression for the gt-frames-only
+    accumulation bug)."""
+    h = w = 20
+    A = _rect_rle(h, w, 2, 8, 2, 8)
+    gts = {"v": [(1, [1], [A])]}
+    results = {"v": [(1, [7], [A]), (2, [7], [A])]}
+    m = score_mots(results, gts)
+    assert m["FP"] == 1 and m["FN"] == 0, m
+    assert abs(m["sMOTSA"] - 0.0) < 1e-9  # (1.0 soft TP - 1 FP) / 1 gt
+
+
+def test_score_mots_per_class_fp_without_class_gt():
+    """Predictions of a class on frames (or videos) with no gt of that class
+    count as FPs in that class's accumulator (the box sibling updates every
+    class on every frame; regression for the per-class split bug)."""
+    h = w = 20
+    A = _rect_rle(h, w, 2, 8, 2, 8)
+    B = _rect_rle(h, w, 12, 18, 12, 18)
+    gts = {"v": [(1, [1], [1], [A])]}
+    results = {"v": [(1, [5, 6], [1, 1], [A, B]),  # B: FP, same frame
+                     (2, [5], [1], [A])]}          # frame 2: no class-1 gt
+    m = score_mots_per_class(results, gts)
+    assert m["per_class"][1]["FP"] == 2, m["per_class"]
+    # a class predicted but absent from gt everywhere pools FPs into
+    # overall without entering the class means
+    results2 = {"v": [(1, [5, 9], [1, 3], [A, B])]}
+    m2 = score_mots_per_class(results2, gts)
+    assert 3 not in m2["per_class"]
+    assert m2["overall"]["FP"] == 1, m2["overall"]
+
+
 def test_score_mots_per_class_mmotsa():
     """Class averaging (BDD protocol): class 0 perfect, class 1 all missed
     -> mMOTSA = (1.0 + (-? actually 1 - FN/num_gt = 0)) / 2 = 0.5."""
@@ -468,6 +501,11 @@ def test_score_mots_txt_class10_ignore_regions(tmp_path):
     m3 = score_mots_txt(str(res_dir), {"v": str(gt_dir / "v.txt")},
                         class_id=2)
     assert abs(m3["MOTSA"] - 1.0) < 1e-9 and m3["FN"] == 0, m3
+    # default class_id=None: class-10 rows must act ONLY as ignore regions,
+    # never as scoreable gt objects (no spurious FN per region per frame)
+    m4 = score_mots_txt(str(res_dir), {"v": str(gt_dir / "v.txt")})
+    assert abs(m4["MOTSA"] - 1.0) < 1e-9 and m4["FN"] == 0 \
+        and m4["FP"] == 0, m4
 
 
 def test_score_scalabel_seg_crowd_ignore_regions():

@@ -832,8 +832,7 @@ def main():
         tot = {}
         for shape, nblk in stages:
             B, Hs, Ws, C = shape
-            xdt = np.float32 if with_bwd else np.float32
-            x = jnp.asarray(rng.rand(*shape).astype(xdt))
+            x = jnp.asarray(rng.rand(*shape).astype(np.float32))
             if not with_bwd:
                 x = x.astype(jnp.bfloat16)
             k = jnp.asarray((rng.randn(7, 7, 1, C) * 0.1).astype(np.float32))

@@ -209,7 +209,7 @@ class MOTOmniDriver:
                 """DeepSORT mask alignment via last_det_indices (-1 rows =
                 track coasting without a detection -> zero mask)."""
                 mv = masks_np[valid]
-                hm, wm = mv.shape[1:] if mv.size else (1, 1)
+                hm, wm = mv.shape[1:]  # (0, Hm, Wm) when no dets pass
                 out_m = np.zeros((n_views, hm, wm), np.float32)
                 for j, di in enumerate(self.tracker.last_det_indices):
                     if di >= 0:

@@ -57,9 +57,13 @@ def _accumulate_video(frames_gt, frames_pred, iou_thr):
     from . import rle as rle_codec
 
     acc = MOTAccumulator(iou_thr=iou_thr)
+    gt_by_frame = {f[0]: f for f in frames_gt}
     pred_by_frame = {f[0]: f for f in frames_pred}
-    for g in frames_gt:
-        frame_id, g_ids, g_rles = g[0], list(g[1]), list(g[2])
+    # every frame with gt OR predictions scores (official mots-tools
+    # semantics: a hypothesis on a gt-empty frame is an FP, not free)
+    for frame_id in sorted(set(gt_by_frame) | set(pred_by_frame)):
+        g = gt_by_frame.get(frame_id, (frame_id, [], []))
+        g_ids, g_rles = list(g[1]), list(g[2])
         ignore_rles = list(g[3]) if len(g) > 3 else []
         p = pred_by_frame.get(frame_id, (frame_id, [], []))
         p_ids, p_rles = list(p[1]), list(p[2])
@@ -165,13 +169,25 @@ def score_mots_per_class(results, gts, iou_thr: float = 0.5) -> dict:
     per_class = {}
     all_accs = []
     for c in sorted(by_class_gt):
+        # union of videos: predictions of class c in a video with no
+        # class-c gt are FPs, not free (the box sibling score_scalabel
+        # updates every class on every frame, bdd_evaluator.py)
+        preds_c = by_class_pred.get(c, {})
         accs = [
             _accumulate_video(
-                frames_gt, by_class_pred.get(c, {}).get(video, []), iou_thr)
-            for video, frames_gt in by_class_gt[c].items()
+                by_class_gt[c].get(video, []), preds_c.get(video, []),
+                iou_thr)
+            for video in sorted(set(by_class_gt[c]) | set(preds_c))
         ]
         per_class[c] = _summarize(accs)
         all_accs.extend(accs)
+    # classes predicted but absent from gt everywhere: excluded from the
+    # class means (BDD averages over gt classes) but their FPs pool into
+    # the overall row
+    for c in sorted(set(by_class_pred) - set(by_class_gt)):
+        all_accs.extend(
+            _accumulate_video([], frames, iou_thr)
+            for frames in by_class_pred[c].values())
     scored = list(per_class.values())
     return {
         "mMOTSA": float(np.mean([m["MOTSA"] for m in scored])) if scored else 0.0,
@@ -236,8 +252,11 @@ def score_mots_txt(result_dir: str, gt_txts: dict, iou_thr: float = 0.5,
             frames = load_mots_txt(get_path(v))
             vid_frames = []
             for fid, ids, clss, rles in frames:
+                # class 10 is never a scoreable object — it is the
+                # MOTS-Challenge ignore-region annotation (handled below)
                 keep = [i for i, c in enumerate(clss)
-                        if class_id is None or c == class_id]
+                        if (c == class_id if class_id is not None
+                            else c != 10)]
                 row = (fid, [ids[i] for i in keep],
                        [rles[i] for i in keep])
                 if with_ignore:

@@ -410,6 +410,9 @@ class DeepSort(_AppearanceTable):
         confirm[rows] = True
         self.state[confirm & (self.state == TENTATIVE)
                     & (self.hits >= self.n_init)] = CONFIRMED
+        # snapshot matched track ids NOW: steps 4-5 compact/append rows, so
+        # the row indices in `rows` go stale (track ids never do)
+        matched_tids = [int(t) for t in self.track_id[rows]]
 
         # 4) deletions: missed tentative rows, over-age confirmed rows
         missed = np.ones(len(self.state), bool)
@@ -427,9 +430,9 @@ class DeepSort(_AppearanceTable):
             self.state[new_idx] = CONFIRMED
 
         # row indices shift across deletions/appends; key the per-frame
-        # detection provenance by track id instead
-        det_of_tid = {int(self.track_id[r]): int(orig_idx[d])
-                      for r, d in zip(rows, dets)}
+        # detection provenance by track id (snapshotted pre-compaction)
+        det_of_tid = {tid: int(orig_idx[d])
+                      for tid, d in zip(matched_tids, dets)}
         for j, d in zip(new_idx, u_det):
             det_of_tid[int(self.track_id[j])] = int(orig_idx[d])
 
