@@ -148,6 +148,28 @@ def test_device_tracker_crowded_hungarian_agreement():
     assert agree / total >= 0.99, f"agreement {agree}/{total}"
 
 
+def test_greedy_assign_equal_cost_ties_stay_one_to_one():
+    """Two rows tied as mutual-best for the same column must not both match
+    it (regression: duplicate detection boxes with identical scores made two
+    track slots Kalman-update from one detection)."""
+    from unicorn_tpu.tracker.jax_tracker import greedy_assign
+
+    ones = jnp.ones((2,), bool)
+    # second column over threshold: exactly one row wins col 0
+    m = np.asarray(greedy_assign(jnp.asarray([[0.2, 0.9], [0.2, 0.9]]),
+                                 ones, ones, 0.5, 16))
+    assert sorted(m.tolist()) == [-1, 0], m
+    # second column under threshold: the loser falls through to col 1
+    m2 = np.asarray(greedy_assign(jnp.asarray([[0.2, 0.3], [0.2, 0.3]]),
+                                  ones, ones, 0.5, 16))
+    assert sorted(m2.tolist()) == [0, 1], m2
+    # fully tied square: a permutation, no column used twice
+    m3 = np.asarray(greedy_assign(jnp.asarray([[0.1, 0.1, 0.1]] * 3),
+                                  jnp.ones((3,), bool), jnp.ones((3,), bool),
+                                  0.5, 16))
+    assert sorted(m3.tolist()) == [0, 1, 2], m3
+
+
 def test_jax_kalman_matches_host():
     """Vectorized jax Kalman == host numpy KalmanFilter."""
     from unicorn_tpu.tracker.jax_tracker import (

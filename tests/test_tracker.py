@@ -112,6 +112,43 @@ def test_qdtracker_embedding_matching():
     np.testing.assert_array_equal(ids1, expect)
 
 
+def test_mot_accumulator_stale_carryforward_cannot_double_claim():
+    """Two gt ids whose carried-forward last_match point at the SAME hyp id
+    must not both claim it in the persistence pass (regression: one hyp
+    double-counted as two matches, FP went negative, MOTA > 1)."""
+    A = [0.0, 0.0, 10.0, 10.0]
+    B = [0.0, 2.0, 10.0, 12.0]   # IoU(A, B) = 8/12 > 0.5
+    H = [0.0, 1.0, 10.0, 11.0]   # overlaps both A and B above threshold
+    acc = MOTAccumulator()
+    acc.update([1], [A], [7], [H])            # frame 1: A <-> h7
+    acc.update([2], [B], [7], [H])            # frame 2: B <-> h7 (A absent)
+    acc.update([1, 2], [A, B], [7], [H])      # frame 3: both want h7
+    m = acc.metrics()
+    assert acc.num_fp == 0 and acc.num_fn == 1, (acc.num_fp, acc.num_fn)
+    assert acc.num_matches == 3
+    assert m["MOTA"] <= 1.0
+
+
+def test_mot_accumulator_ignore_absorption_respects_persistence():
+    """hyp_ignore absorption must be judged by the accumulator's OWN
+    matching: a persisted correspondence keeps its hyp matched, so a
+    higher-IoU newcomer is the unmatched one — absorbed if flagged, an FP
+    if not (regression: a fresh pre-pass Hungarian stole the match and
+    manufactured an ID switch)."""
+    G = [0.0, 0.0, 10.0, 10.0]
+    Hp = [0.0, 3.0, 10.0, 13.0]   # IoU with G = 7/13 ~ 0.54 (persisted)
+    for flag_new, want_fp in ((True, 0), (False, 1)):
+        acc = MOTAccumulator()
+        for _ in range(3):
+            acc.update([1], [G], [7], [Hp])
+        # newcomer h8 = exact G (IoU 1.0 beats Hp's 0.54)
+        acc.update([1], [G], [7, 8], [Hp, G],
+                   hyp_ignore=np.array([False, flag_new]))
+        assert acc.num_idsw == 0, (flag_new, acc.num_idsw)
+        assert acc.num_fp == want_fp, (flag_new, acc.num_fp)
+        assert acc.last_match[1] == 7
+
+
 def test_mot_accumulator_perfect_and_idsw():
     acc = MOTAccumulator()
     frames = make_synthetic_video(n_frames=10, n_obj=3)

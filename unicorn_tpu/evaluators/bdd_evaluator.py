@@ -252,10 +252,12 @@ class BDDEvaluator:
             scale = min(self.img_size[0] / float(h), self.img_size[1] / float(w))
             labels = []
             for k, d in enumerate(dets):
+                if not 0 <= int(d[6]) < len(BDD_CLASSES):
+                    continue  # unscoreable class: skip, don't wrap
                 x1, y1, x2, y2 = d[:4] / scale
                 labels.append({
                     "id": k,
-                    "category": BDD_CLASSES[int(d[6]) % len(BDD_CLASSES)],
+                    "category": BDD_CLASSES[int(d[6])],
                     "score": float(d[4] * d[5]),
                     "box2d": {"x1": float(x1), "y1": float(y1),
                               "x2": float(x2), "y2": float(y2)},
@@ -305,11 +307,12 @@ class BDDEvaluator:
                 "frameIndex": int(frame_id),
                 "labels": [{
                     "id": int(tid),
-                    "category": BDD_CLASSES[int(c) % len(BDD_CLASSES)],
+                    "category": BDD_CLASSES[int(c)],
                     "score": float(s),
                     "rle": r,
                 } for tid, c, s, r in zip(out_ids, out_labels, out_scores,
-                                          rles)],
+                                          rles)
+                    if 0 <= int(c) < len(BDD_CLASSES)],
             })
             if out_dir:
                 dense = (np.stack([rle_codec.decode(r) for r in rles])
@@ -350,10 +353,11 @@ class BDDEvaluator:
                 "frameIndex": int(frame_id),
                 "labels": [{
                     "id": int(tid),
-                    "category": BDD_CLASSES[int(c) % len(BDD_CLASSES)],
+                    "category": BDD_CLASSES[int(c)],
                     "box2d": {"x1": float(b[0]), "y1": float(b[1]),
                               "x2": float(b[2]), "y2": float(b[3])},
-                } for b, c, tid in zip(bboxes, labels, ids)],
+                } for b, c, tid in zip(bboxes, labels, ids)
+                    if 0 <= int(c) < len(BDD_CLASSES)],
             })
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)

@@ -47,6 +47,10 @@ class COCOInstEvaluator:
             for k in range(len(dets)):
                 x1, y1, x2, y2 = dets[k, :4] / scale
                 cls_idx = int(dets[k, 6])
+                if cls_idx >= len(self.dataset.class_ids):
+                    # unscoreable: model emits more classes than the val
+                    # json defines (same guard as COCOEvaluator)
+                    continue
                 score = float(dets[k, 4] * dets[k, 5])
                 box_results.append({
                     "image_id": img_id,

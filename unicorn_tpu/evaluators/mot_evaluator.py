@@ -25,13 +25,18 @@ from ..tracker.byte_tracker import ByteTracker
 from ..tracker.legacy import DeepSort, OnlineTracker, Sort
 from ..tracker.qd_tracker import QuasiDenseEmbedTracker
 
-# per-video tuning used on MOT17 (mot_evaluator.py:160-181)
+# per-video tuning used on MOT17/MOT20, matching the reference's EFFECTIVE
+# behavior (mot_evaluator.py:160-181): buffers 14 for 05+06 and 25 for
+# 13+14; thresh overrides only for MOT20-06/08 — the reference's MOT17
+# thresh branch (01/06->0.65, 12->0.7, 14->0.67) is dead code there, reset
+# to ori_thresh by the MOT20 block's trailing else before any use
 MOT17_VIDEO_THRESH = {
-    "MOT17-05-FRCNN": 0.7, "MOT17-06-FRCNN": 0.65,
-    "MOT17-12-FRCNN": 0.7, "MOT17-14-FRCNN": 0.67,
     "MOT20-06": 0.3, "MOT20-08": 0.3,
 }
-MOT17_VIDEO_BUFFER = {"MOT17-05-FRCNN": 14, "MOT17-13-FRCNN": 25}
+MOT17_VIDEO_BUFFER = {
+    "MOT17-05-FRCNN": 14, "MOT17-06-FRCNN": 14,
+    "MOT17-13-FRCNN": 25, "MOT17-14-FRCNN": 25,
+}
 
 
 def write_mot_results(path, results):

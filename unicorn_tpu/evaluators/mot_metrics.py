@@ -35,12 +35,19 @@ class MOTAccumulator:
         self.gt_total = defaultdict(int)
         self.hyp_total = defaultdict(int)
 
-    def update(self, gt_ids, gt_boxes, hyp_ids, hyp_boxes, iou=None):
+    def update(self, gt_ids, gt_boxes, hyp_ids, hyp_boxes, iou=None,
+               hyp_ignore=None):
         """iou: optional precomputed (G, H) similarity matrix replacing the
         box IoU — the mask-IoU MOTS path (mots_metrics.py) passes RLE-domain
         IoU here, mirroring the reference's mask_iou_matrix feeding the same
         motmetrics accumulator (qdtrack core/evaluation/mots.py:14-20,87-91).
-        When given, gt_boxes/hyp_boxes may be None."""
+        When given, gt_boxes/hyp_boxes may be None.
+
+        hyp_ignore: optional (H,) bool — hypotheses mostly inside an ignore
+        region. A flagged hypothesis that THIS accumulator's own matching
+        (persistence + Hungarian) leaves unmatched is absorbed: it counts
+        neither as an FP nor in the IDF1 denominator (official mots-tools
+        order — match everything first, then absorb the unmatched)."""
         gt_ids = list(gt_ids)
         hyp_ids = list(hyp_ids)
         G, H = len(gt_ids), len(hyp_ids)
@@ -48,8 +55,6 @@ class MOTAccumulator:
         for g in gt_ids:
             self.gt_frames[g] += 1
             self.gt_total[g] += 1
-        for h in hyp_ids:
-            self.hyp_total[h] += 1
 
         if iou is None:
             iou = pairwise_iou_np(
@@ -61,12 +66,16 @@ class MOTAccumulator:
 
         matched_g, matched_h = set(), set()
         matches = {}
-        # 1) keep previous correspondences if still valid
+        # 1) keep previous correspondences if still valid. Two gt ids can
+        # point at the SAME hyp id here (the absent-gt carry-forward below
+        # preserves stale pairs), so a hyp already claimed this pass is
+        # skipped — motmetrics masks matched entries the same way; without
+        # this, one hyp double-counts as two matches and FP goes negative
         for gi, g in enumerate(gt_ids):
             h_prev = self.last_match.get(g)
             if h_prev is not None and h_prev in hyp_ids:
                 hi = hyp_ids.index(h_prev)
-                if iou[gi, hi] >= self.iou_thr:
+                if hi not in matched_h and iou[gi, hi] >= self.iou_thr:
                     matches[gi] = hi
                     matched_g.add(gi)
                     matched_h.add(hi)
@@ -99,8 +108,16 @@ class MOTAccumulator:
             if g not in new_last:
                 new_last[g] = h
         self.last_match = new_last
+        # ignore absorption AFTER matching: unmatched flagged hyps vanish
+        absorbed = set()
+        if hyp_ignore is not None:
+            absorbed = {hi for hi in range(H)
+                        if hi not in matched_h and hyp_ignore[hi]}
+        for hi, h in enumerate(hyp_ids):
+            if hi not in absorbed:
+                self.hyp_total[h] += 1
         self.num_fn += G - len(matches)
-        self.num_fp += H - len(matches)
+        self.num_fp += H - len(matches) - len(absorbed)
 
     def metrics(self) -> dict:
         mota = 1.0 - (self.num_fn + self.num_fp + self.num_idsw) / max(self.num_gt, 1)

@@ -44,16 +44,15 @@ def _accumulate_video(frames_gt, frames_pred, iou_thr):
 
     frames_gt: [(frame_id, ids, rles)] or [(frame_id, ids, rles,
     ignore_rles)] — the optional 4th element carries the frame's ignore
-    regions (MOTS-Challenge class-10 annotations): a prediction NOT
-    matched to any gt object (Hungarian at IoU >= iou_thr) whose
-    intersection-over-prediction with an ignore region exceeds 0.5 is
-    dropped before accumulation instead of counted as an FP — the
-    official mots-tools semantics (ignore regions absorb only unmatched
-    hypotheses). frames_pred: [(frame_id, ids, rles)] (extra trailing
-    elements ignored).
+    regions (MOTS-Challenge class-10 annotations): a prediction whose
+    intersection-over-prediction with an ignore region exceeds 0.5 AND
+    that the accumulator's own matching leaves unmatched is absorbed
+    (neither FP nor IDF1 denominator) — the official mots-tools order:
+    match everything first, then absorb the unmatched. The absorption
+    decision is made INSIDE MOTAccumulator.update so it sees the same
+    persistence-aware matching that scores. frames_pred:
+    [(frame_id, ids, rles)] (extra trailing elements ignored).
     """
-    from scipy.optimize import linear_sum_assignment
-
     from . import rle as rle_codec
 
     acc = MOTAccumulator(iou_thr=iou_thr)
@@ -69,20 +68,12 @@ def _accumulate_video(frames_gt, frames_pred, iou_thr):
         p_ids, p_rles = list(p[1]), list(p[2])
         iou = mask_iou_matrix(g_rles, p_rles) if g_ids and p_ids \
             else np.zeros((len(g_ids), len(p_ids)), np.float32)
+        hyp_ignore = None
         if ignore_rles and p_ids:
-            matched = np.zeros(len(p_ids), bool)
-            if g_ids:
-                rows, cols = linear_sum_assignment(-iou)
-                for r, c in zip(rows, cols):
-                    if iou[r, c] >= iou_thr:
-                        matched[c] = True
             iof = rle_codec.iou_rle(p_rles, ignore_rles,
                                     iscrowd=[1] * len(ignore_rles))
-            keep = matched | (np.asarray(iof).max(axis=1) <= 0.5)
-            p_ids = [i for i, k in zip(p_ids, keep) if k]
-            p_rles = [r for r, k in zip(p_rles, keep) if k]
-            iou = iou[:, keep]
-        acc.update(g_ids, None, p_ids, None, iou=iou)
+            hyp_ignore = np.asarray(iof).max(axis=1) > 0.5
+        acc.update(g_ids, None, p_ids, None, iou=iou, hyp_ignore=hyp_ignore)
     return acc
 
 

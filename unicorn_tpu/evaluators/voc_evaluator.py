@@ -53,8 +53,10 @@ class VOCEvaluator:
                 box = d[:4] / r
                 all_dets[int(d[6])].append(
                     (i, score, box[0], box[1], box[2], box[3]))
-        # classes with gt but no dets still count (AP 0)
-        classes = sorted(set(all_gts) | set(all_dets))
+        # VOC protocol: average over classes WITH ground truth — a class
+        # with gt but no dets counts (AP 0), a spurious detection of a
+        # class with no gt in the evaluated subset must not deflate mAP
+        classes = sorted(all_gts)
         dets_by_cls = {c: all_dets.get(c, []) for c in classes}
         gts_by_cls = {c: all_gts.get(c, {}) for c in classes}
         return voc_map(dets_by_cls, gts_by_cls, iou_thr=self.iou_thr,

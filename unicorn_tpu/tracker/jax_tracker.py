@@ -200,10 +200,16 @@ def greedy_assign(cost, row_valid, col_valid, thresh, n_iter: int):
         # break ties inside a row: keep the first mutual col
         first_c = jnp.argmax(mutual, axis=1)
         row_has = jnp.any(mutual, axis=1) & (match < 0)
-        match = jnp.where(row_has, first_c.astype(jnp.int32), match)
+        # break ties ACROSS rows: with equal costs two rows can both be
+        # mutual-best for the same column — only the first claiming row
+        # wins it this round (the loser re-contends on later rounds)
+        claims = row_has[:, None] & (jnp.arange(C)[None, :] == first_c[:, None])
+        winner = jnp.argmax(claims, axis=0)                # (C,) first row
+        won = row_has & (winner[first_c] == jnp.arange(R))
+        match = jnp.where(won, first_c.astype(jnp.int32), match)
         # eliminate matched rows/cols
-        col_taken = jnp.zeros((C,), bool).at[first_c].max(row_has)
-        cost = jnp.where(row_has[:, None] | col_taken[None, :], BIG, cost)
+        col_taken = jnp.zeros((C,), bool).at[first_c].max(won)
+        cost = jnp.where(won[:, None] | col_taken[None, :], BIG, cost)
         return cost, match
 
     _, match = jax.lax.fori_loop(

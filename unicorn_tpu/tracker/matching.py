@@ -102,8 +102,8 @@ def fuse_iou(cost_matrix, tracks, detections):
     reid_sim = 1.0 - cost_matrix
     iou_sim = 1.0 - iou_distance(tracks, detections)
     fuse_sim = reid_sim * (1.0 + iou_sim) / 2.0
-    det_scores = np.array([d.score for d in detections])
-    fuse_sim = fuse_sim * (1.0 + np.broadcast_to(det_scores, cost_matrix.shape)) / 2.0
+    # the reference computes det_scores but leaves the score blending
+    # commented out (matching.py:166-168) — parity means NOT applying it
     return 1.0 - fuse_sim
 
 
