@@ -83,6 +83,47 @@ def test_vos_driver_mid_video_object_entry():
     assert set(np.unique(out3)) <= {0, 1, 2, 7}
 
 
+def test_vos_driver_two_objects_enter_same_frame():
+    """Two objects entering on ONE frame must get DISTINCT slots with their
+    own label priors (regression: both got slot len(obj_ids), the second
+    overwrote the first's prior and one id pointed at a never-set slot),
+    and slot overflow raises loudly instead of silently dropping objects."""
+    import pytest
+
+    model, params = _model_params(use_mask=True)
+    driver = VOSDriver(model, params, input_size=(H, W), max_objects=4,
+                       conf_thre=0.0)
+    rng = np.random.RandomState(9)
+    img0 = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
+    mask0 = np.zeros((48, 56), np.uint8)
+    mask0[5:20, 5:20] = 1
+    driver.initialize(img0, mask0)
+
+    mask2 = np.zeros((48, 56), np.uint8)
+    mask2[2:14, 30:54] = 5
+    mask2[30:44, 2:18] = 6
+    driver.add_objects((rng.rand(48, 56, 3) * 255).astype(np.uint8), mask2)
+    assert driver.obj_ids == [1, 5, 6]
+    assert driver.obj_valid[:3].sum() == 3
+    lb5 = np.asarray(driver.lbs_ref[1])
+    lb6 = np.asarray(driver.lbs_ref[2])
+    assert lb5.sum() > 0 and lb6.sum() > 0
+    assert not np.allclose(lb5, lb6)
+
+    # overflow: a 5th object with all 4 slots taken must raise
+    mask3 = np.zeros((48, 56), np.uint8)
+    mask3[10:20, 40:50] = 8
+    mask3[30:40, 40:50] = 9
+    with pytest.raises(ValueError, match="slots"):
+        driver.add_objects((rng.rand(48, 56, 3) * 255).astype(np.uint8),
+                           mask3)
+    # init-time overflow raises too
+    d2 = VOSDriver(model, params, input_size=(H, W), max_objects=1,
+                   conf_thre=0.0)
+    with pytest.raises(ValueError, match="max_objects"):
+        d2.initialize(img0, mask2)
+
+
 def test_sot_track_window_matches_sequential():
     model, params = _model_params()
     rng = np.random.RandomState(2)

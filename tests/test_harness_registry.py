@@ -154,3 +154,91 @@ def test_ytvos_loader_meta_and_mid_video_objects(tmp_path):
     assert len(seqs[0].frames) == 2 and len(seqs[0].masks) == 2
     with pytest.raises(FileNotFoundError):
         load_ytvos(root=str(tmp_path / "nope"))
+
+
+def _mk_otb_seq(root, dirname, gt_files, n_rows, first_frame=None):
+    sdir = os.path.join(root, dirname)
+    os.makedirs(os.path.join(sdir, "img"), exist_ok=True)
+    gt = np.tile([10, 10, 20, 20], (n_rows, 1)).astype(float)
+    for f in gt_files:
+        np.savetxt(os.path.join(sdir, f), gt, delimiter=",")
+    if first_frame:
+        open(os.path.join(sdir, "img", first_frame), "wb").close()
+
+
+def test_otb_loader_protocol_metadata(tmp_path):
+    """OTB per-sequence protocol facts (regression: frames misaligned with
+    gt for range sequences like David/BlurCar*, Jogging/Skating2/Human4
+    silently dropped, Tiger1's 5 init frames scored)."""
+    from unicorn_tpu.harness.datasets import load_otb
+
+    root = str(tmp_path)
+    # range sequence: annotated frames 3..359 (BlurCar3)
+    _mk_otb_seq(root, "BlurCar3", ["groundtruth_rect.txt"], 357,
+                first_frame="0003.jpg")
+    # dual-target sequence shipping numbered annotation files
+    _mk_otb_seq(root, "Jogging",
+                ["groundtruth_rect.1.txt", "groundtruth_rect.2.txt"], 10,
+                first_frame="0001.jpg")
+    # init-omit sequence: first 5 frames excluded from protocol
+    _mk_otb_seq(root, "Tiger1", ["groundtruth_rect.txt"], 20,
+                first_frame="0001.jpg")
+    # plain sequence
+    _mk_otb_seq(root, "Basketball", ["groundtruth_rect.txt"], 8,
+                first_frame="0001.jpg")
+    seqs = {s.name: s for s in load_otb(root=root)}
+    assert set(seqs) == {"BlurCar3", "Jogging_1", "Jogging_2", "Tiger1",
+                         "Basketball"}
+    assert seqs["BlurCar3"].frames[0].endswith("0003.jpg")
+    assert len(seqs["BlurCar3"].frames) == 357
+    assert len(seqs["Jogging_1"].frames) == 10
+    assert seqs["Tiger1"].frames[0].endswith("0006.jpg")
+    assert len(seqs["Tiger1"].frames) == 15
+    assert len(seqs["Tiger1"].ground_truth_rect) == 15
+    assert len(seqs["Basketball"].frames) == 8
+    # a sequence directory with img/ but no annotation must raise loudly
+    os.makedirs(os.path.join(root, "Broken", "img"), exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        load_otb(root=root)
+
+
+def test_read_indexed_mask_preserves_palette_indices(tmp_path):
+    """DAVIS/YT-VOS annotations are palette PNGs: cv2 grayscale decodes the
+    palette to luma (ids 1,2,3 -> 38,75,113); the harness reader must
+    return the raw indices (regression for corrupted object identities)."""
+    import cv2
+    from PIL import Image
+
+    from unicorn_tpu.utils.label_ops import read_indexed_mask
+
+    m = np.zeros((8, 10), np.uint8)
+    m[1:4, 1:4] = 1
+    m[5:7, 2:6] = 2
+    m[1:3, 7:9] = 3
+    img = Image.fromarray(m, mode="P")
+    # the standard DAVIS palette: id 1 -> (128,0,0), 2 -> (0,128,0), ...
+    pal = [0, 0, 0, 128, 0, 0, 0, 128, 0, 128, 128, 0] + [0] * (768 - 12)
+    img.putpalette(pal)
+    p = str(tmp_path / "00000.png")
+    img.save(p)
+    got = read_indexed_mask(p)
+    assert set(np.unique(got)) == {0, 1, 2, 3}
+    np.testing.assert_array_equal(got, m)
+    luma = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+    assert set(np.unique(luma)) != {0, 1, 2, 3}  # the bug this guards
+
+
+def test_seg2bmap_border_semantics():
+    """Reference seg2bmap ASSIGNS the last row/col (a mask flush against
+    the frame edge has no boundary there); |= would mark every border-
+    touching foreground pixel as boundary and skew F for cropped objects."""
+    from unicorn_tpu.harness.davis_metrics import _seg2bmap
+
+    # full-frame mask: no boundary at all inside the frame
+    assert _seg2bmap(np.ones((5, 5), bool)).sum() == 0
+    # half-plane touching the bottom edge: only the top transition row
+    half = np.zeros((5, 5), bool)
+    half[2:, :] = True
+    b = _seg2bmap(half)
+    assert b.sum() == 5, b.astype(int)
+    assert b[1, :].all() and not b[4, :].any()

@@ -85,20 +85,30 @@ def main():
         if gts:
             print(evaluate_sot(results, gts))
     else:
-        import cv2
-
         from unicorn_tpu.drivers.vos import VOSDriver
         from unicorn_tpu.harness.davis_metrics import evaluate_davis
         from unicorn_tpu.harness.running import (
             run_dataset_vos_parallel, run_sequence_vos,
         )
+        from unicorn_tpu.utils.label_ops import read_indexed_mask
+
+        n = len(sequences) if args.max_seqs is None else args.max_seqs
+        # size the driver's object slots from the data: DAVIS 2017 has
+        # 5-object sequences, YT-VOS more — silently truncating at a fixed
+        # K would zero those objects' J&F (VOSDriver raises on overflow)
+        gt_by_seq = {
+            seq.name: [read_indexed_mask(m) for m in seq.masks]
+            for seq in sequences[:n]
+        }
+        max_objs = max((len({int(i) for g in gts for i in np.unique(g)
+                             if i != 0})
+                        for gts in gt_by_seq.values()), default=1)
 
         def make_driver():
             return VOSDriver(model, params, exp.test_size,
+                             max_objects=max(1, max_objs),
                              use_raft=getattr(exp, "use_raft", False),
                              up_rate=getattr(exp, "up_rate", 8))
-
-        n = len(sequences) if args.max_seqs is None else args.max_seqs
         if args.parallel_seqs > 1:
             from jax.sharding import Mesh
 
@@ -113,10 +123,23 @@ def main():
                 preds[seq.name] = run_sequence_vos(make_driver(), seq,
                                                    result_dir)
                 print(f"{seq.name}: {len(preds[seq.name])} frames")
-        gts = {seq.name: [cv2.imread(m, cv2.IMREAD_GRAYSCALE)
-                          for m in seq.masks]
-               for seq in sequences[:n] if seq.name in preds}
-        print(evaluate_davis(preds, gts))
+        # align preds to the ANNOTATED frames by name: YT-VOS valid ships
+        # sparse Annotations (first-appearance frames only), so positional
+        # preds[t] vs gts[t] would score the wrong frames there
+        def _stem(p):
+            return os.path.splitext(os.path.basename(p))[0]
+
+        gts, preds_aligned = {}, {}
+        for seq in sequences[:n]:
+            if seq.name not in preds:
+                continue
+            frame_idx = {_stem(p): i for i, p in enumerate(seq.frames)}
+            sel = [(frame_idx[_stem(m)], g)
+                   for m, g in zip(seq.masks, gt_by_seq[seq.name])
+                   if _stem(m) in frame_idx]
+            gts[seq.name] = [g for _, g in sel]
+            preds_aligned[seq.name] = [preds[seq.name][i] for i, _ in sel]
+        print(evaluate_davis(preds_aligned, gts))
 
 
 if __name__ == "__main__":

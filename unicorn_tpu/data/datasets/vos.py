@@ -14,6 +14,7 @@ import random
 import cv2
 import numpy as np
 
+from ...utils.label_ops import read_indexed_mask
 from .coco import COCOJson
 
 
@@ -66,8 +67,7 @@ class YoutubeVOSDataset:
         for idx in [a, b][:num_frames]:
             stem = os.path.splitext(ann_files[idx])[0]
             img = _read_img(os.path.join(jdir, stem + ".jpg"))
-            ann = cv2.imread(os.path.join(adir, ann_files[idx]),
-                             cv2.IMREAD_GRAYSCALE)
+            ann = read_indexed_mask(os.path.join(adir, ann_files[idx]))
             obj_ids = sorted(int(i) for i in np.unique(ann) if i != 0)
             masks = np.stack([(ann == oid).astype(np.uint8)
                               for oid in obj_ids], axis=2) \
@@ -107,8 +107,7 @@ class DAVISTrainDataset:
         for idx in [a, b][:num_frames]:
             stem = os.path.splitext(files[idx])[0]
             img = _read_img(os.path.join(jdir, stem + ".jpg"))
-            ann = cv2.imread(os.path.join(adir, files[idx]),
-                             cv2.IMREAD_GRAYSCALE)
+            ann = read_indexed_mask(os.path.join(adir, files[idx]))
             obj_ids = sorted(int(i) for i in np.unique(ann) if i != 0)
             masks = np.stack([(ann == oid).astype(np.uint8)
                               for oid in obj_ids], axis=2) \

@@ -273,7 +273,13 @@ class VOSDriver:
         itself (unicorn_vos.py:60-66) — the mask only seeds the output frame."""
         frame, r = self._preproc(image)
         self._entry_overlay = {}  # fresh per sequence (re-init / driver copy)
-        self.obj_ids = sorted(int(i) for i in np.unique(mask) if i != 0)[: self.K]
+        all_ids = sorted(int(i) for i in np.unique(mask) if i != 0)
+        if len(all_ids) > self.K:
+            raise ValueError(
+                f"sequence has {len(all_ids)} objects but max_objects="
+                f"{self.K}; raise max_objects (silently dropping objects "
+                f"would mis-score the benchmark)")
+        self.obj_ids = all_ids
         K = self.K
         lb = np.zeros((K,) + self.input_size, np.float32)
         for slot, oid in enumerate(self.obj_ids):
@@ -307,9 +313,13 @@ class VOSDriver:
         lb = np.zeros((K,) + self.input_size, np.float32)
         slots = []
         for oid in new_ids:
-            if len(self.obj_ids) >= K:
-                break  # out of slots; extra objects are dropped
-            slot = len(self.obj_ids)
+            # each newcomer gets the NEXT free slot (obj_ids grows only
+            # after _init_fn below, so count the pending ones too)
+            slot = len(self.obj_ids) + len(slots)
+            if slot >= K:
+                raise ValueError(
+                    f"object {oid} enters but all {K} slots are taken; "
+                    f"raise max_objects (dropping it would mis-score)")
             bbox = (init_bboxes or {}).get(oid) or self._mask_bbox(mask == oid)
             lb[slot] = self._box_raster(bbox, r)
             slots.append((slot, oid))

@@ -18,6 +18,8 @@ import time
 import cv2
 import numpy as np
 
+from ..utils.label_ops import read_indexed_mask
+
 
 class _RefStackCache:
     """Stacked per-slot reference tensors, rebuilt only when a slot
@@ -134,12 +136,10 @@ def _introduces_new_ids(seq):
     later = (seq.masks or [])[1:]
     if not later:
         return False
-    m0 = cv2.imread(seq.masks[0], cv2.IMREAD_GRAYSCALE)
+    m0 = read_indexed_mask(seq.masks[0])
     ids0 = set(np.unique(m0)) - {0}
     for mp in later:
-        m = cv2.imread(mp, cv2.IMREAD_GRAYSCALE)
-        if m is None:
-            continue
+        m = read_indexed_mask(mp)
         if (set(np.unique(m)) - {0}) - ids0:
             return True
     return False
@@ -193,7 +193,7 @@ def run_dataset_vos_parallel(driver, sequences, mesh, axis: str = "seq",
     def load_next():
         while queue:
             seq = sequences[queue.pop(0)]
-            mask0 = cv2.imread(seq.masks[0], cv2.IMREAD_GRAYSCALE)
+            mask0 = read_indexed_mask(seq.masks[0])
             if len(seq.frames) <= 1:
                 write_out(seq, [mask0])
                 continue

@@ -119,21 +119,61 @@ def load_trackingnet(root=None):
     return seqs
 
 
+# OTB-100 per-sequence protocol facts a plain directory scan misses
+# (published benchmark metadata; the reference hardcodes the full table in
+# otbdataset.py sequence_info_list): annotated frame RANGES for sequences
+# whose image folder holds more frames than are annotated, Tiger1's 5
+# init-omitted frames, the two-target sequences that ship numbered
+# annotation files (each is its own benchmark entry), and Board's 5-digit
+# frame numbering. Without these, frames misalign with gt rows (David
+# starts at frame 300) and Jogging/Skating2/Human4 silently vanish.
+_OTB_RANGE = {"BlurCar1": (247, 988), "BlurCar3": (3, 359),
+              "BlurCar4": (18, 397), "David": (300, 770)}
+_OTB_INIT_OMIT = {"Tiger1": 5}
+_OTB_MULTI = {"Human4": [("Human4_2", "groundtruth_rect.2.txt")],
+              "Jogging": [("Jogging_1", "groundtruth_rect.1.txt"),
+                          ("Jogging_2", "groundtruth_rect.2.txt")],
+              "Skating2": [("Skating2_1", "groundtruth_rect.1.txt"),
+                           ("Skating2_2", "groundtruth_rect.2.txt")]}
+_OTB_NZ = {"Board": 5}
+
+
 def load_otb(root=None):
-    """OTB-100 (otbdataset.py layout: root/<seq>/img + groundtruth_rect.txt)."""
+    """OTB-100 (otbdataset.py layout: root/<seq>/img + groundtruth_rect.txt;
+    per-sequence ranges/init-omit/dual-annotation via the tables above)."""
     root = root or os.path.join(env_data_root(), "OTB100")
     seqs = []
     if not os.path.isdir(root):
         raise FileNotFoundError(f"OTB root not found: {root}")
-    for name in sorted(os.listdir(root)):
-        sdir = os.path.join(root, name)
-        gt_path = os.path.join(sdir, "groundtruth_rect.txt")
-        if not os.path.exists(gt_path):
-            continue
-        gt = _load_txt(gt_path)
+    for dirname in sorted(os.listdir(root)):
+        sdir = os.path.join(root, dirname)
         img_dir = os.path.join(sdir, "img")
-        frames = [os.path.join(img_dir, f) for f in sorted(os.listdir(img_dir))]
-        seqs.append(Sequence(name, frames[: len(gt)], gt, dataset="otb"))
+        if not os.path.isdir(img_dir):
+            continue  # not an OTB sequence directory
+        for name, anno_file in _OTB_MULTI.get(
+                dirname, [(dirname, "groundtruth_rect.txt")]):
+            gt_path = os.path.join(sdir, anno_file)
+            if not os.path.exists(gt_path):
+                raise FileNotFoundError(f"OTB annotation missing: {gt_path}")
+            gt = _load_txt(gt_path)
+            omit = _OTB_INIT_OMIT.get(name, 0)
+            start, end = _OTB_RANGE.get(name, (1, len(gt)))
+            nz = _OTB_NZ.get(name, 4)
+            if os.path.exists(os.path.join(img_dir, f"{start:0{nz}d}.jpg")):
+                frames = [os.path.join(img_dir, f"{i:0{nz}d}.jpg")
+                          for i in range(start + omit, end + 1)]
+            else:
+                # mirror with renumbered frames: accept only an exact-length
+                # folder (anything else would misalign frames with gt rows)
+                files = sorted(f for f in os.listdir(img_dir)
+                               if f.endswith(".jpg"))
+                if len(files) != end - start + 1:
+                    raise FileNotFoundError(
+                        f"OTB {name}: expected frames {start}..{end} under "
+                        f"{img_dir}, found {len(files)} jpgs")
+                frames = [os.path.join(img_dir, f)
+                          for f in files[omit:]]
+            seqs.append(Sequence(name, frames, gt[omit:], dataset="otb"))
     return seqs
 
 

@@ -30,8 +30,11 @@ def _seg2bmap(seg: np.ndarray) -> np.ndarray:
     s[:-1, :] = seg[1:, :]
     se[:-1, :-1] = seg[1:, 1:]
     b = (seg ^ e) | (seg ^ s) | (seg ^ se)
-    b[-1, :] |= seg[-1, :] ^ e[-1, :]
-    b[:, -1] |= seg[:, -1] ^ s[:, -1]
+    # last row/col are ASSIGNED, not OR-ed (metrics.py:163-165): the
+    # vertical/diagonal shift terms there compare against zero padding and
+    # would mark every border-touching foreground pixel as boundary
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
     b[-1, -1] = 0
     return b
 
@@ -65,6 +68,13 @@ def evaluate_davis(pred_masks: dict, gt_masks: dict, skip_first_last=True):
     """pred/gt: {seq: list of (H, W) indexed masks}. Per-object J & F,
     averaged DAVIS-style (mean over objects of per-sequence means;
     frames 1..N-2 by convention).
+
+    The two lists MUST be frame-aligned: entry t of preds and gts describe
+    the SAME video frame. DAVIS ships one gt per frame so full per-frame
+    prediction lists align naturally; YouTube-VOS valid ships sparse
+    Annotations (first-appearance frames only), so the caller must subset
+    its predictions to the annotated frame names first (tools/test.py does
+    this by frame stem).
 
     Object ids are collected over ALL frames, not just frame 0: YouTube-VOS
     objects can enter mid-video (reference handles this at

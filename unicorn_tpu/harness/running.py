@@ -13,6 +13,7 @@ import time
 import cv2
 import numpy as np
 
+from ..utils.label_ops import read_indexed_mask
 from .datasets import Sequence
 
 
@@ -29,9 +30,13 @@ def run_sequence_sot(driver, seq: Sequence, result_dir: str | None = None,
     boxes = [seq.init_bbox]
     t0 = time.time()
     if hasattr(driver, "track_window") and window > 1:
-        imgs = [cv2.imread(p) for p in frames[1:]]
-        outs = driver.track_window(imgs, window=window)
-        boxes.extend(o["target_bbox"] for o in outs)
+        # decode per window chunk: LaSOT sequences run to ~10k frames, so
+        # decoding the whole video up front would hold tens of GB of raw
+        # frames; memory stays bounded at window * frame_size this way
+        for start in range(1, len(frames), window):
+            imgs = [cv2.imread(p) for p in frames[start: start + window]]
+            outs = driver.track_window(imgs, window=window)
+            boxes.extend(o["target_bbox"] for o in outs)
     else:
         for path in frames[1:]:
             img = cv2.imread(path)
@@ -70,7 +75,7 @@ def run_sequence_vos(driver, seq: Sequence, result_dir: str | None = None):
     object ids, they are registered via driver.add_objects with that frame as
     their reference (reference unicorn_vos.py:86-101)."""
     img0 = cv2.imread(seq.frames[0])
-    mask0 = cv2.imread(seq.masks[0], cv2.IMREAD_GRAYSCALE)
+    mask0 = read_indexed_mask(seq.masks[0])
     driver.initialize(img0, mask0)
     # annotated frames after the first may introduce new objects
     anno_by_name = {}
@@ -81,7 +86,7 @@ def run_sequence_vos(driver, seq: Sequence, result_dir: str | None = None):
         img = cv2.imread(path)
         name = os.path.splitext(os.path.basename(path))[0]
         if name in anno_by_name and hasattr(driver, "add_objects"):
-            anno = cv2.imread(anno_by_name[name], cv2.IMREAD_GRAYSCALE)
+            anno = read_indexed_mask(anno_by_name[name])
             driver.add_objects(img, anno)
         mask, _ = driver.track(img)
         masks.append(mask if mask is not None else np.zeros_like(mask0))
