@@ -249,3 +249,21 @@ def test_bdd_evaluator_seg_track_e2e(bdd_mots_root, tmp_path):
     assert s["mMOTSA"] == pytest.approx(1.0)
     assert s["msMOTSA"] == pytest.approx(1.0)
     assert s["mIDF1"] == pytest.approx(1.0)
+
+
+def test_bdd_mots_missing_rle_instances_dropped(bdd_mots_root):
+    """Round-5 regression: an instance with box2d but no rle (box_track-style
+    labels mixed into a MOTS run) was kept with an all-zero mask, supervising
+    the mask head toward empty masks; such rows must be dropped instead."""
+    ds = BDDOmniMOTSDataset(bdd_mots_root, split="val", max_gap=1)
+    frame = ds.videos["vid_a"][0]
+    dropped_id = None
+    for lab in frame["labels"]:
+        if "rle" in lab:
+            dropped_id = lab["id"]
+            del lab["rle"]
+            break
+    img, res, masks = ds._load_frame("vid_a", 0)
+    assert res.shape[0] == 2 and masks.shape[2] == 2
+    assert dropped_id not in set(res[:, 5].astype(int))
+    assert (masks.sum(axis=(0, 1)) > 0).all()  # no all-zero training masks

@@ -411,3 +411,160 @@ def test_default_mix_through_uni_loader(tmp_path, monkeypatch):
     assert valid.sum(axis=-1).max() >= 1
     if hasattr(loader, "close"):
         loader.close()
+
+
+def test_det_loader_no_batch_discard_on_full_queue():
+    """Round-5 regression: the prefetch workers must retry the SAME batch on
+    queue.Full, not rebuild — rebuilding silently skipped epoch samples
+    (DetLoader's strided order advanced) and burned host CPU."""
+    import time
+
+    from unicorn_tpu.data.loader import DetLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            return (np.full((4, 4, 3), idx, np.uint8),
+                    np.array([[idx]], np.float32), None, None)
+
+    loader = DetLoader(DS(), batch_size=2, prefetch=1, shuffle=False)
+    it = iter(loader)
+    # let the worker fill the queue, build the next batch, and hit at least
+    # one 1.0s put-timeout (where the old code discarded the built batch)
+    time.sleep(2.5)
+    seen = []
+    for _ in range(8):  # two full epochs
+        _, labels = next(it)
+        seen.extend(int(l[0, 0]) for l in labels)
+    loader.stop()
+    assert seen == list(range(8)) * 2, seen
+
+
+def test_omni_sample_load_split_preserves_protocol():
+    """OmniDataset/Plus expose sample_spec (RNG only, runs under the loader
+    lock) + load_spec (I/O, runs outside): the split must produce the same
+    (frames, task) protocol as pull_item and keep task alternation intact."""
+    from unicorn_tpu.data.datasets.omni import OmniDataset, OmniDatasetPlus
+
+    class Sub:
+        def __init__(self, tag):
+            self.tag = tag
+            self.loads = 0
+
+        def __len__(self):
+            return 4
+
+        def pull_item_omni(self, seq_id, num_frames=2):
+            self.loads += 1
+            return [(self.tag, seq_id)] * num_frames
+
+    sot, mot = Sub("sot"), Sub("mot")
+    plus = OmniDatasetPlus(OmniDataset([sot]), OmniDataset([mot]),
+                           mode="alter")
+    spec = plus.sample_spec(0)
+    assert sot.loads == 0 and mot.loads == 0  # sampling does no I/O
+    frames, task = plus.load_spec(spec)
+    assert task == 1 and frames[0][0] == "sot" and sot.loads == 1
+    plus.alter_task()
+    frames, task = plus.load_spec(plus.sample_spec(0))
+    assert task == 2 and frames[0][0] == "mot" and mot.loads == 1
+
+
+def test_cocosot_frames_do_not_share_memory():
+    """Round-5 regression: COCOSOT returned the SAME ndarray for both frames,
+    so the in-place HSV augment compounded frame 1's jitter into frame 2."""
+    from unicorn_tpu.data.datasets.sot import COCOSOT
+
+    class FakeCOCO:
+        annotations = [(np.array([[4, 4, 20, 20, 1]], np.float32), None, None)]
+
+        def __len__(self):
+            return 1
+
+        def pull_item(self, idx):
+            return (np.zeros((32, 32, 3), np.uint8),
+                    self.annotations[idx][0].copy(), None, None)
+
+    ds = COCOSOT(FakeCOCO())
+    (img0, box0), (img1, box1) = ds.pull_item_omni(0)
+    assert not np.shares_memory(img0, img1)
+    assert not np.shares_memory(box0, box1)
+    img0[:] = 255  # in-place augment on frame 1 ...
+    assert img1.max() == 0  # ... must not leak into frame 2
+
+
+def test_sample_pair_ids_frame_id_units():
+    """Round-5 regression: SOT pair sampling measured max_gap in visible-list
+    index units, so an occlusion stretch silently widened the temporal window.
+    Frame-id units must never pair frames across a large invisible gap."""
+    import random as _random
+
+    from unicorn_tpu.data.datasets.sot import SequenceSOTBase
+
+    base = SequenceSOTBase()
+    base.max_gap = 10
+    # two visible clusters separated by a 1000-frame occlusion
+    frame_ids = np.array([0, 1, 2, 3, 4, 1000, 1001, 1002])
+    _random.seed(0)
+    for _ in range(300):
+        a, b = base._sample_pair_ids(frame_ids, 2)
+        assert abs(int(frame_ids[a]) - int(frame_ids[b])) <= 10
+
+
+def test_train_transform_ins_all_filtered_fallback():
+    """Round-5 regression: TrainTransformIns lacked the all-boxes-filtered
+    fallback its box siblings have — a frame whose objects all shrink below
+    1px trained as an all-zero-label sample. Reference restores the
+    un-augmented boxes and zeroes the masks (data_augment.py:761-768)."""
+    from unicorn_tpu.data.transforms import TrainTransformIns
+
+    t = TrainTransformIns(max_labels=4, flip_prob=0.0, hsv_prob=0.0)
+    img = np.full((128, 128, 3), 90, np.uint8)
+    targets = np.array([[10, 10, 12, 12, 2, 5]], np.float32)  # 2px box
+    masks = np.zeros((128, 128, 1), np.float32)
+    masks[10:12, 10:12, 0] = 1.0
+    # letterbox to 64x64 halves the box to 1px -> filtered by the >1px gate
+    img_t, labels, masks_t = t(img, targets, masks, (64, 64),
+                               joint=True, flip=False)
+    assert labels[0, 0] == 2 and labels[0, 5] == 5  # cls/tid restored
+    np.testing.assert_allclose(labels[0, 1:5], [5.5, 5.5, 1.0, 1.0])
+    assert labels[1:].sum() == 0
+    assert masks_t.sum() == 0  # masks zeroed, as in the reference
+
+
+def test_lasot_on_disk_sampling_and_cache(tmp_path):
+    """Lasot layout end-to-end: visibility filtering skips occluded frames,
+    the pair respects max_gap in frame-id units, and the per-sequence
+    annotation parse is cached (round-5: was re-loadtxt'd per sample)."""
+    import cv2
+
+    from unicorn_tpu.data.datasets.sot import Lasot
+
+    seq = tmp_path / "cat" / "cat-1"
+    (seq / "img").mkdir(parents=True)
+    n = 12
+    gt, occ = [], []
+    for i in range(n):
+        cv2.imwrite(str(seq / "img" / f"{i + 1:08d}.jpg"),
+                    np.full((40, 50, 3), 10 * i, np.uint8))
+        gt.append([5 + i, 6, 20, 18])
+        occ.append(1 if 4 <= i <= 7 else 0)  # frames 4..7 fully occluded
+    np.savetxt(seq / "groundtruth.txt", np.array(gt), fmt="%d", delimiter=",")
+    np.savetxt(seq / "full_occlusion.txt", np.array([occ]),
+               fmt="%d", delimiter=",")
+
+    ds = Lasot(str(tmp_path), max_gap=2)
+    assert len(ds) == 1
+    import random as _random
+
+    _random.seed(3)
+    for _ in range(40):
+        (img0, res0), (img1, res1) = ds.pull_item_omni(0)
+        # boxes encode the frame id (x1 = 5 + i): recover and check gap + vis
+        i0, i1 = int(res0[0, 0] - 5), int(res1[0, 0] - 5)
+        assert abs(i0 - i1) <= 2
+        assert not (4 <= i0 <= 7) and not (4 <= i1 <= 7)
+        assert img0[0, 0, 0] == 10 * i0  # image matches the annotation row
+    assert 0 in ds._info_cache  # parse cached after first pull

@@ -161,12 +161,17 @@ class BDDOmniMOTSDataset(BDDOmniDataset):
         frame = self.videos[video][i]
         img = _read_img(os.path.join(self.img_root, video, frame["name"]))
         res, rles = parse_labels(frame, with_rle=True)
+        # Drop instances that carry a box but no rle (box_track-style labels
+        # mixed into a MOTS run): keeping the row with an all-zero mask would
+        # supervise the mask head TOWARD empty masks for real visible objects.
+        has_rle = np.asarray([r is not None for r in rles], bool)
+        if len(res) and not has_rle.all():
+            res = res[has_rle]
+            rles = [r for r in rles if r is not None]
         h, w = img.shape[:2]
         if len(res) == 0:
             return img, res, np.zeros((h, w, 0), np.uint8)
-        masks = np.stack([rle_codec.decode(r) if r is not None
-                          else np.zeros((h, w), np.uint8) for r in rles],
-                         axis=2)
+        masks = np.stack([rle_codec.decode(r) for r in rles], axis=2)
         return img, res, masks
 
 

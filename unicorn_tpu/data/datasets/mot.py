@@ -8,6 +8,7 @@ mot.py:11}. Video COCO-jsons carry `video_id` + `frame_id` per image and
 """
 from __future__ import annotations
 
+import bisect
 import os
 import random
 from collections import defaultdict
@@ -79,8 +80,11 @@ class MOTOmniDataset:
         fid = im.get("frame_id", 0)
         fids = [f for f, _ in frames_avail]
         pos = fids.index(fid)
-        lo = max(0, pos - self.max_gap)
-        hi = min(len(frames_avail) - 1, pos + self.max_gap)
+        # max_gap is in FRAME-ID units (same contract as MOTSVideoDataset):
+        # on sparsely-annotated videos, list-position distance would widen
+        # the temporal window by the annotation stride.
+        lo = bisect.bisect_left(fids, fid - self.max_gap)
+        hi = bisect.bisect_right(fids, fid + self.max_gap) - 1
         pos2 = random.randint(lo, hi)
         out = []
         for p in [pos, pos2][:num_frames]:

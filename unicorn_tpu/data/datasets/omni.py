@@ -29,10 +29,19 @@ class OmniDataset:
     def __len__(self):
         return self.samples_per_epoch
 
-    def pull_item(self, index):
+    def sample_spec(self, index):
+        """Draw (sub-dataset, seq_id) without touching disk. The loader calls
+        this under its sampler lock and load_spec OUTSIDE it, so image decode
+        runs in parallel across workers while RNG draws stay serialized."""
         ds = random.choices(self.datasets, self.p_datasets)[0]
-        seq_id = random.randint(0, len(ds) - 1)
+        return ds, random.randint(0, len(ds) - 1)
+
+    def load_spec(self, spec):
+        ds, seq_id = spec
         return ds.pull_item_omni(seq_id, self.num_frames)
+
+    def pull_item(self, index):
+        return self.load_spec(self.sample_spec(index))
 
 
 class OmniDatasetPlus:
@@ -58,7 +67,9 @@ class OmniDatasetPlus:
         reference trainer.py:454-460)."""
         self.cur_task = 2 if self.cur_task == 1 else 1
 
-    def pull_item(self, index):
+    def sample_spec(self, index):
+        """Task + sub-dataset draw only (no disk I/O) — see
+        OmniDataset.sample_spec for the lock split contract."""
         if self.sot_dataset is None:       # MOT-only ablation
             task = 2
         elif self.mot_dataset is None:     # SOT-only ablation
@@ -68,5 +79,13 @@ class OmniDatasetPlus:
         else:
             task = self.cur_task
         ds = self.sot_dataset if task == 1 else self.mot_dataset
-        frames = ds.pull_item(index)
+        inner = ds.sample_spec(index) if hasattr(ds, "sample_spec") else None
+        return ds, inner, task
+
+    def load_spec(self, spec):
+        ds, inner, task = spec
+        frames = ds.load_spec(inner) if inner is not None else ds.pull_item(0)
         return frames, task
+
+    def pull_item(self, index):
+        return self.load_spec(self.sample_spec(index))

@@ -44,6 +44,7 @@ class YoutubeVOSDataset:
     def __init__(self, root, split="train", max_gap=30):
         self.root = os.path.join(root, split)
         self.max_gap = max_gap
+        self._files_cache: dict = {}
         meta_path = os.path.join(self.root, "meta.json")
         self.sequences = []
         if os.path.exists(meta_path):
@@ -59,7 +60,10 @@ class YoutubeVOSDataset:
         name = self.sequences[seq_id]
         adir = os.path.join(self.root, "Annotations", name)
         jdir = os.path.join(self.root, "JPEGImages", name)
-        ann_files = sorted(os.listdir(adir))
+        ann_files = self._files_cache.get(seq_id)
+        if ann_files is None:  # immutable dir listing: cache per sequence
+            ann_files = sorted(os.listdir(adir))
+            self._files_cache[seq_id] = ann_files
         a = random.randint(0, len(ann_files) - 1)
         b = random.randint(max(0, a - self.max_gap),
                            min(len(ann_files) - 1, a + self.max_gap))
@@ -88,6 +92,7 @@ class DAVISTrainDataset:
     def __init__(self, root, year="2017", split="train", max_gap=30):
         self.root = root
         self.max_gap = max_gap
+        self._files_cache: dict = {}
         set_file = os.path.join(root, "ImageSets", year, f"{split}.txt")
         self.sequences = [l.strip() for l in open(set_file)] \
             if os.path.exists(set_file) else []
@@ -99,7 +104,10 @@ class DAVISTrainDataset:
         name = self.sequences[seq_id]
         jdir = os.path.join(self.root, "JPEGImages", "480p", name)
         adir = os.path.join(self.root, "Annotations", "480p", name)
-        files = sorted(os.listdir(adir))
+        files = self._files_cache.get(seq_id)
+        if files is None:  # immutable dir listing: cache per sequence
+            files = sorted(os.listdir(adir))
+            self._files_cache[seq_id] = files
         a = random.randint(0, len(files) - 1)
         b = random.randint(max(0, a - self.max_gap),
                            min(len(files) - 1, a + self.max_gap))
@@ -137,8 +145,9 @@ class SaliencyDataset:
     def pull_item_omni(self, seq_id, num_frames=2):
         stem = os.path.splitext(self.items[seq_id])[0]
         img = _read_img(os.path.join(self.root, "image", self.items[seq_id]))
-        mask = cv2.imread(os.path.join(self.root, "mask", stem + ".png"),
-                          cv2.IMREAD_GRAYSCALE)
+        mask_path = os.path.join(self.root, "mask", stem + ".png")
+        mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+        assert mask is not None, f"file {mask_path} not found"
         m = (mask > 127).astype(np.uint8)[:, :, None]
         boxes = _boxes_from_masks(m)
         res = np.concatenate([boxes, np.zeros((1, 1), np.float32),

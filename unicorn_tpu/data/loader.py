@@ -74,15 +74,26 @@ class UniLoader(_RankMixin):
         self._stop = threading.Event()
 
     def _sample_batch(self):
-        """Draw one batch's raw items + flips under the lock (cheap; the
-        heavy transforms run outside it, in parallel across workers)."""
+        """Draw one batch's sample specs + flips under the lock, then load
+        (decode images, read annotations) OUTSIDE it so the heavy I/O and the
+        transforms both run in parallel across workers. Datasets without the
+        sample_spec/load_spec split (e.g. test doubles) fall back to loading
+        under the lock."""
+        split = hasattr(self.dataset, "sample_spec")
         with self._lock:
-            items = [self.dataset.pull_item(0) for _ in range(self.batch_size)]
-            flips = [self._rng.random() < 0.5 for _ in items]
+            if split:
+                specs = [self.dataset.sample_spec(0)
+                         for _ in range(self.batch_size)]
+            else:
+                items = [self.dataset.pull_item(0)
+                         for _ in range(self.batch_size)]
+            flips = [self._rng.random() < 0.5 for _ in range(self.batch_size)]
             size = self.input_size
             self._count += 1
             if self.alter_every > 0 and self._count % self.alter_every == 0:
                 self.dataset.alter_task()
+        if split:
+            items = [self.dataset.load_spec(s) for s in specs]
         return items, flips, size
 
     def _make_batch(self):
@@ -102,9 +113,17 @@ class UniLoader(_RankMixin):
                 np.asarray(tids, np.int32))
 
     def _worker(self):
+        # Build each batch ONCE and retry the put with the same batch on
+        # queue.Full: rebuilding on Full would silently discard batches whose
+        # construction had side effects (sampler RNG draws, task alternation,
+        # DetLoader's strided epoch order) and burn host CPU re-decoding.
+        batch = None
         while not self._stop.is_set():
+            if batch is None:
+                batch = self._make_batch()
             try:
-                self._q.put(self._make_batch(), timeout=1.0)
+                self._q.put(batch, timeout=1.0)
+                batch = None
             except queue.Full:
                 continue
 
@@ -145,8 +164,6 @@ class UniMaskLoader(UniLoader):
     static-shaped (mask losses are already gated on task id)."""
 
     def _make_batch(self):
-        import numpy as np
-
         items, flips, size = self._sample_batch()
         imgs, tgts, tids, mks = [], [], [], []
         for (frames, task), flip in zip(items, flips):
@@ -208,9 +225,15 @@ class DetLoader(_RankMixin):
         return np.stack(imgs), np.stack(labels)
 
     def _worker(self):
+        # Build-once/retry-put (see UniLoader._worker): a discarded batch here
+        # would skip samples from the strided rank-disjoint epoch order.
+        batch = None
         while not self._stop.is_set():
+            if batch is None:
+                batch = self._make_batch()
             try:
-                self._q.put(self._make_batch(), timeout=1.0)
+                self._q.put(batch, timeout=1.0)
+                batch = None
             except queue.Full:
                 continue
 
@@ -263,9 +286,15 @@ class InstLoader(_RankMixin):
         return np.stack(imgs), np.stack(labs), np.stack(mks)
 
     def _worker(self):
+        # Build-once/retry-put (see UniLoader._worker): rebuilding on Full
+        # would waste RNG draws and host decode work on discarded batches.
+        batch = None
         while not self._stop.is_set():
+            if batch is None:
+                batch = self._make_batch()
             try:
-                self._q.put(self._make_batch(), timeout=1.0)
+                self._q.put(batch, timeout=1.0)
+                batch = None
             except queue.Full:
                 continue
 

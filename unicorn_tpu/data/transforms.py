@@ -287,6 +287,9 @@ class TrainTransformIns:
             tids = np.zeros((len(targets),))
             tids[0] = 1
 
+        image_o = image.copy()
+        targets_o = targets.copy()
+
         if random.random() < self.hsv_prob:
             augment_hsv(image)
         do_flip = flip if joint else (random.random() < self.flip_prob)
@@ -301,6 +304,24 @@ class TrainTransformIns:
         keep = np.minimum(boxes[:, 2], boxes[:, 3]) > 1
         boxes_t, labels_t, tids_t = boxes[keep], labels[keep], tids[keep]
         masks_t = masks_t[:, :, keep]
+
+        if len(boxes_t) == 0:
+            # All boxes filtered by the >1px size gate: restore the
+            # UN-augmented boxes/labels/tids and zero the masks, exactly as
+            # the reference does (data_augment.py:761-768) and as the box
+            # transforms above already do — otherwise the sample silently
+            # becomes all-zero labels and the 2-frame association loss sees
+            # a target present in one frame with no label row in the other.
+            image_t, r_o = letterbox(image_o, input_dim)
+            boxes_t = xyxy2cxcywh(targets_o[:, :4].copy()) * r_o
+            labels_t = targets_o[:, 4]
+            if has_tid:
+                tids_t = targets_o[:, 5]
+            else:
+                tids_t = np.zeros((len(targets_o),))
+                tids_t[0] = 1
+            masks_t = np.zeros(
+                (image_t.shape[0], image_t.shape[1], len(boxes_t)), np.float32)
 
         targets_t = np.hstack([labels_t[:, None], boxes_t, tids_t[:, None]])
         padded = np.zeros((self.max_labels, 6), np.float32)
