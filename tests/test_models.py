@@ -345,3 +345,47 @@ def test_uni_forward_embeddings_backbone_map_parity():
     for xa, xb in zip(fpn_a, fpn_b):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_uni_loss_sot_only_matches_full():
+    """sot_only=True must be a pure compute-skip: with task_ids in {0, 1}
+    the MOT branch's sample count is exactly zero, so total_loss and its
+    gradients are identical with and without the branch (round-5: the MHS
+    pass paid a full SimOTA/MOT-loss computation multiplied by zero)."""
+    from unicorn_tpu.core.train_step import uni_forward_embeddings
+    from unicorn_tpu.losses.uni import build_sot_priors, unicorn_uni_loss
+    from unicorn_tpu.models.unicorn import Unicorn
+    from unicorn_tpu.ops.correlation import resize_bilinear_torch
+
+    model = Unicorn(num_classes=8, backbone_name="csp_darknet", depth=0.33,
+                    width=0.25, in_channels=(256, 512, 1024),
+                    interact_mode="conv", n_layer_att=0, use_attention=False)
+    rng = np.random.RandomState(1)
+    Hh = Ww = 64
+    images = jnp.asarray(rng.rand(2, 2, Hh, Ww, 3).astype(np.float32) * 255)
+    targets = np.zeros((2, 2, 4, 6), np.float32)
+    targets[0, 0, 0] = [0, 30, 30, 20, 20, 1]
+    targets[0, 1, 0] = [0, 33, 32, 20, 20, 1]
+    task_ids = jnp.asarray([1, 0], jnp.int32)  # SOT + padded; never MOT
+    params = model.init(jax.random.PRNGKey(0), images[:1, 0],
+                        method=Unicorn.init_all)
+    fpn_outs_1, embed_0, embed_1 = uni_forward_embeddings(
+        model, params, images)
+    prior, gt1 = build_sot_priors(embed_0, embed_1, jnp.asarray(targets),
+                                  (Hh, Ww), task_ids)
+    H8, W8 = prior.shape[1:3]
+    pyr = (prior, resize_bilinear_torch(prior, H8 // 2, W8 // 2),
+           resize_bilinear_torch(prior, H8 // 4, W8 // 4))
+    head_raw = model.apply(params, fpn_outs_1, pyr,
+                           method=Unicorn.forward_head)
+
+    def total(e0, sot_only):
+        return unicorn_uni_loss(
+            head_raw, e0, embed_1, prior, gt1, jnp.asarray(targets),
+            task_ids, (Hh, Ww), sot_only=sot_only)["total_loss"]
+
+    t_full, g_full = jax.value_and_grad(lambda e: total(e, False))(embed_0)
+    t_sot, g_sot = jax.value_and_grad(lambda e: total(e, True))(embed_0)
+    np.testing.assert_allclose(float(t_full), float(t_sot), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sot),
+                               rtol=1e-5, atol=1e-8)

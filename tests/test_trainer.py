@@ -218,7 +218,10 @@ def test_resume_without_opt_state_falls_back(tmp_path):
     tr2 = Trainer(exp2, {"batch_size": 2, "resume": True})
     tr2.before_train()
     assert tr2.start_epoch == 1
-    assert int(tr2.state.step) == 5
+    # step 5 overran the epoch-1 boundary (TinyExp has 3 iters/epoch): a
+    # mid-epoch checkpoint replays its epoch, so the step count rewinds to
+    # the boundary to keep the LR schedule aligned with the iteration count
+    assert int(tr2.state.step) == 3
 
 
 def test_async_checkpoint_roundtrip(tmp_path):
@@ -358,4 +361,94 @@ def test_preemption_sigterm_checkpoints_and_stops(tmp_path):
     t2 = Trainer(TinyExp(str(tmp_path)), {"batch_size": 2, "resume": True})
     t2.before_train()
     assert t2.start_epoch == 0
-    assert int(t2.state.step) == 2
+    # the interrupted epoch replays from iter 0, so the step and schedule
+    # counters rewind to the epoch-0 boundary (round-5: leaving them at the
+    # mid-epoch value ran the LR schedule ahead of the iteration count by
+    # the replayed iterations, forever after)
+    assert int(t2.state.step) == 0
+    import jax as _jax
+
+    for path, leaf in _jax.tree_util.tree_leaves_with_path(t2.state.opt_state):
+        name = path[-1].name if hasattr(path[-1], "name") else str(path[-1])
+        if name in ("count", "gradient_step", "mini_step"):
+            assert int(leaf) == 0, (name, int(leaf))
+
+
+def test_grad_accum_lr_schedule_in_iteration_units():
+    """Round-5 regression: optax.MultiSteps advances the inner schedule once
+    per grad_accum micro-steps while exps size total_iters in iteration
+    units (the reference updates lr every iteration) — make_optimizer must
+    rescale the count or the schedule stretches by grad_accum x."""
+    import jax.numpy as jnp
+    import optax
+
+    from unicorn_tpu.core.train_state import make_optimizer
+
+    lr_fn = lambda c: jnp.asarray(c, jnp.float32)  # lr == schedule count
+    tx = make_optimizer(lr_fn, kind="adamw", weight_decay=0.0, grad_accum=2)
+    params = {"w": jnp.zeros((1,))}
+    grads = {"w": jnp.ones((1,))}
+    opt_state = tx.init(params)
+    vals = []
+    for _ in range(6):  # 6 micro-steps = 3 inner updates
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        vals.append(float(params["w"][0]))
+    # adamw with constant grads applies ~ -lr each inner update (mhat/sqrt
+    # vhat ~= 1): inner update n must use lr_fn(2n) = 0, 2, 4 (iteration
+    # units), not lr_fn(n) = 0, 1, 2
+    deltas = np.diff([0.0] + vals)
+    inner = deltas[1::2]  # updates land on every 2nd micro-step
+    np.testing.assert_allclose(-inner, [0.0, 2.0, 4.0], atol=1e-4)
+
+
+def test_rewind_opt_counts():
+    """Mid-epoch preemption resume rewinds every schedule counter to the
+    epoch boundary (the epoch replays from iter 0)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unicorn_tpu.core.train_state import make_optimizer, rewind_opt_counts
+
+    tx = make_optimizer(lambda c: 1e-3, kind="adamw", grad_accum=2)
+    params = {"w": jnp.zeros((3,))}
+    opt_state = tx.init(params)
+    for _ in range(5):  # 5 micro-steps: gradient_step=2, mini_step=1
+        updates, opt_state = tx.update({"w": jnp.ones((3,))}, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    rewound = rewind_opt_counts(opt_state, 1)
+    found = {"count": [], "gradient_step": [], "mini_step": []}
+    def walk(path, leaf):
+        name = path[-1].name if hasattr(path[-1], "name") else str(path[-1])
+        if name in found:
+            found[name].append(int(leaf))
+        return leaf
+    jax.tree_util.tree_map_with_path(walk, rewound)
+    assert found["gradient_step"] == [1]
+    assert found["mini_step"] == [0]
+    assert all(c == 1 for c in found["count"]) and found["count"]
+
+
+def test_before_epoch_no_aug_flips_always_l1():
+    """Round-5 regression: the no-aug step-fn rebuild was a no-op for the
+    uni/inst tasks because their step factories read exp.always_l1, which
+    before_epoch never set (reference flips head.use_l1 on every head)."""
+    import logging
+    from types import SimpleNamespace
+
+    from unicorn_tpu.core.trainer import Trainer
+
+    tr = object.__new__(Trainer)
+    tr.exp = SimpleNamespace(no_aug_epochs=2, always_l1=False)
+    tr.no_aug = False
+    tr.epoch = 8
+    tr.max_epoch = 10
+    tr.logger = logging.getLogger("test")
+    tr.loader = SimpleNamespace()
+    tr._step_fns = {(64, 64): object()}
+    tr.save_ckpt = lambda name, **kw: None
+    tr.before_epoch()
+    assert tr.no_aug
+    assert tr.exp.always_l1 is True
+    assert tr._step_fns == {}

@@ -68,7 +68,7 @@ def test_vos_stack_learns_to_propagate_masks():
         [optax.linear_schedule(0.0, 2e-4, 100),
          optax.constant_schedule(2e-4)], [100])
     state = TrainState.create(params, optax.adamw(sched), use_ema=False)
-    step = make_uni_mask_train_step(model, (H, W), num_classes=2,
+    step = make_uni_mask_train_step(model, (H, W),
                                     d_rate=D_RATE, use_raft=False,
                                     use_l1=True, donate=False)
     first = last = None

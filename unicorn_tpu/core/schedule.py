@@ -46,7 +46,6 @@ def warm_cos_lr(lr, total_iters, warmup_total_iters, warmup_lr_start, iters):
 def multistep_lr(lr, milestones, gamma, iters):
     """Step decay (lr_scheduler.py:190-205)."""
     iters = jnp.asarray(iters, jnp.float32)
-    factor = 1.0
     out = jnp.asarray(lr, jnp.float32)
     for m in milestones:
         out = jnp.where(iters >= m, out * gamma, out)

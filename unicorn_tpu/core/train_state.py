@@ -67,6 +67,16 @@ def make_optimizer(
     Weight decay is masked off norm/bias params when a mask fn is given
     (reference splits pg0/pg1/pg2 param groups).
     """
+    if grad_accum > 1:
+        # optax.MultiSteps advances the inner optimizer (and its schedule
+        # count) once per grad_accum micro-steps, but the exps size
+        # total_iters/warmup_total_iters in ITERATION units — the reference
+        # updates the lr every iteration regardless of accumulation
+        # (trainer.py:221 update_lr(progress_in_iter + 1)). Rescale the count
+        # back to iteration units or the whole schedule stretches by
+        # grad_accum x (warmup twice as long, cosine never completing).
+        inner_lr_fn = lr_fn
+        lr_fn = lambda count: inner_lr_fn(count * grad_accum)  # noqa: E731
     if kind == "adamw":
         opt = optax.adamw(
             learning_rate=lr_fn, weight_decay=weight_decay,
@@ -87,6 +97,26 @@ def make_optimizer(
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
+
+
+def rewind_opt_counts(opt_state, opt_step: int):
+    """Set every optimizer step counter (adam `count`, schedule `count`,
+    MultiSteps `gradient_step`) to `opt_step` and any MultiSteps `mini_step`
+    to 0.
+
+    Used when resuming a mid-epoch preemption checkpoint: the trainer replays
+    that epoch from iter 0, so counters saved mid-epoch would run the LR
+    schedule up to one epoch ahead of the actual iteration count by the time
+    the replayed epoch ends."""
+    def fix(path, leaf):
+        name = path[-1].name if hasattr(path[-1], "name") else str(path[-1])
+        if name in ("count", "gradient_step"):
+            return jnp.asarray(opt_step, leaf.dtype)
+        if name == "mini_step":
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 def default_wd_mask(params):

@@ -101,9 +101,13 @@ def uni_loss_fn(model: Unicorn, params, images, targets, task_ids, img_size,
             embed_0, embed_1, mhs_targets, img_size, mhs_task)
         mhs_raw = model.apply(params, fpn_outs_1, prior_pyramid(mhs_prior),
                               method=Unicorn.forward_head)
+        # mhs_task is in {0, 1}: sot_only skips the (provably zero) MOT
+        # branch — the reference's mhs pass is SOT-loss-only too
+        # (unicorn.py:119-121)
         mhs_dict = unicorn_uni_loss(
             mhs_raw, embed_0, embed_1, mhs_prior, mhs_gt1, mhs_targets,
             mhs_task, img_size, num_classes=num_classes, use_l1=use_l1,
+            sot_only=True,
         )
         # reference adds the subset-normalized SOT loss directly
         # (unicorn.py:119-121); undo the n/B weighting uni_loss applies
@@ -210,8 +214,8 @@ def make_det_train_step(model, img_size, use_l1=False, donate=True):
 
 def uni_mask_loss_fn(model, params, images, targets, task_ids, masks,
                      img_size, mot_weight=1.0, bidirect=True, use_l1=False,
-                     num_classes=8, d_rate=2, use_raft=True, up_rate=8,
-                     max_pairs=3):
+                     d_rate=2, use_raft=True, up_rate=8,
+                     max_pairs=3, max_inst=24):
     """VOS+MOTS stage loss (reference ExpTrackMask path: unicorn.py:76-132
     with masks; task 1 = VOS, task 2 = MOTS)."""
     from ..losses.mask import condinst_mask_loss
@@ -252,7 +256,7 @@ def uni_mask_loss_fn(model, params, images, targets, task_ids, masks,
     mask_feats, up_mask, _ = mb_apply(fpn_outs_1)
     mots_mask_l = condinst_mask_loss(
         flat["ctrl"], mask_feats, assign.fg_mask, assign.matched_gt,
-        assign.pred_iou, masks[:, 1], hw, (8, 16, 32), max_inst=24,
+        assign.pred_iou, masks[:, 1], hw, (8, 16, 32), max_inst=max_inst,
         up_masks=up_mask, up_rate=up_rate, sample_mask=mots_mask,
     )
     corr_mot_b = jax.vmap(
@@ -279,14 +283,15 @@ def uni_mask_loss_fn(model, params, images, targets, task_ids, masks,
 
 
 def make_uni_mask_train_step(model, img_size, mot_weight=1.0, bidirect=True,
-                             use_l1=False, num_classes=8, d_rate=2,
-                             use_raft=True, up_rate=8, donate=True):
+                             use_l1=False, d_rate=2,
+                             use_raft=True, up_rate=8, max_inst=24,
+                             donate=True):
     def step(state, images, targets, task_ids, masks):
         def loss(params):
             return uni_mask_loss_fn(
                 model, params, images, targets, task_ids, masks, img_size,
-                mot_weight, bidirect, use_l1, num_classes, d_rate,
-                use_raft, up_rate,
+                mot_weight, bidirect, use_l1, d_rate,
+                use_raft, up_rate, max_inst=max_inst,
             )
 
         (_, loss_dict), grads = jax.value_and_grad(loss, has_aux=True)(state.params)

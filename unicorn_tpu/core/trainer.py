@@ -181,6 +181,32 @@ class Trainer:
                     self.logger.warning(
                         "checkpoint has no (or mismatched) optimizer state; "
                         "resuming with fresh optimizer moments")
+                loaded_step = int(loaded.get("step", 0))
+                self.start_epoch = int(loaded.get("epoch", 0))
+                if self.args.get("start_epoch") is not None:
+                    # reference: args.start_epoch - 1 overrides the stored one
+                    self.start_epoch = int(self.args["start_epoch"]) - 1
+                boundary = self.start_epoch * self.iters_per_epoch
+                if loaded_step > boundary:
+                    # mid-epoch (preemption) checkpoint — step ran PAST the
+                    # stored epoch's boundary because the epoch wasn't
+                    # advanced: the epoch replays from iter 0, so rewind the
+                    # step + LR-schedule counters to the boundary or the
+                    # schedule runs up to one epoch ahead of the iteration
+                    # count forever after. (step <= boundary means a normal
+                    # epoch-boundary save: counters continue bit-identically.)
+                    from .train_state import rewind_opt_counts
+
+                    grad_acc = (int(getattr(exp, "grad_acc_step", 1))
+                                if getattr(exp, "use_grad_acc", False) else 1)
+                    opt_state = rewind_opt_counts(
+                        opt_state, boundary // max(grad_acc, 1))
+                    self.logger.info(
+                        "mid-epoch checkpoint (step %d): rewound schedule "
+                        "counters to the epoch-%d boundary (step %d) for the "
+                        "replayed epoch", loaded_step, self.start_epoch,
+                        boundary)
+                    loaded_step = boundary
                 state = state.replace(
                     params=loaded["params"], opt_state=opt_state,
                     # EMA stays disabled if the exp disabled it — the saved
@@ -188,12 +214,8 @@ class Trainer:
                     # must not re-enable per-step EMA maintenance
                     ema_params=loaded.get("ema_params", loaded["params"])
                     if state.ema_params is not None else None,
-                    step=np.asarray(loaded.get("step", 0), np.int32),
+                    step=np.asarray(loaded_step, np.int32),
                 )
-                self.start_epoch = int(loaded.get("epoch", 0))
-                if self.args.get("start_epoch") is not None:
-                    # reference: args.start_epoch - 1 overrides the stored one
-                    self.start_epoch = int(self.args["start_epoch"]) - 1
                 self.best_ap = float(loaded.get("best_ap", 0.0))
                 self.logger.info("resumed from epoch %d (best_ap %.4f)",
                                  self.start_epoch, self.best_ap)
@@ -271,6 +293,11 @@ class Trainer:
             if hasattr(obj, "close_mosaic"):
                 obj.close_mosaic()
                 break
+        # The reference flips head.use_l1=True on EVERY head type at no-aug
+        # (trainer.py:387-391); the uni/inst step fns read exp.always_l1, so
+        # flip it before the rebuild or their recompile changes nothing.
+        if hasattr(exp, "always_l1"):
+            exp.always_l1 = True
         self._step_fns = {}  # rebuild step fns with use_l1=True
         self.save_ckpt("last_mosaic_epoch")
 
@@ -353,13 +380,24 @@ class Trainer:
                 )
 
     def after_epoch(self):
+        import jax
+
         self.save_ckpt("latest")
-        if (self.epoch + 1) % self.exp.eval_interval == 0 and \
-                hasattr(self.exp, "get_evaluator"):
+        if jax.process_index() != 0:
+            # in-training eval is local (mesh=None evaluator) and best-ckpt
+            # saving is rank-0-only: other hosts would just duplicate the
+            # full eval forward pass and interleave metrics.jsonl records
+            return
+        if (self.epoch + 1) % self.exp.eval_interval == 0:
             try:
                 self.evaluate_and_save_best()
-            except Exception as e:  # eval must not kill training
-                self.logger.warning("in-training eval failed: %s", e)
+            except NotImplementedError:
+                # exp defines no evaluator (BaseExp.get_evaluator raises):
+                # in-training eval simply doesn't apply — not an error
+                self.logger.debug("exp has no evaluator; skipping "
+                                  "in-training eval")
+            except Exception:  # eval must not kill training
+                self.logger.warning("in-training eval failed", exc_info=True)
 
     def evaluate_and_save_best(self):
         """In-training COCO eval + best checkpoint (trainer.py:503-526)."""
@@ -400,9 +438,15 @@ class Trainer:
 
     def _log_metrics(self, record):
         """Scalar metrics to metrics.jsonl (role of the reference's
-        TensorBoard scalars, trainer.py:359-361)."""
+        TensorBoard scalars, trainer.py:359-361). Rank-0 only: multihost
+        runs share the output dir and interleaved appends from every
+        process would corrupt the stream."""
         import json
 
+        import jax
+
+        if jax.process_index() != 0:
+            return
         with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
 

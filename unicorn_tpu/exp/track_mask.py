@@ -169,6 +169,7 @@ class ExpTrackMask(ExpTrack):
             self.get_model(), self.input_size,
             mot_weight=float(self.mot_weight) if self.scale_all_mot else 1.0,
             bidirect=self.bidirect, use_l1=self.always_l1,
-            num_classes=self.num_classes, d_rate=self.d_rate,
+            d_rate=self.d_rate,
             use_raft=self.use_raft, up_rate=self.up_rate,
+            max_inst=int(getattr(self, "max_inst", 24)),
         )

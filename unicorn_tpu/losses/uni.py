@@ -117,8 +117,15 @@ def unicorn_uni_loss(
     sot_weight: float = 1.0,
     bidirect: bool = True,
     use_l1: bool = False,
+    sot_only: bool = False,
 ):
-    """Combined loss (unicorn.py:76-132). Returns a loss dict."""
+    """Combined loss (unicorn.py:76-132). Returns a loss dict.
+
+    sot_only=True skips the MOT branch entirely (head losses + contrastive):
+    callers whose task_ids can never be 2 (the MHS auxiliary pass feeds
+    tasks in {0, 1}) would otherwise pay a full SimOTA/MOT-loss computation
+    that is multiplied by an exactly-zero sample count — same value and
+    gradients, none of the work."""
     B = targets.shape[0]
     sot_mask = (task_ids == 1).astype(jnp.float32)
     mot_mask = (task_ids == 2).astype(jnp.float32)
@@ -138,25 +145,34 @@ def unicorn_uni_loss(
 
     labels1 = targets[:, 1]  # current frame (B, M, 6)
     sot_dict, _ = head_losses("sot", labels1[..., :5], sot_mask)
-    mot_dict, _ = head_losses("mot", labels1[..., :5], mot_mask)
 
     # --- correlation losses ---
     corr_sot = dice_loss(
         pred_prior_s8[..., 0], gt_lbs1_s8[..., 0], sample_mask=sot_mask
     )
+    total_sot = (sot_dict["total_loss"] + corr_sot) * sot_weight
+    n_sot_f = jnp.sum(sot_mask)
+
+    if sot_only:
+        out = {"total_loss": n_sot_f * total_sot / B,
+               "corr_loss_sot": corr_sot}
+        for k, v in sot_dict.items():
+            if k != "total_loss":
+                out[k + "_sot"] = v
+        return out
+
+    mot_dict, _ = head_losses("mot", labels1[..., :5], mot_mask)
     corr_mot_b = jax.vmap(
         lambda e0, e1, t: mot_contrastive_loss_single(e0, e1, t, bidirect)
     )(embed_0, embed_1, targets)
     n_mot = jnp.maximum(jnp.sum(mot_mask), 1.0)
     corr_mot = jnp.sum(corr_mot_b * mot_mask) / n_mot
 
-    total_sot = (sot_dict["total_loss"] + corr_sot) * sot_weight
     total_mot = mot_dict["total_loss"] + corr_mot
     if mot_weight > 1.0:
         # reference adds extra conf-loss weight for MOT (unicorn_head.py:393-396)
         total_mot = total_mot + mot_dict["conf_loss"] * (mot_weight - 1.0)
 
-    n_sot_f = jnp.sum(sot_mask)
     n_mot_f = jnp.sum(mot_mask)
     total = (n_sot_f * total_sot + n_mot_f * total_mot) / B
 
