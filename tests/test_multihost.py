@@ -67,3 +67,32 @@ def test_pod_mesh_dp_train_step():
     # params remain replicated after the update
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_multihost_env_detection(monkeypatch):
+    """Pod auto-detection fires only on MULTI-host markers: a single-worker
+    TPU VM also sets TPU_WORKER_HOSTNAMES (one entry) and must stay
+    single-host; >1 workers or an explicit coordinator means multihost."""
+    from unicorn_tpu.parallel.multihost import _multihost_env
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not _multihost_env()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert _multihost_env()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host-0:1234")
+    assert _multihost_env()
+
+
+def test_local_batch_slice_rejects_indivisible(monkeypatch):
+    """A global batch that doesn't divide over the hosts must raise (a
+    silent floor would drop samples every step)."""
+    import pytest
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    with pytest.raises(ValueError):
+        local_batch_slice(30)
+    assert local_batch_slice(32) == (8, 8)

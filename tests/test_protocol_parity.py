@@ -316,13 +316,18 @@ def test_omni_embedding_rotation_parity(sot_pair):
             has_prev = jnp_.asarray(True)
         drv.update(img)
         lb, _ = letterbox(img, (H, W))
-        dets, valid, embeds, feat_cur = drv._step(
-            params, jnp_.asarray(lb[None]), feat_before, has_prev)[:4]
+        # update() uploads uint8 (on-chip float cast); re-derive with the
+        # same dtype, and unpack the single-fetch dets|valid|embeds tensor
+        packed, feat_cur = drv._step(
+            params, jnp_.asarray(lb[None].astype(np.uint8)),
+            feat_before, has_prev)[:2]
         # update()'s rotation must carry the RAW current backbone features
         np.testing.assert_array_equal(np.asarray(drv.feat_prev),
                                       np.asarray(feat_cur))
-        d = np.asarray(dets)[np.asarray(valid).astype(bool)]
-        emb_ours = np.asarray(embeds)[np.asarray(valid).astype(bool)]
+        packed = np.asarray(packed)
+        valid = packed[:, 7] > 0.5
+        d = packed[valid][:, :7]
+        emb_ours = packed[valid][:, 8:]
         keep = d[:, 4] * d[:, 5] > 0.1
         d, emb_ours = d[keep], emb_ours[keep]
         ref_out, ref_emb = ref_frames[t]

@@ -16,6 +16,7 @@ decomposition). MFU uses XLA cost analysis FLOPs of the full step.
 
 Env: TP_BATCH (default 1), TP_HW (default 800x1280), TP_NSCAN (default 8),
 TP_REMAT=1 full block remat, TP_REMAT=dw selective (save dw7x7 output).
+TP_MHS=1 times the production-default step (mhs auxiliary SOT pass on).
 TP_MAP_BB=1 runs the backbone as lax.map over the 2B frames (batch-1 per
 iteration — probes the measured batch>1 live-set regression, BASELINE.md
 batch_stage). TP_GELU=tanh swaps the erf GELU for the tanh approximation
@@ -77,6 +78,10 @@ def main():
         sys.exit(f"TP_REMAT={remat_env!r}: valid values are 0, 1, dw")
 
     map_bb = os.environ.get("TP_MAP_BB", "0") == "1"
+    # TP_MHS=1 times the PRODUCTION-default step (ExpTrack mhs=True: the
+    # MOT-helps-SOT auxiliary pass with its second head call + sot_only
+    # loss); the README/BASELINE per-stage tables time mhs=False.
+    use_mhs = os.environ.get("TP_MHS", "0") == "1"
     gelu_env = os.environ.get("TP_GELU", "erf")
     if gelu_env not in ("erf", "tanh"):
         sys.exit(f"TP_GELU={gelu_env!r}: valid values are erf, tanh")
@@ -127,7 +132,8 @@ def main():
 
     def loss(p, images, targets, task_ids):
         return uni_loss_fn(model, p, images, targets, task_ids, (H, W),
-                           bidirect=True, num_classes=8, backbone_map=map_bb)
+                           bidirect=True, num_classes=8, backbone_map=map_bb,
+                           mhs=use_mhs)
 
     fwd_emb = scan_wrap(
         lambda im, p: jnp.mean(uni_forward_embeddings(
@@ -316,7 +322,7 @@ def main():
     print(json.dumps({
         "metric": "uni_train_step_profile",
         "batch": B, "hw": f"{H}x{W}", "remat": remat,
-        "map_bb": map_bb, "gelu": gelu_env,
+        "map_bb": map_bb, "gelu": gelu_env, "mhs": use_mhs,
         "stage_ms": {
             "full_step": round(t_step, 1),
             **({"fwd_embeddings": round(t_emb, 1),

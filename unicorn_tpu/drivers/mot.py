@@ -97,6 +97,9 @@ class MOTOmniDriver:
                 aligned_bilinear, convex_upsample, dynamic_mask_logits,
             )
 
+            # uint8 on the wire, cast on chip (4x less H2D over the
+            # latency-bound link — same convention as SOTDriver/MOTDriver)
+            frame = frame.astype(jnp.float32)
             fpn_outs, feat_cur = model.apply(params, frame,
                                              method=Unicorn.forward_backbone)
             priors = tuple(jnp.zeros(f.shape[:3] + (1,), f.dtype)
@@ -119,7 +122,13 @@ class MOTOmniDriver:
             centers = (dets[0, :, :2] + dets[0, :, 2:4]) / 2.0
             embeds = sample_instance_embeddings(
                 emb_map.astype(jnp.float32), centers)
-            outs = [dets[0], valid[0], embeds, feat_cur]
+            # pack dets (7 cols) + validity + embeds into ONE tensor so the
+            # host pays a single D2H fetch (the link is latency-bound; the
+            # sibling drivers pack the same way)
+            packed = jnp.concatenate(
+                [dets[0].astype(jnp.float32),
+                 valid[0][:, None].astype(jnp.float32), embeds], axis=1)
+            outs = [packed, feat_cur]
             if with_mask:
                 flat = flatten_raw_outputs(raw, "mot")
                 mask_feats, up_mask, _ = model.apply(
@@ -176,7 +185,7 @@ class MOTOmniDriver:
         resizing."""
         img, r = letterbox(image, self.input_size)
         self.last_scale = r
-        frame = self._jnp.asarray(img[None])
+        frame = self._jnp.asarray(img[None].astype(np.uint8))
         if self.feat_prev is None:
             # shape-compatible zero feature; has_prev=False selects feat_cur
             self.feat_prev = self._jnp.zeros(*self._feat16_shape)
@@ -184,14 +193,15 @@ class MOTOmniDriver:
         else:
             has_prev = self._jnp.asarray(True)
         out = self._step(self.params, frame, self.feat_prev, has_prev)
-        dets, valid, embeds, feat_cur = out[:4]
-        masks_np = (np.asarray(out[4], np.float32)
-                    if self.with_mask and len(out) > 4 else None)
-        self.feat_prev = feat_cur
+        packed, feat_cur = out[:2]
+        masks_np = (np.asarray(out[2], np.float32)
+                    if self.with_mask and len(out) > 2 else None)
+        self.feat_prev = feat_cur  # stays on device
         self.frame_id += 1
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
-        embeds = np.asarray(embeds)
+        packed = np.asarray(packed)  # one fetch: dets | valid | embeds
+        dets = packed[:, :7]
+        valid = packed[:, 7] > 0.5
+        embeds = packed[:, 8:]
         k = valid.sum()
         if self.tracker_kind == "deepsort":
             # empty frames still step the tracker: the Kalman table must

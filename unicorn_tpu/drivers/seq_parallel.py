@@ -20,6 +20,23 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _make_seq_parallel_fn(frame_fn, mesh: Mesh, axis: str):
+    """Shared scaffold: vmap a per-frame driver fn
+    (params, ref_a, ref_b, frame (1, H, W, 3)) over a leading S axis and
+    shard S over `axis` (params replicated). All three public variants are
+    this one jit; keeping a single site means sharding/donation changes
+    cannot drift between SOT and the two VOS forms."""
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(axis))
+
+    def multi(params, refs_a, refs_b, frames):
+        return jax.vmap(
+            lambda ra, rb, f: frame_fn(params, ra, rb, f[None])
+        )(refs_a, refs_b, frames)
+
+    return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
+
+
 def make_sot_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
     """Jitted multi-sequence SOT step over `mesh`.
 
@@ -28,15 +45,7 @@ def make_sot_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
     with S sharded over `axis`. Stack per-sequence `SOTDriver._init_fn`
     outputs along axis 0 to build feat_refs/lbs_refs.
     """
-    rep = NamedSharding(mesh, P())
-    sh = NamedSharding(mesh, P(axis))
-
-    def multi(params, feat_refs, lbs_refs, frames):
-        return jax.vmap(
-            lambda fr, lr, f: driver._track_fn_raw(params, fr, lr, f[None])
-        )(feat_refs, lbs_refs, frames)
-
-    return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
+    return _make_seq_parallel_fn(driver._track_fn_raw, mesh, axis)
 
 
 def make_vos_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
@@ -49,15 +58,7 @@ def make_vos_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
     masks (S, K, H, W) when the model has a mask head), S sharded over
     `axis`. Each sequence carries its own K object slots.
     """
-    rep = NamedSharding(mesh, P())
-    sh = NamedSharding(mesh, P(axis))
-
-    def multi(params, feat_refs, lbs_refs, frames):
-        return jax.vmap(
-            lambda fr, lr, f: driver._track_fn_raw(params, fr, lr, f[None])
-        )(feat_refs, lbs_refs, frames)
-
-    return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
+    return _make_seq_parallel_fn(driver._track_fn_raw, mesh, axis)
 
 
 def make_vos_shared_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
@@ -69,13 +70,4 @@ def make_vos_shared_seq_parallel_fn(driver, mesh: Mesh, axis: str = "seq"):
      frames (S, H, W, 3) float) -> same outputs as
     make_vos_seq_parallel_fn, S sharded over `axis`.
     """
-    rep = NamedSharding(mesh, P())
-    sh = NamedSharding(mesh, P(axis))
-
-    def multi(params, feat_ref1s, lbs_refs, frames):
-        return jax.vmap(
-            lambda fr, lr, f: driver._track_fn_shared_raw(
-                params, fr, lr, f[None])
-        )(feat_ref1s, lbs_refs, frames)
-
-    return jax.jit(multi, in_shardings=(rep, sh, sh, sh), out_shardings=sh)
+    return _make_seq_parallel_fn(driver._track_fn_shared_raw, mesh, axis)

@@ -172,10 +172,17 @@ class SOTDriver:
                 f, r = self._preproc_u8(im)
                 frames.append(f[0])
                 rs.append(r)
+            # pad a partial tail chunk to the full window (repeat the last
+            # frame, discard its outputs): every distinct batch size is its
+            # own XLA compile, and TPU compiles go through a minutes-long
+            # remote queue — one shape serves every sequence length
+            n_real = len(frames)
+            while len(frames) < window:
+                frames.append(frames[-1])
             packed = np.asarray(self._track_batch_fn(
                 self.params, self.feat_ref, self.lbs_ref,
                 self._jnp.stack(frames)))
-            for k, r in enumerate(rs):
+            for k, r in enumerate(rs[:n_real]):
                 self.frame_id += 1
                 self.state = self.update_state_from_packed(
                     packed[k], r, self.state, self.input_size)

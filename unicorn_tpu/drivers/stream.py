@@ -137,7 +137,11 @@ class StreamingMOTPipeline:
             chunk_step (tests/test_stream.py), outputs just flush one
             iteration later."""
             N = frames.shape[0]
-            D = max_dets
+            # postprocess_device clamps its output rows to min(max_out,
+            # n_cand); the pipelined carry must match detect()'s REAL output
+            # shape or lax.scan rejects the carry structure when
+            # max_dets > n_cand
+            D = min(max_dets, n_cand)
 
             def body(carry, inp):
                 i, frame = inp
@@ -177,6 +181,13 @@ class StreamingMOTPipeline:
             return ts_v, jnp.swapaxes(outs, 0, 1)
 
         self.n_streams = int(n_streams)
+        if self.n_streams > 1 and (pipelined or F != 1):
+            # chunk_step_multi ignores both knobs; accepting them would
+            # silently bench the plain multi-stream path
+            raise ValueError(
+                "n_streams > 1 supports neither pipelined=True nor "
+                "frame_batch > 1 (the multi-stream chunk step already "
+                "batches the detector across streams)")
         self._frame_step_raw = frame_step
         self._frame_step = jax.jit(frame_step)
         self._chunk_step = jax.jit(

@@ -354,8 +354,11 @@ class VOSDriver:
         score identically."""
         boxes = {}
         dets = np.asarray(dets)
+        # ONE fetch of the valid table: per-slot np.asarray(valid[slot])
+        # would pay the 30-50 ms latency-bound host link K+1 times per frame
+        valid = np.asarray(valid)
         for slot, oid in enumerate(self.obj_ids):
-            d = dets[slot][np.asarray(valid[slot])]
+            d = dets[slot][valid[slot]]
             if len(d):
                 boxes[oid] = (d[0, :4] / r).tolist()
         if masks is None:
@@ -365,7 +368,7 @@ class VOSDriver:
         # aggregation and paste the GT mask instead (unicorn_vos.py:100-101);
         # slots with NO det over conf_thre contribute a zero mask (the
         # reference's output-is-None branch, unicorn_vos.py:151-153)
-        agg_valid = self.obj_valid * np.asarray(valid).any(axis=1)
+        agg_valid = self.obj_valid * valid.any(axis=1)
         for slot, oid in enumerate(self.obj_ids):
             if oid in self._entry_overlay:
                 agg_valid[slot] = 0.0

@@ -13,18 +13,33 @@ import os
 import numpy as np
 
 
+def _multihost_env() -> bool:
+    """True when the environment indicates a MULTI-host launch: an explicit
+    JAX coordinator, a multi-slice (megascale) coordinator, or Cloud TPU pod
+    metadata listing more than one worker. Single-host TPU VMs also set
+    TPU_WORKER_HOSTNAMES (with one entry), so the count matters."""
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        return True
+    if "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None):
     """Call once at program start on every host. No-ops on a single host.
 
-    On Cloud TPU pods the arguments auto-detect from the metadata server;
-    elsewhere pass them (or set JAX_COORDINATOR_ADDRESS etc.).
-    """
+    On Cloud TPU pods the arguments auto-detect from the metadata server
+    (bare `jax.distributed.initialize()`), which is reached whenever a pod
+    env marker is present — a bare call on a true single host would fail
+    auto-detection, so the guard checks the markers rather than requiring
+    callers to thread coordinates through."""
     import jax
 
     if num_processes in (None, 1) and coordinator_address is None \
-            and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+            and not _multihost_env():
         return  # single-host
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -33,8 +48,7 @@ def initialize_multihost(coordinator_address: str | None = None,
     )
 
 
-def make_pod_mesh(dp_per_slice: int | None = None,
-                  axis_names=("dcn", "data")):
+def make_pod_mesh(axis_names=("dcn", "data")):
     """2-level mesh for multi-slice training: outer axis over slices (DCN),
     inner axis over chips in a slice (ICI). Gradients psum hierarchically —
     XLA reduces over ICI first, then DCN."""
@@ -44,6 +58,11 @@ def make_pod_mesh(dp_per_slice: int | None = None,
     devices = jax.devices()
     n_slices = max(1, len({getattr(d, "slice_index", 0) for d in devices}))
     per_slice = len(devices) // n_slices
+    # Sort so each mesh row holds ONE slice's chips: jax.devices() order is
+    # not guaranteed slice-grouped, and a mixed row would put the inner
+    # "data" axis (meant to ride ICI) across DCN links.
+    devices = sorted(devices,
+                     key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
     mesh_devices = np.asarray(devices).reshape(n_slices, per_slice)
     return Mesh(mesh_devices, axis_names)
 
@@ -53,6 +72,11 @@ def local_batch_slice(global_batch: int):
     role): contiguous shard by process index."""
     import jax
 
-    per = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(
+            f"global_batch={global_batch} must divide evenly over "
+            f"{n} processes — a silent floor would drop samples every step")
+    per = global_batch // n
     start = per * jax.process_index()
     return start, per
