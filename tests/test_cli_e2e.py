@@ -39,6 +39,14 @@ class Exp(ExpTrack):
         self.pretrain_name = None
 '''
 
+# test_size DELIBERATELY larger than the 64x96 fixture frames: the track.py
+# eval paths must letterbox native-resolution frames to test_size and divide
+# the output boxes back by the scale (round-5: tools/track.py fed raw frames
+# to a letterbox-coordinate pipeline, invisible while the fixture resolution
+# equaled test_size).
+TRACK_EXP_SCALED = TRACK_EXP.replace("self.test_size = (64, 96)",
+                                     "self.test_size = (96, 128)")
+
 TRAIN_EXP = '''
 import numpy as np
 
@@ -121,14 +129,18 @@ def _run_tool(tool, argv):
 
 
 def _write_mot_fixture(datadir):
-    """COCO-format video dataset: 1 video x 6 frames, one moving box."""
+    """COCO-format video dataset: 1 video x 6 frames, one moving box.
+
+    Frame resolution is DELIBERATELY not divisible by 32: any tool that
+    forgets to letterbox native frames to test_size crashes in the FPN
+    instead of silently mis-scaling (the round-5 tools/track.py bug)."""
     import cv2
 
     img_dir = os.path.join(datadir, "mot", "test", "v0")
     ann_dir = os.path.join(datadir, "mot", "annotations")
     os.makedirs(img_dir)
     os.makedirs(ann_dir)
-    H, W = 64, 96
+    H, W = 50, 70
     images, anns = [], []
     for t in range(6):
         img = np.zeros((H, W, 3), np.uint8)
@@ -148,11 +160,13 @@ def _write_mot_fixture(datadir):
 
 def test_track_cli_end_to_end(tmp_path, monkeypatch, capsys):
     """tools/track.py: exp file -> model -> streaming eval over an on-disk
-    COCO-video fixture -> per-video MOT txt + CLEAR-MOT score printed."""
+    COCO-video fixture -> per-video MOT txt + CLEAR-MOT score printed.
+    Uses TRACK_EXP_SCALED so native fixture resolution != test_size: the
+    letterbox + scale-back path is exercised, not a no-op."""
     datadir = str(tmp_path / "data")
     _write_mot_fixture(datadir)
     exp_file = tmp_path / "exp_cli_tiny.py"
-    exp_file.write_text(TRACK_EXP)
+    exp_file.write_text(TRACK_EXP_SCALED)
     result_dir = str(tmp_path / "results")
     monkeypatch.setenv("UNICORN_DATADIR", datadir)
 
@@ -356,24 +370,32 @@ def test_vos_cli_end_to_end(tmp_path, monkeypatch, capsys):
 
 
 def test_interpolation_cli(tmp_path):
-    """tools/interpolation.py: DTI fills a 2-frame gap in a MOT txt."""
+    """tools/interpolation.py: DTI fills a 2-frame gap in a MOT txt for a
+    long-enough track, and leaves short tracklets untouched (reference
+    gates on n_frame > n_min and gap < n_dti, interpolation.py:82,92)."""
     txt_dir = tmp_path / "in"
     out_dir = tmp_path / "out"
     txt_dir.mkdir()
     rows = [[1, 7, 10, 10, 20, 20, 1, -1, -1, -1],
             [2, 7, 12, 10, 20, 20, 1, -1, -1, -1],
             [5, 7, 18, 10, 20, 20, 1, -1, -1, -1],
-            [6, 7, 20, 10, 20, 20, 1, -1, -1, -1]]
+            [6, 7, 20, 10, 20, 20, 1, -1, -1, -1],
+            # short 2-frame tracklet with the same gap: must NOT be filled
+            [1, 9, 50, 10, 8, 8, 1, -1, -1, -1],
+            [5, 9, 58, 10, 8, 8, 1, -1, -1, -1]]
     np.savetxt(txt_dir / "v0.txt", np.array(rows, float), delimiter=",")
 
     _run_tool("interpolation", ["--txt-dir", str(txt_dir),
-                                "--out-dir", str(out_dir)])
+                                "--out-dir", str(out_dir), "--n-min", "3"])
 
     out = np.loadtxt(out_dir / "v0.txt", delimiter=",")
     frames = sorted(out[out[:, 1] == 7][:, 0].astype(int).tolist())
     assert frames == [1, 2, 3, 4, 5, 6]  # frames 3-4 interpolated
     f3 = out[(out[:, 0] == 3) & (out[:, 1] == 7)][0]
     assert abs(f3[2] - 14.0) < 1e-6  # linear x between 12 (f2) and 18 (f5)
+    assert f3[6] == 1.0 and f3[7] == -1.0  # synthesized-row conf stamping
+    frames9 = sorted(out[out[:, 1] == 9][:, 0].astype(int).tolist())
+    assert frames9 == [1, 5]  # n <= n_min: untouched
 
 
 def test_analysis_results_cli(tmp_path, monkeypatch, capsys):
@@ -533,7 +555,7 @@ def test_track_cli_fused_end_to_end(tmp_path, monkeypatch, capsys):
     datadir = str(tmp_path / "data")
     _write_mot_fixture(datadir)
     exp_file = tmp_path / "exp_cli_tiny.py"
-    exp_file.write_text(TRACK_EXP)
+    exp_file.write_text(TRACK_EXP_SCALED)
     result_dir = str(tmp_path / "results")
     monkeypatch.setenv("UNICORN_DATADIR", datadir)
 

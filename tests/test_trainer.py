@@ -452,3 +452,53 @@ def test_before_epoch_no_aug_flips_always_l1():
     assert tr.no_aug
     assert tr.exp.always_l1 is True
     assert tr._step_fns == {}
+
+
+def test_det_mask_exp_loads_det_pretrain(tmp_path, monkeypatch):
+    """Round-5 regression: ExpDetMask set pretrain_name but had no
+    load_pretrained, so the Trainer's pretrain hook silently skipped and
+    train_mask_only froze a RANDOM detector. The hook must copy every
+    shape-matching det tensor and leave the CondInst branch at init."""
+    import jax
+    import jax.numpy as jnp
+
+    from unicorn_tpu.core.checkpoint import (
+        save_checkpoint, wait_for_checkpoints,
+    )
+    from unicorn_tpu.exp.det_mask import ExpDetMask
+
+    exp = ExpDetMask()
+    exp.num_classes = 2
+    exp.backbone_name = "csp_darknet"
+    exp.depth = 0.33
+    exp.width = 0.25
+    exp.in_channels = [256, 512, 1024]
+    exp.use_attention = False
+    exp.n_layer_att = 0
+    exp.bf16 = False
+    exp.pretrain_name = "det_tiny_test"
+
+    model = exp.get_model()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    # a "det checkpoint": same tree with every leaf shifted by +1
+    det_params = jax.tree_util.tree_map(lambda p: p + 1.0, params)
+    monkeypatch.chdir(tmp_path)
+    save_checkpoint(str(tmp_path / "Unicorn_outputs" / exp.pretrain_name),
+                    {"params": jax.device_get(det_params)}, "latest",
+                    blocking=True)
+    wait_for_checkpoints()
+
+    loaded = exp.load_pretrained(params)
+    flat_new = {"/".join(str(x) for x in k): v for k, v
+                in jax.tree_util.tree_leaves_with_path(loaded)}
+    flat_old = {"/".join(str(x) for x in k): v for k, v
+                in jax.tree_util.tree_leaves_with_path(params)}
+    n_copied = n_kept = 0
+    for k in flat_new:
+        if np.allclose(np.asarray(flat_new[k]),
+                       np.asarray(flat_old[k]) + 1.0):
+            n_copied += 1
+        elif np.allclose(np.asarray(flat_new[k]), np.asarray(flat_old[k])):
+            n_kept += 1
+    assert n_copied > 50, (n_copied, n_kept)  # detector weights came in

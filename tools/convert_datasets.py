@@ -43,7 +43,7 @@ def convert_mot(root, split="train", out_name=None, mot20=False):
             img_id += 1
         gt_path = os.path.join(vdir, "gt", "gt.txt")
         if os.path.exists(gt_path):
-            gt = np.loadtxt(gt_path, delimiter=",").reshape(-1, 9 if not mot20 else 9)
+            gt = np.loadtxt(gt_path, delimiter=",").reshape(-1, 9)
             for row in gt:
                 frame, tid, x, y, w, h, mark, cls = row[:8]
                 vis = float(row[8]) if len(row) > 8 else 1.0
@@ -53,8 +53,11 @@ def convert_mot(root, split="train", out_name=None, mot20=False):
                     # classes {2,7,8,12} = static person/distractor/
                     # reflection, or vis<0): kept as iscrowd entries so the
                     # scorer can suppress predictions matched to them;
-                    # loaders skip iscrowd, so they never become train gt
-                    if int(cls) in (2, 7, 8, 12) or vis < 0:
+                    # loaders skip iscrowd, so they never become train gt.
+                    # MOT20 drops ignored-person rows entirely instead
+                    # (reference convert_mot20_to_coco.py `continue`s where
+                    # the MOT17 converter emits category_id=-1)
+                    if not mot20 and (int(cls) in (2, 7, 8, 12) or vis < 0):
                         out["annotations"].append({
                             "id": ann_id, "image_id": frame_to_img[int(frame)],
                             "category_id": 1, "track_id": -1, "bbox": box,

@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from unicorn_tpu.utils.setup_env import configure_jax
+    configure_jax()  # persistent compile cache: TPU graphs compile
+    # through a slow remote queue; .jax_cache makes reruns instant
+
     p = argparse.ArgumentParser()
     p.add_argument("-f", "--exp_file", default=None)
     p.add_argument("-n", "--name", default=None)

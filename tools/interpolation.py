@@ -22,19 +22,28 @@ def dti(txt_path, save_path, n_min=25, n_dti=20):
         tracklet = data[data[:, 1] == tid]
         tracklet = tracklet[np.argsort(tracklet[:, 0])]
         n = len(tracklet)
-        if n <= 2:
+        # reference gates: only tracks LONGER than n_min get interpolated
+        # (short tracklets are likely false positives — synthesizing boxes
+        # for them would add FPs the reference's DTI never emits), and a gap
+        # must be strictly under n_dti (interpolation.py:82,92)
+        if n <= max(2, n_min):
             out.append(tracklet)
             continue
         frames = tracklet[:, 0]
         rows = [tracklet[0]]
         for i in range(1, n):
             gap = int(frames[i] - frames[i - 1])
-            if 1 < gap <= n_dti:
+            if 1 < gap < n_dti:
                 for g in range(1, gap):
                     a = g / gap
                     interp = tracklet[i - 1] * (1 - a) + tracklet[i] * a
                     interp[0] = frames[i - 1] + g
                     interp[1] = tid
+                    # reference stamps synthesized rows conf=1, tail -1
+                    # (interpolation.py:108), only the bbox is interpolated
+                    if interp.shape[0] >= 7:
+                        interp[6] = 1.0
+                        interp[7:] = -1.0
                     rows.append(interp)
             rows.append(tracklet[i])
         out.append(np.stack(rows))
@@ -66,14 +75,18 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--txt-dir", required=True)
     p.add_argument("--out-dir", required=True)
-    p.add_argument("--n-dti", type=int, default=20)
+    p.add_argument("--n-dti", type=int, default=20,
+                   help="only gaps strictly shorter than this are filled")
+    p.add_argument("--n-min", type=int, default=25,
+                   help="only tracks longer than this get interpolated "
+                        "(short tracklets are likely false positives)")
     p.add_argument("--copy-1to3", action="store_true",
                    help="also expand FRCNN txts to DPM/SDP for submission")
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     for txt in glob.glob(os.path.join(args.txt_dir, "*.txt")):
         dti(txt, os.path.join(args.out_dir, os.path.basename(txt)),
-            n_dti=args.n_dti)
+            n_min=args.n_min, n_dti=args.n_dti)
         print("interpolated", os.path.basename(txt))
     if args.copy_1to3:
         copy_1to3(args.out_dir, args.out_dir + "_1to3")

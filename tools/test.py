@@ -31,6 +31,10 @@ def make_parser():
 
 
 def main():
+    from unicorn_tpu.utils.setup_env import configure_jax
+    configure_jax()  # persistent compile cache: TPU graphs compile
+    # through a slow remote queue; .jax_cache makes reruns instant
+
     args = make_parser().parse_args()
     import jax
     import jax.numpy as jnp

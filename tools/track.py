@@ -133,6 +133,10 @@ def run_fused(exp, model, params, dataset, args, chunk=32,
 
 
 def main():
+    from unicorn_tpu.utils.setup_env import configure_jax
+    configure_jax()  # persistent compile cache: TPU graphs compile
+    # through a slow remote queue; .jax_cache makes reruns instant
+
     args = make_parser().parse_args()
     import jax
     import jax.numpy as jnp
@@ -163,6 +167,11 @@ def main():
     dataset = MOTEvalDataset(
         data_dir=os.path.join(get_unicorn_datadir(), "mot"),
         json_file=exp.test_ann, name=exp.test_name, img_size=exp.test_size,
+        # letterbox to test_size: both the host step_fn and the fused
+        # pipeline consume letterbox-coordinate frames (and divide the
+        # output boxes by the letterbox scale); raw native-res frames
+        # would also recompile per video resolution
+        preproc=ValTransform(),
     )
 
     if args.fused:

@@ -233,7 +233,8 @@ def main():
         # step's bwd residual
         emb_grad_fn = jax.jit(jax.grad(
             lambda p, im: jnp.sum(
-                uni_forward_embeddings(model, p, im)[1].astype(jnp.float32))))
+                uni_forward_embeddings(model, p, im, backbone_map=map_bb)[1]
+                .astype(jnp.float32))))
 
         def emb_grad_once(p, im):
             return jax.tree_util.tree_leaves(emb_grad_fn(p, im))[0]

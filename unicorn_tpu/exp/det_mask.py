@@ -108,6 +108,23 @@ class ExpDetMask(ExpDet):
             boxinst_warmup_iters=getattr(self, "boxinst_warmup_iters", 10000),
             d_rate=self.d_rate)
 
+    def load_pretrained(self, params):
+        """COCO detector -> inst-stage init: copy every shape-matching
+        tensor from the det checkpoint (backbone/FPN/det head); the CondInst
+        controller/mask branch stays at init — it is the only trainable part
+        (the reference ExpDetMask loads the det checkpoint and freezes the
+        detector). Without this hook the Trainer's pretrain load (gated on
+        hasattr(exp, 'load_pretrained')) silently skips, and train_mask_only
+        would train CondInst against a frozen RANDOM detector."""
+        import os
+
+        from ..core.checkpoint import load_checkpoint, load_matching
+
+        ckpt_dir = os.path.join(os.getcwd(), "Unicorn_outputs",
+                                self.pretrain_name)
+        det = load_checkpoint(ckpt_dir)
+        return load_matching(params, det.get("ema_params", det["params"]))
+
     def get_optimizer(self, batch_size, iters_per_epoch=1000):
         import optax
 
@@ -117,6 +134,7 @@ class ExpDetMask(ExpDet):
             self.get_lr_fn(batch_size, iters_per_epoch), kind="sgd",
             weight_decay=self.weight_decay, momentum=self.momentum,
             no_decay_mask_fn=default_wd_mask,
+            grad_accum=self.grad_acc_step if self.use_grad_acc else 1,
         )
         if self.train_mask_only:
             # zero out updates for frozen (non-CondInst) params

@@ -180,16 +180,19 @@ class ExpTrack(BaseExp):
 
         root = get_unicorn_datadir()
         sot_weights = mot_weights = None
+        # check the ablation flags BEFORE building: _build_group parses every
+        # annotation index (minutes of I/O on the full mixes) — building a
+        # group only to discard it would pay that on every launch
+        if self.mot_only:
+            sot_datasets = []
+        if self.sot_only:
+            mot_datasets = []
         if sot_datasets is None:
             sot_datasets, sot_weights = self._build_group(
                 self._sot_dataset_specs(root))
         if mot_datasets is None:
             mot_datasets, mot_weights = self._build_group(
                 self._mot_dataset_specs(root))
-        if self.mot_only:
-            sot_datasets = []
-        if self.sot_only:
-            mot_datasets = []
         sot = OmniDataset(sot_datasets, p_datasets=sot_weights,
                           samples_per_epoch=self.samples_per_epoch // 2) \
             if sot_datasets else None

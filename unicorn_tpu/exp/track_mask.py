@@ -84,16 +84,18 @@ class ExpTrackMask(ExpTrack):
 
         root = get_unicorn_datadir()
         vos_weights = mots_weights = None
+        # ablation flags first: don't pay a full group's annotation parse
+        # only to discard it (see ExpTrack.get_dataset)
+        if self.mot_only:
+            vos_datasets = []
+        if self.sot_only:
+            mots_datasets = []
         if vos_datasets is None:
             vos_datasets, vos_weights = self._build_group(
                 self._vos_dataset_specs(root))
         if mots_datasets is None:
             mots_datasets, mots_weights = self._build_group(
                 self._mots_dataset_specs(root))
-        if self.mot_only:
-            vos_datasets = []
-        if self.sot_only:
-            mots_datasets = []
         vos = OmniDataset(vos_datasets, p_datasets=vos_weights,
                           samples_per_epoch=self.samples_per_epoch // 2) \
             if vos_datasets else None
