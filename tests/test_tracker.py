@@ -166,3 +166,20 @@ def test_mot_accumulator_perfect_and_idsw():
     m2 = acc2.metrics()
     assert m2["IDsw"] == 1
     assert abs(m2["MOTA"] - (1.0 - 1 / 30)) < 1e-6
+
+
+def test_byte_tracker_carries_detection_classes():
+    """Round-5 regression: update() accepted `classes` but discarded it —
+    every TrackView reported cls=0. Classes must ride the track table
+    through new-track birth and matched updates."""
+    from unicorn_tpu.tracker.byte_tracker import ByteTracker
+
+    trk = ByteTracker(track_thresh=0.5)
+    boxes = np.array([[10, 10, 30, 30], [60, 60, 90, 90]], float)
+    views = trk.update(boxes, np.array([0.9, 0.9]), classes=np.array([2, 5]))
+    assert sorted(v.cls for v in views) == [2, 5]
+    # matched update keeps per-track class aligned after motion
+    views = trk.update(boxes + 2.0, np.array([0.9, 0.9]),
+                       classes=np.array([2, 5]))
+    by_id = {v.track_id: v.cls for v in views}
+    assert sorted(by_id.values()) == [2, 5]

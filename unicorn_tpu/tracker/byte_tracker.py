@@ -83,6 +83,7 @@ class ByteTracker:
         self.activated = np.zeros((0,), bool)
         self.score = np.zeros((0,))
         self.track_id = np.zeros((0,), np.int64)
+        self.cls = np.zeros((0,), np.int64)
         self.last_frame = np.zeros((0,), np.int64)   # frame of last update
         self.start_frame = np.zeros((0,), np.int64)
 
@@ -91,10 +92,11 @@ class ByteTracker:
     def _keep(self, mask: np.ndarray) -> None:
         """Drop rows where mask is False."""
         for name in ("mean", "cov", "state", "activated", "score",
-                     "track_id", "last_frame", "start_frame"):
+                     "track_id", "cls", "last_frame", "start_frame"):
             setattr(self, name, getattr(self, name)[mask])
 
-    def _append_new(self, boxes: np.ndarray, scores: np.ndarray) -> None:
+    def _append_new(self, boxes: np.ndarray, scores: np.ndarray,
+                    classes=None) -> None:
         """Initiate one new row per detection (in det order -> ascending ids)."""
         n = len(boxes)
         if n == 0:
@@ -115,6 +117,9 @@ class ByteTracker:
         ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
         self._next_id += n
         self.track_id = np.concatenate([self.track_id, ids])
+        self.cls = np.concatenate(
+            [self.cls, np.zeros(n, np.int64) if classes is None
+             else np.asarray(classes, np.int64)])
         self.last_frame = np.concatenate(
             [self.last_frame, np.full(n, self.frame_id, np.int64)])
         self.start_frame = np.concatenate(
@@ -138,7 +143,8 @@ class ByteTracker:
         return matching.linear_assignment(cost, thresh)
 
     def _apply_matches(self, rows: np.ndarray, matches: np.ndarray,
-                       det_boxes: np.ndarray, det_scores: np.ndarray) -> None:
+                       det_boxes: np.ndarray, det_scores: np.ndarray,
+                       det_classes=None) -> None:
         """Batched Kalman update + lifecycle transition for matched rows."""
         if len(matches) == 0:
             return
@@ -150,6 +156,8 @@ class ByteTracker:
         self.state[r] = TRACKED
         self.activated[r] = True
         self.score[r] = det_scores[d]
+        if det_classes is not None:
+            self.cls[r] = np.asarray(det_classes, np.int64)[d]
         self.last_frame[r] = self.frame_id
 
     # -- the per-frame step --------------------------------------------------
@@ -161,10 +169,12 @@ class ByteTracker:
         # per-frame debug trace for parity tests: {track_id: (stage, det_idx)}
         self.last_matches = {}
 
+        cls = (np.zeros(len(scores), np.int64) if classes is None
+               else np.asarray(classes, np.int64).reshape(-1))
         high = scores > self.track_thresh
         low = (scores > 0.1) & (scores < self.track_thresh)
-        dets_high, s_high = boxes[high], scores[high]
-        dets_low, s_low = boxes[low], scores[low]
+        dets_high, s_high, c_high = boxes[high], scores[high], cls[high]
+        dets_low, s_low, c_low = boxes[low], scores[low], cls[low]
 
         is_unconf = (self.state == TRACKED) & ~self.activated
         pool = ((self.state == TRACKED) & self.activated) | (self.state == LOST)
@@ -183,7 +193,7 @@ class ByteTracker:
         matches, u_track, u_det = self._match_rows(
             pool_rows, dets_high, s_high, self.match_thresh, fuse=True)
         self._record(1, pool_rows, matches, np.flatnonzero(high))
-        self._apply_matches(pool_rows, matches, dets_high, s_high)
+        self._apply_matches(pool_rows, matches, dets_high, s_high, c_high)
 
         # stage 2: remaining *tracked* pool rows vs low-score dets, plain IoU
         r_rows = pool_rows[list(u_track)]
@@ -191,7 +201,7 @@ class ByteTracker:
         matches2, u_track2, _ = self._match_rows(
             r_rows, dets_low, s_low, 0.5, fuse=False)
         self._record(2, r_rows, matches2, np.flatnonzero(low))
-        self._apply_matches(r_rows, matches2, dets_low, s_low)
+        self._apply_matches(r_rows, matches2, dets_low, s_low, c_low)
         self.state[r_rows[list(u_track2)]] = LOST  # unmatched tracked -> lost
 
         # stage 3: unconfirmed rows vs leftover high-score dets
@@ -202,7 +212,7 @@ class ByteTracker:
             0.7, fuse=True)
         self._record(3, unconf_rows, matches3, np.flatnonzero(high)[u_det])
         self._apply_matches(unconf_rows, matches3, dets_high[u_det],
-                            s_high[u_det])
+                            s_high[u_det], c_high[u_det])
 
         # unmatched unconfirmed rows are removed outright
         remove = np.zeros(len(self.state), bool)
@@ -216,7 +226,8 @@ class ByteTracker:
         leftover = u_det[list(u_det3)]
         strong = leftover[s_high[leftover] >= self.det_thresh]
         strong = np.sort(strong)
-        self._append_new(dets_high[strong], s_high[strong])
+        self._append_new(dets_high[strong], s_high[strong],
+                         c_high[strong])
 
         # de-duplicate tracked vs lost (IoU > 0.85), keeping the longer-lived
         self._remove_duplicates()
@@ -229,7 +240,7 @@ class ByteTracker:
             views.append(TrackView(
                 track_id=int(self.track_id[r]), score=float(self.score[r]),
                 tlwh=np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]]),
-                tlbr=b.copy()))
+                tlbr=b.copy(), cls=int(self.cls[r])))
         return views
 
     def _remove_duplicates(self) -> None:

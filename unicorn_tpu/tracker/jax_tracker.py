@@ -326,7 +326,10 @@ def tracker_step(ts: TrackState, dets, det_valid,
     # --- new tracks from unmatched strong dets ------------------------------
     det_used = det_used.at[jnp.where(match2 >= 0, match2, 0)].max(match2 >= 0)
     det_used = det_used.at[jnp.where(match3 >= 0, match3, 0)].max(match3 >= 0)
-    new_det = det_valid & (scores > det_thresh) & high & (~det_used)
+    # >= matches the host tracker (byte_tracker.py `>= det_thresh`; the
+    # reference drops only `score < det_thresh`) — a det at exactly the
+    # threshold must start a track on both paths or ids diverge forever
+    new_det = det_valid & (scores >= det_thresh) & high & (~det_used)
     # assign det j -> the j-th free slot (computed via cumulative counts)
     free = new_state_v == S_EMPTY
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1      # rank among slots

@@ -154,14 +154,16 @@ class Sort:
             if len(self.mean) else np.zeros((0,), bool)
         self._keep(finite)
 
-        # IoU Hungarian; keep a pair iff IoU > iou_threshold (cost = -IoU
-        # with limit -threshold preserves the original's strict reject of
-        # below-threshold pairs)
-        iou = matching.inclusive_iou_np(
+        # IoU Hungarian with the published SORT semantics: exclusive IoU
+        # (sort.py iou_batch has no +1) and pairs AT the threshold kept —
+        # the original rejects only iou < iou_threshold, while
+        # linear_assignment keeps cost < limit (strict), so nudge the limit
+        # by an epsilon to re-admit exact-threshold pairs
+        iou = matching.exclusive_iou_np(
             _csr_to_tlbr(self.mean).astype(np.float32),
             dets.astype(np.float32))
         matches, _, u_det = matching.linear_assignment(
-            -iou.astype(np.float64), -self.iou_threshold)
+            -iou.astype(np.float64), -(self.iou_threshold - 1e-9))
 
         if len(matches):
             r, d = matches[:, 0], matches[:, 1]
@@ -388,7 +390,8 @@ class DeepSort(_AppearanceTable):
             | ((self.state == CONFIRMED) & (self.time_since_update == 1)))
         iou_rows = np.array([r for r in iou_rows if r not in matched_rows],
                             int)
-        cost = 1.0 - matching.inclusive_iou_np(
+        # published DeepSORT iou_matching.iou is exclusive (no +1)
+        cost = 1.0 - matching.exclusive_iou_np(
             _mean_to_tlbr(self.mean[iou_rows]).astype(np.float32),
             boxes[u_det].astype(np.float32))
         m, _, um = matching.linear_assignment(

@@ -38,7 +38,12 @@ def dump_uni_batch(save_dir, images, targets, task_ids, masks=None,
                     overlay[mm] = _COLORS[m % len(_COLORS)]
                 overlay = cv2.resize(overlay, (img.shape[1], img.shape[0]),
                                      interpolation=cv2.INTER_NEAREST)
-                img = (0.6 * img + 0.4 * overlay).astype(np.uint8)
+                # blend only where a mask is painted: blending the whole
+                # frame with the mostly-zero overlay would dim every pixel
+                # and wash out the box/label annotations drawn above
+                on = overlay.any(axis=2, keepdims=True)
+                img = np.where(on, 0.6 * img + 0.4 * overlay,
+                               img).astype(np.uint8)
             task = int(task_ids[b])
             cv2.imwrite(os.path.join(
                 save_dir, f"{prefix}_b{b}_f{f}_task{task}.jpg"), img)
